@@ -1,0 +1,104 @@
+"""Pipeline composition: pages -> analysis -> dedup -> tags -> sink.
+
+The reference's `FileAnalyzer.analyze()` fan-out
+(/root/reference/src/core/analyzer.py:66-124) becomes one lazy DataFrame
+chain: a single fused Arrow stage for all per-row analyzers, then exactly
+one shuffle for dedup and one for tag ranking.
+
+Sink strategy: Iceberg (`writeTo(...).append()`) when an Iceberg catalog is
+configured on the session; otherwise hash-bucketed parquet with an explicit
+`bucket` column — `pmod(xxhash64(url), B)` — which keeps the
+partition-to-task mapping stable for lineage (the local stand-in for Iceberg
+`PARTITIONED BY (bucket(B, url))`, SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fa_spark.stages.analyze import with_analysis
+from fa_spark.stages.dedup import exact_dedup
+from fa_spark.stages.tags import slug_udf, tags_array
+
+DEFAULT_BUCKETS = 64
+
+
+@dataclass(frozen=True)
+class JobConfig:
+    """Job-level parameters passed explicitly (never wall-clock inside rows —
+    SURVEY.md §7.3 determinism discipline)."""
+
+    run_id: str = "run-000"
+    buckets: int = DEFAULT_BUCKETS
+    tag_k: int = 10
+
+
+def default_session(
+    app: str = "fa-spark", cores: int | None = None, shuffle_partitions: int = 32
+) -> SparkSession:
+    """Local session with the configs the 100-TB plan needs anyway:
+    AQE (skew joins / partition coalescing), Arrow batches sized for ~50-100 KB
+    html blobs (SURVEY.md §4.2 item 3)."""
+    master = f"local[{cores}]" if cores else "local[*]"
+    return (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def bucket_col(url_col: str = "url", buckets: int = DEFAULT_BUCKETS):
+    return F.pmod(F.xxhash64(url_col), F.lit(buckets)).cast("int")
+
+
+def analyze_pages(pages_df: DataFrame, cfg: JobConfig = JobConfig()) -> DataFrame:
+    """Full per-page analysis + exact dedup + tags + slug.
+
+    Shuffle census (scale review): 1 shuffle for the sha dedup window,
+    1 for tag ranking (explode+groupBy), 1 broadcast-free join back on url.
+    The html blob dies at the UDF boundary — only derived columns shuffle.
+    """
+    analyzed = with_analysis(pages_df).withColumn(
+        "bucket", bucket_col("url", cfg.buckets)
+    )
+    deduped = exact_dedup(analyzed, key="sha", order="url")
+    tag_src = deduped.select("url", F.col("extract.text").alias("_t"))
+    tags = tags_array(tag_src, "url", "_t", cfg.tag_k)
+    out = (
+        deduped.join(tags, "url", "left")
+        .withColumn("tags", F.coalesce("tags", F.array().cast("array<string>")))
+        .withColumn("slug", slug_udf(F.col("extract.title"), F.col("extract.text")))
+        .withColumn("run_id", F.lit(cfg.run_id))
+    )
+    return out
+
+
+def write_analysis(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Bucketed parquet sink (Iceberg stand-in). Bucket column doubles as the
+    lineage partition key."""
+    df.write.mode(mode).partitionBy("bucket").parquet(path)
+
+
+def summary(df: DataFrame) -> DataFrame:
+    """Session-summary aggregation (reference A2/A5,
+    /root/reference/src/models/analyzer.py:286-299): one partial+final agg."""
+    return df.agg(
+        F.count("*").alias("analyses"),
+        F.sum(
+            (F.col("extract.status").isin("success", "success_lenient")).cast("long")
+        ).alias("successful"),
+        F.sum((F.col("extract.status") == "error").cast("long")).alias("failed"),
+        F.sum((~F.col("is_canonical")).cast("long")).alias("duplicates"),
+        F.sum((F.size("sigs") > 0).cast("long")).alias("flagged"),
+        F.sum("html_bytes").alias("bytes_scanned"),
+    )

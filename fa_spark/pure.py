@@ -1,0 +1,999 @@
+"""Pure-Python core shared by the Spark pandas UDFs and the single-threaded oracle.
+
+Every function here is deterministic: no wall clock, no ``random``, no Python
+``hash()``. The byte-identical-extraction guarantee (BASELINE.json ``north_rule``)
+holds *by construction* because the vectorized UDF stages in ``fa_spark/stages/``
+call exactly these functions, and the correctness oracle in tests calls them
+single-threaded on the same rows.
+
+Reference semantics re-expressed here (never ported code):
+  - content-type sniffing        <- reference ``_analyze_binary`` (binwalk wrapper),
+                                    /root/reference/src/core/analyzer.py:657-723
+  - metadata extraction          <- reference ``_extract_metadata`` (exiftool wrapper),
+                                    /root/reference/src/core/analyzer.py:140-313
+  - main-content extraction      <- reference FastVLM "document" mode (extract all
+                                    text), /root/reference/src/core/vision.py:306-560
+  - signature scan               <- reference ``_scan_malware``/``_search_content``,
+                                    /root/reference/src/core/analyzer.py:478-655
+  - tag cleaning / ranking       <- /root/reference/src/cli/utils/render.py:13-38
+  - filename generation          <- /root/reference/src/cli/utils/render.py:41-166
+  - JSON extraction/validation   <- /root/reference/src/utils/json_utils.py:39-348
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import struct as _struct
+import zlib
+from collections import Counter
+from dataclasses import dataclass, field
+from html import unescape
+from html.parser import HTMLParser
+
+# ---------------------------------------------------------------------------
+# 1. Content-type sniffing (reference M5: binwalk replacement)
+# ---------------------------------------------------------------------------
+
+# Magic prefix table, longest-match-first. Mirrors the signature classes the
+# reference's binwalk stage reports (analyzer.py:657-723) plus web-native types.
+MAGIC_PREFIXES: tuple[tuple[bytes, str], ...] = (
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"%PDF-", "pdf"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"PK\x03\x04", "zip"),
+    (b"\x1f\x8b", "gzip"),
+    (b"BM", "bmp"),
+    (b"II*\x00", "tiff"),
+    (b"MM\x00*", "tiff"),
+    (b"\x7fELF", "elf"),
+    (b"MZ", "exe"),
+    (b"OggS", "ogg"),
+    (b"fLaC", "flac"),
+    (b"RIFF", "riff"),
+)
+
+_HTML_HINT_RE = re.compile(
+    rb"<!doctype\s+html|<html[\s>]|<head[\s>]|<body[\s>]|<title[\s>]", re.IGNORECASE
+)
+_XML_HINT_RE = re.compile(rb"^\s*<\?xml", re.IGNORECASE)
+
+# Signatures worth flagging when found *embedded* at offset > 0 (the reference's
+# "interesting_data" flag fires when binwalk prints a signature table).
+_EMBEDDED_SIGS: tuple[tuple[bytes, str], ...] = (
+    (b"%PDF-", "pdf"),
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff\xe0", "jpeg"),
+    (b"\xff\xd8\xff\xe1", "jpeg_exif"),
+    (b"PK\x03\x04", "zip"),
+    (b"\x1f\x8b\x08", "gzip"),
+    (b"\x7fELF", "elf"),
+)
+
+MAX_EMBEDDED = 16  # cap embedded findings per doc (degenerate inputs)
+
+
+def sniff_bytes(data: bytes | None) -> dict:
+    """Classify raw document bytes.
+
+    Returns {content_type, charset, embedded: [(offset, kind)...], interesting}.
+    ``interesting`` mirrors the reference's binwalk "found embedded content"
+    boolean (analyzer.py:692-695): true iff any signature at offset > 0.
+    """
+    if not data:
+        return {
+            "content_type": "empty",
+            "charset": None,
+            "embedded": [],
+            "interesting": False,
+        }
+    charset = None
+    if data.startswith(b"\xef\xbb\xbf"):
+        charset = "utf-8-sig"
+    elif data.startswith(b"\xff\xfe"):
+        charset = "utf-16-le"
+    elif data.startswith(b"\xfe\xff"):
+        charset = "utf-16-be"
+
+    content_type = None
+    for prefix, kind in MAGIC_PREFIXES:
+        if data.startswith(prefix):
+            content_type = kind
+            break
+    head = data[:2048]
+    if content_type is None:
+        if _XML_HINT_RE.match(head):
+            content_type = "xml"
+        elif _HTML_HINT_RE.search(head):
+            content_type = "html"
+    if content_type is None:
+        # printable-ratio heuristic over the head
+        sample = head[:512]
+        printable = sum(1 for b in sample if 32 <= b < 127 or b in (9, 10, 13))
+        if sample and printable / len(sample) >= 0.85:
+            # looks like text; could still be html fragment
+            content_type = "html" if _HTML_HINT_RE.search(head) else "text"
+        else:
+            content_type = "binary"
+
+    embedded: list[tuple[int, str]] = []
+    if content_type in ("html", "text", "xml"):
+        scan_to = min(len(data), 1 << 20)  # bound the scan for huge docs
+        for sig, kind in _EMBEDDED_SIGS:
+            start = 1
+            while len(embedded) < MAX_EMBEDDED:
+                idx = data.find(sig, start, scan_to)
+                if idx <= 0:
+                    break
+                embedded.append((idx, kind))
+                start = idx + 1
+        embedded.sort()
+    return {
+        "content_type": content_type,
+        "charset": charset,
+        "embedded": embedded[:MAX_EMBEDDED],
+        "interesting": bool(embedded),
+    }
+
+
+# ---------------------------------------------------------------------------
+# 2. Charset detection + decoding (deterministic cascade)
+# ---------------------------------------------------------------------------
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE
+)
+
+
+def decode_bytes(data: bytes | None) -> tuple[str, str]:
+    """Decode document bytes to text. Returns (text, charset_used).
+
+    Deterministic cascade: BOM -> declared <meta charset> -> utf-8 -> latin-1.
+    latin-1 never fails, so the cascade always terminates with a fixed answer.
+    """
+    if not data:
+        return "", "empty"
+    if data.startswith(b"\xef\xbb\xbf"):
+        return data[3:].decode("utf-8", errors="replace"), "utf-8-sig"
+    if data.startswith(b"\xff\xfe"):
+        return data[2:].decode("utf-16-le", errors="replace"), "utf-16-le"
+    if data.startswith(b"\xfe\xff"):
+        return data[2:].decode("utf-16-be", errors="replace"), "utf-16-be"
+    m = _META_CHARSET_RE.search(data[:2048])
+    if m:
+        declared = m.group(1).decode("ascii", "ignore").lower()
+        norm = {"utf8": "utf-8", "iso-8859-1": "latin-1", "iso8859-1": "latin-1"}.get(
+            declared, declared
+        )
+        try:
+            return data.decode(norm), norm
+        except (UnicodeDecodeError, LookupError):
+            pass
+    try:
+        return data.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return data.decode("latin-1"), "latin-1"
+
+
+# ---------------------------------------------------------------------------
+# 3. Main-content extraction (boilerpipe-style block classifier)
+# ---------------------------------------------------------------------------
+
+# Tags whose content is never text (dropped entirely).
+_SKIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "svg", "iframe", "object", "head"}
+)
+# Containers that mark everything inside as boilerplate.
+_BOILER_TAGS = frozenset({"nav", "header", "footer", "aside", "form", "menu"})
+# Tags that terminate the current text block.
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "section", "article", "main", "h1", "h2", "h3", "h4", "h5",
+        "h6", "li", "ul", "ol", "table", "tr", "td", "th", "blockquote", "pre",
+        "br", "hr", "figure", "figcaption", "dl", "dt", "dd", "title", "body",
+        "html", "tbody", "thead",
+    }
+)
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6", "title"})
+
+_WS_RE = re.compile(r"\s+")
+
+# Block-classification thresholds (boilerpipe NumWordsRules-style). These are
+# OUR contract — the fixture generator and oracle share them.
+MIN_CONTENT_WORDS = 8
+MAX_LINK_DENSITY = 0.25
+MIN_HEADING_WORDS = 1
+
+
+def _norm_ws(s: str) -> str:
+    return _WS_RE.sub(" ", s).strip()
+
+
+@dataclass
+class _Block:
+    tag: str = "p"
+    boiler: bool = False
+    parts: list = field(default_factory=list)
+    link_chars: int = 0
+
+    def text(self) -> str:
+        return _norm_ws("".join(self.parts))
+
+
+class _BlockParser(HTMLParser):
+    """Streaming HTML -> text-block segmenter built on the stdlib parser.
+
+    The stdlib parser is lenient by design (never raises on truncated or
+    malformed markup), which gives us the reference's "repair cascade"
+    (json_utils.py:58-168 analogue) in a single deterministic pass.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._cur = _Block()
+        self._skip = 0
+        self._boiler = 0
+        self._anchor = 0
+        self._cur_tag = "p"
+        self.title_parts: list[str] = []
+        self._in_title = False
+        self.n_anchors = 0
+        self.n_form_tags = 0
+        self.meta: dict[str, str] = {}
+
+    # -- block bookkeeping --
+    def _flush(self) -> None:
+        if self._cur.parts:
+            self.blocks.append(self._cur)
+        self._cur = _Block(tag=self._cur_tag, boiler=self._boiler > 0)
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+            return
+        if tag == "meta":
+            d = dict(attrs)
+            name = (d.get("name") or d.get("property") or "").lower()
+            if name and d.get("content") is not None:
+                self.meta.setdefault(name, d["content"])
+            return
+        if tag in _BOILER_TAGS:
+            self._boiler += 1
+            if tag == "form":
+                self.n_form_tags += 1
+        if tag == "a":
+            self._anchor += 1
+            self.n_anchors += 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            self._cur_tag = tag
+            self._cur.tag = tag
+            self._cur.boiler = self._boiler > 0
+        if tag == "title":
+            self._in_title = True
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if tag in _BOILER_TAGS:
+            self._boiler = max(0, self._boiler - 1)
+        if tag == "a":
+            self._anchor = max(0, self._anchor - 1)
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            self._cur_tag = "p"
+        if tag == "title":
+            self._in_title = False
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag == "br" or tag == "hr":
+            self._flush()
+        elif tag == "meta":
+            self.handle_starttag(tag, attrs)
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            # title is captured separately, never as a content block
+            self.title_parts.append(data)
+            return
+        if self._skip:
+            return
+        self._cur.parts.append(data)
+        if self._anchor:
+            self._cur.link_chars += len(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+@dataclass
+class ExtractResult:
+    text: str
+    doc_type: str
+    status: str
+    attempts: int
+    title: str
+
+
+_TAG_STRIP_RE = re.compile(r"<[^>]*>")
+_SCRIPT_STRIP_RE = re.compile(
+    r"<(script|style|noscript)\b.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+
+
+def _lenient_strip(html_str: str) -> str:
+    """Attempt 2 of the fallback cascade: regex tag strip (reference analogue:
+    json_utils.py strategy-3 regex fallback)."""
+    s = _SCRIPT_STRIP_RE.sub(" ", html_str)
+    s = _TAG_STRIP_RE.sub(" ", s)
+    return _norm_ws(unescape(s))
+
+
+def extract_blocks(html_str: str) -> tuple[list[dict], _BlockParser]:
+    """Parse HTML into classified text blocks.
+
+    Each block: {text, tag, words, link_density, boiler, is_content}.
+    """
+    p = _BlockParser()
+    p.feed(html_str)
+    p.close()
+    out = []
+    for b in p.blocks:
+        text = b.text()
+        if not text:
+            continue
+        nchars = len(text)
+        words = text.count(" ") + 1 if text else 0
+        ld = min(1.0, b.link_chars / nchars) if nchars else 0.0
+        if b.tag in _HEADING_TAGS:
+            is_content = (
+                not b.boiler and words >= MIN_HEADING_WORDS and b.link_chars == 0
+            )
+        else:
+            is_content = (
+                not b.boiler and words >= MIN_CONTENT_WORDS and ld <= MAX_LINK_DENSITY
+            )
+        out.append(
+            {
+                "text": text,
+                "tag": b.tag,
+                "words": words,
+                "link_density": ld,
+                "boiler": b.boiler,
+                "is_content": is_content,
+            }
+        )
+    return out, p
+
+
+def classify_doc_type(blocks: list[dict], parser: _BlockParser, sniffed: str) -> str:
+    if sniffed not in ("html", "text", "xml"):
+        return sniffed
+    if not blocks:
+        return "empty"
+    total_chars = sum(len(b["text"]) for b in blocks)
+    link_chars = sum(len(b["text"]) * b["link_density"] for b in blocks)
+    if parser.n_form_tags >= 2:
+        return "form"
+    if total_chars and link_chars / total_chars > 0.5:
+        return "listing"
+    if any(b["is_content"] and b["tag"] not in _HEADING_TAGS for b in blocks):
+        return "article"
+    return "boilerplate"
+
+
+def extract_main_text(data: bytes | None) -> ExtractResult:
+    """The flagship operator: bytes -> main content text.
+
+    Cascade (attempt counter mirrors the reference's retry bookkeeping,
+    json_utils.py:320-322):
+      1. DOM block classification (title excluded; content blocks joined "\n\n")
+      2. lenient regex strip when the DOM pass found nothing but text exists
+      3. empty result with explicit status
+    """
+    sn = sniff_bytes(data)
+    ct = sn["content_type"]
+    if ct == "empty":
+        return ExtractResult("", "empty", "skipped", 0, "")
+    if ct not in ("html", "text", "xml"):
+        return ExtractResult("", ct, "skipped", 0, "")
+    html_str, _cs = decode_bytes(data)
+    blocks, parser = extract_blocks(html_str)
+    title = _norm_ws("".join(parser.title_parts))
+    doc_type = classify_doc_type(blocks, parser, ct)
+    content = [
+        b["text"] for b in blocks if b["is_content"] and b["tag"] != "title"
+    ]
+    if content:
+        return ExtractResult("\n\n".join(content), doc_type, "success", 1, title)
+    # attempt 2: lenient strip
+    stripped = _lenient_strip(html_str)
+    if stripped:
+        return ExtractResult(stripped, doc_type, "success_lenient", 2, title)
+    return ExtractResult("", doc_type, "empty", 3, title)
+
+
+# ---------------------------------------------------------------------------
+# 4. Metadata extraction (reference M1: exiftool replacement, bounded scope)
+# ---------------------------------------------------------------------------
+
+_DATA_URI_RE = re.compile(rb"data:image/(jpeg|png);base64,([A-Za-z0-9+/=]{16,})")
+_PDF_INFO_RE = re.compile(rb"/(Title|Author|Producer|Creator|Subject)\s*\(([^)]{0,256})\)")
+
+
+def _parse_png_meta(data: bytes) -> dict[str, str]:
+    """Walk PNG chunks: IHDR dims + tEXt key/value pairs."""
+    out: dict[str, str] = {}
+    if not data.startswith(b"\x89PNG\r\n\x1a\n"):
+        return out
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = _struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR" and length >= 8:
+            w, h = _struct.unpack(">II", body[:8])
+            out["png:width"] = str(w)
+            out["png:height"] = str(h)
+        elif ctype == b"tEXt":
+            if b"\x00" in body:
+                k, _, v = body.partition(b"\x00")
+                out[f"png:{k.decode('latin-1')}"] = v.decode("latin-1")
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + crc
+        if length > n:
+            break
+    return out
+
+
+def _parse_jpeg_meta(data: bytes) -> dict[str, str]:
+    """Walk JPEG segments: SOF dims + presence of EXIF APP1."""
+    out: dict[str, str] = {}
+    if not data.startswith(b"\xff\xd8"):
+        return out
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = _struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xE1 and seg.startswith(b"Exif\x00\x00"):
+            out["jpeg:exif"] = "true"
+            # minimal TIFF parse: byte order + tag count of IFD0
+            tiff = seg[6:]
+            if tiff[:2] in (b"II", b"MM"):
+                out["jpeg:exif_byte_order"] = (
+                    "little" if tiff[:2] == b"II" else "big"
+                )
+        elif marker in (0xC0, 0xC1, 0xC2) and len(seg) >= 5:
+            h, w = _struct.unpack(">HH", seg[1:5])
+            out["jpeg:width"] = str(w)
+            out["jpeg:height"] = str(h)
+        pos += 2 + seglen
+    return out
+
+
+def _parse_pdf_meta(data: bytes) -> dict[str, str]:
+    out: dict[str, str] = {}
+    if not data.startswith(b"%PDF-"):
+        return out
+    out["pdf:version"] = data[5:8].decode("latin-1", "ignore")
+    for m in _PDF_INFO_RE.finditer(data[: 1 << 20]):
+        key = m.group(1).decode("latin-1").lower()
+        out.setdefault(f"pdf:{key}", m.group(2).decode("latin-1", "ignore"))
+    out["pdf:pages"] = str(data.count(b"/Type /Page") + data.count(b"/Type/Page"))
+    return out
+
+
+def extract_metadata(data: bytes | None) -> dict[str, str]:
+    """Open-ended key->value metadata map (envelope fixed, content dynamic —
+    matches the reference's exiftool behavior of returning arbitrary key sets,
+    analyzer.py:219)."""
+    if not data:
+        return {}
+    out: dict[str, str] = {}
+    out.update(_parse_png_meta(data))
+    out.update(_parse_jpeg_meta(data))
+    out.update(_parse_pdf_meta(data))
+    sn = sniff_bytes(data)
+    if sn["content_type"] in ("html", "text", "xml"):
+        html_str, cs = decode_bytes(data)
+        out["charset"] = cs
+        _blocks, parser = extract_blocks(html_str)
+        for k, v in sorted(parser.meta.items()):
+            out[f"meta:{k}"] = v
+        title = _norm_ws("".join(parser.title_parts))
+        if title:
+            out["title"] = title
+        # data-URI embedded images (fixture case: EXIF inside HTML)
+        n_img = 0
+        for m in _DATA_URI_RE.finditer(data):
+            n_img += 1
+            if n_img >= 8:
+                break
+        if n_img:
+            out["embedded_images"] = str(n_img)
+    out["bytes"] = str(len(data))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 5. Signature / content scan (reference M3+M4: clamscan + ripgrep)
+# ---------------------------------------------------------------------------
+
+# IOC-style demo patterns (clamscan stand-ins). Compiled once per process.
+DEFAULT_SIGNATURES: tuple[tuple[str, str], ...] = (
+    ("eicar", r"X5O!P%@AP\[4\\PZX54\(P\^\)7CC\)7\}\$EICAR"),
+    ("eval_b64", r"eval\s*\(\s*base64_decode"),
+    ("js_unescape_chain", r"unescape\s*\(\s*['\"]%u[0-9a-fA-F]{4}"),
+    ("iframe_hidden", r"<iframe[^>]+(?:width|height)\s*=\s*[\"']?0"),
+    ("doc_write_script", r"document\.write\s*\(\s*['\"]<script"),
+    ("powershell_enc", r"powershell(?:\.exe)?\s+-enc"),
+)
+
+
+def compile_signatures(sigs=DEFAULT_SIGNATURES):
+    return [(name, re.compile(pat, re.IGNORECASE)) for name, pat in sigs]
+
+
+def scan_text(text: str, compiled) -> list[str]:
+    """Names of matched signatures, in signature-table order (deterministic)."""
+    return [name for name, rx in compiled if rx.search(text)]
+
+
+def count_matches(text: str, pattern: str, ignore_case: bool = True) -> int:
+    """ripgrep-equivalent match count (reference counts output lines;
+    we count non-overlapping matches — documented divergence, analyzer.py:610)."""
+    flags = re.IGNORECASE if ignore_case else 0
+    return len(re.findall(pattern, text, flags))
+
+
+# ---------------------------------------------------------------------------
+# 6. Tag cleaning / ranking (reference A1, render.py:13-38)
+# ---------------------------------------------------------------------------
+
+GENERIC_TAGS = frozenset(
+    {"image", "picture", "photo", "shooting", "sh", "shock", "shockingly"}
+)
+TOP_K_TAGS = 10
+
+
+def clean_tags(tags: list[str]) -> list[str]:
+    """lowercase+strip, drop generics and len<=2, frequency-rank, top 10.
+
+    Sort key is (-count, tag) — ties break alphabetically, matching the
+    reference fixture at tests/test_filename_generation.py:56-63.
+    """
+    counts: Counter[str] = Counter()
+    for t in tags:
+        t = t.strip().lower()
+        if not t or len(t) <= 2 or t in GENERIC_TAGS:
+            continue
+        counts[t] += 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [t for t, _ in ranked[:TOP_K_TAGS]]
+
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def tokenize(text: str) -> list[str]:
+    """Canonical tokenizer shared with the SQL oracle:
+    lowercase, runs of [a-z0-9]."""
+    return _TOKEN_RE.findall(text.lower())
+
+
+def keywords(text: str, k: int = TOP_K_TAGS) -> list[str]:
+    """Extractive 'tags' for a page (reference describe-mode tags analogue)."""
+    return clean_tags(tokenize(text))[:k]
+
+
+# ---------------------------------------------------------------------------
+# 7. Filename / slug generation (reference M10, render.py:41-166)
+# ---------------------------------------------------------------------------
+
+_SLUG_BAD_RE = re.compile(r"[^\w\s-]")
+_SLUG_WS_RE = re.compile(r"\s+")
+_SLUG_COLLAPSE_RE = re.compile(r"-+")
+
+KNOWN_NOUNS = (
+    "duck", "cat", "dog", "bird", "fish", "horse", "house", "car", "tree",
+    "flower", "star", "heart", "sun", "moon", "cloud", "mountain", "river",
+    "book", "chair", "table", "computer", "phone", "clock", "key", "door",
+)
+_STOP_CAP_WORDS = frozenset(
+    {
+        "The", "A", "An", "In", "On", "At", "Of", "For", "With", "And", "Or",
+        "But", "Is", "Are", "Was", "Were", "This", "That", "It", "Its",
+    }
+)
+
+_LETTER_RE = re.compile(r"letter\s+['\"]?([A-Za-z])['\"]?", re.IGNORECASE)
+_NUMBER_RE = re.compile(r"number\s+['\"]?(\d+)['\"]?", re.IGNORECASE)
+_ICON_RE = re.compile(r"icon\s+of\s+(?:a\s+|an\s+|the\s+)?(\w+)", re.IGNORECASE)
+_SYMBOL_RE = re.compile(r"symbol\s+(?:of\s+)?(?:a\s+|an\s+|the\s+)?(\w+)", re.IGNORECASE)
+_PROPER_RE = re.compile(r"\b[A-Z][a-z]+\b")
+
+MIN_SLUG_LEN = 3
+MAX_SLUG_LEN = 50
+FALLBACK_SLUG = "unknown-content"
+
+
+def slugify(name: str) -> str:
+    """strip non-[\\w\\s-], spaces->hyphens, collapse, trim (render.py:99-105)."""
+    s = _SLUG_BAD_RE.sub("", name)
+    s = _SLUG_WS_RE.sub("-", s.strip())
+    s = _SLUG_COLLAPSE_RE.sub("-", s)
+    return s.strip("-").lower()
+
+
+def filename_from_description(description: str) -> str:
+    """Regex-cascade short-name extraction; exact expected outputs pinned by
+    FIXTURES.md §3 (reference tests/test_filename_generation.py:95-160)."""
+    desc = description or ""
+    m = _LETTER_RE.search(desc)
+    if m:
+        return f"letter-{m.group(1).lower()}"
+    m = _NUMBER_RE.search(desc)
+    if m:
+        return f"number-{m.group(1)}"
+    m = _ICON_RE.search(desc)
+    if m:
+        return f"icon-{m.group(1).lower()}"
+    m = _SYMBOL_RE.search(desc)
+    if m:
+        return f"symbol-{m.group(1).lower()}"
+    lowered = desc.lower()
+    nouns = [n for n in KNOWN_NOUNS if re.search(rf"\b{n}\b", lowered)]
+    if nouns:
+        return "-".join(nouns[:2])
+    proper = [w for w in _PROPER_RE.findall(desc) if w not in _STOP_CAP_WORDS]
+    if proper:
+        return "-".join(w.lower() for w in proper[:3])
+    return FALLBACK_SLUG
+
+
+def generate_filename(description: str) -> str:
+    """Full cascade with length acceptance gate 3<=len<=50 (render.py:105)."""
+    name = slugify(filename_from_description(description))
+    if MIN_SLUG_LEN <= len(name) <= MAX_SLUG_LEN:
+        return name
+    return FALLBACK_SLUG
+
+
+def page_slug(title: str, text: str) -> str:
+    """Slug for a web page: title if usable, else description cascade on the
+    first content sentence, else fallback."""
+    if title:
+        s = slugify(title)
+        if MIN_SLUG_LEN <= len(s) <= MAX_SLUG_LEN:
+            return s
+        if len(s) > MAX_SLUG_LEN:
+            cut = s[:MAX_SLUG_LEN].rstrip("-")
+            if MIN_SLUG_LEN <= len(cut):
+                return cut
+    first = text.split("\n", 1)[0][:200] if text else ""
+    return generate_filename(first)
+
+
+# ---------------------------------------------------------------------------
+# 8. JSON extraction / validation (reference M8, json_utils.py:39-348)
+# ---------------------------------------------------------------------------
+
+EXPECTED_FIELDS_BY_MODE = {
+    "describe": ("description", "tags"),
+    "detect": ("objects", "description"),
+    "document": ("text", "document_type"),
+}
+
+
+def _balanced_candidates(text: str) -> list[str]:
+    """String/escape-aware balanced-brace scan collecting candidate objects
+    (semantics of json_utils.py:64-106, fresh implementation)."""
+    out = []
+    n = len(text)
+    i = 0
+    while i < n:
+        if text[i] != "{":
+            i += 1
+            continue
+        depth = 0
+        in_str = False
+        esc = False
+        j = i
+        end = -1
+        while j < n:
+            c = text[j]
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = not in_str
+            elif not in_str:
+                if c == "{":
+                    depth += 1
+                elif c == "}":
+                    depth -= 1
+                    if depth == 0:
+                        end = j
+                        break
+            j += 1
+        if end > i:
+            out.append(text[i : end + 1])
+            i = end + 1
+        else:
+            i += 1
+    return out
+
+
+_REPAIRS = (
+    lambda s: s,
+    lambda s: s.replace("'", '"'),
+    lambda s: re.sub(r",\s*([}\]])", r"\1", s),
+    lambda s: re.sub(r",\s*([}\]])", r"\1", s.replace("'", '"')),
+)
+
+
+def extract_json_from_text(
+    text: str, expected_fields: tuple[str, ...] = ("description", "tags")
+) -> dict | None:
+    """3-strategy extraction: whole parse -> balanced scan preferring candidates
+    with expected fields (else largest) -> repair attempts. Returns None when
+    nothing parses (caller records json_parsing_failed)."""
+    if not text:
+        return None
+    # strategy 1: whole string
+    try:
+        obj = json.loads(text)
+        if isinstance(obj, dict):
+            return obj
+    except (json.JSONDecodeError, ValueError):
+        pass
+    # strategy 2: balanced candidates
+    cands = _balanced_candidates(text)
+    parsed: list[dict] = []
+    for c in cands:
+        for rep in _REPAIRS:
+            try:
+                obj = json.loads(rep(c))
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if isinstance(obj, dict):
+                parsed.append(obj)
+                break
+    if parsed:
+        with_fields = [
+            d for d in parsed if any(f in d for f in expected_fields)
+        ]
+        pool = with_fields or parsed
+        return max(pool, key=lambda d: len(json.dumps(d, sort_keys=True)))
+    # strategy 3: regex fallback on bounded input with escalating repairs
+    if len(text) <= 10_000:
+        m = re.search(r"\{.*\}", text, re.DOTALL)
+        if m:
+            frag = m.group(0)
+            for rep in _REPAIRS[1:]:
+                try:
+                    obj = json.loads(rep(frag))
+                    if isinstance(obj, dict):
+                        return obj
+                except (json.JSONDecodeError, ValueError):
+                    continue
+    return None
+
+
+def validate_json_structure(obj: dict | None, mode: str = "describe") -> bool:
+    if not isinstance(obj, dict):
+        return False
+    fields = EXPECTED_FIELDS_BY_MODE.get(mode, EXPECTED_FIELDS_BY_MODE["describe"])
+    return all(f in obj for f in fields)
+
+
+def process_model_output(text: str, mode: str = "describe") -> dict:
+    """Parse-or-fallback envelope (json_utils.py:288-348): malformed input
+    becomes a typed fallback record, never an exception."""
+    fields = EXPECTED_FIELDS_BY_MODE.get(mode, EXPECTED_FIELDS_BY_MODE["describe"])
+    obj = extract_json_from_text(text, fields)
+    if obj is not None and validate_json_structure(obj, mode):
+        obj.setdefault("metadata", {})
+        obj["metadata"]["json_parsing_failed"] = False
+        return obj
+    if obj is not None:
+        # back-fill missing fields with defaults (fastvlm/json.py:187-205)
+        defaults = {
+            "description": text[:200],
+            "tags": [],
+            "objects": [],
+            "text": "",
+            "document_type": "unknown",
+        }
+        for f in fields:
+            obj.setdefault(f, defaults.get(f, ""))
+        obj.setdefault("metadata", {})
+        obj["metadata"]["json_parsing_failed"] = False
+        obj["metadata"]["backfilled"] = True
+        return obj
+    return {
+        "description": (text or "")[:200],
+        "tags": [],
+        "metadata": {"json_parsing_failed": True},
+    }
+
+
+# ---------------------------------------------------------------------------
+# 9. Hashing / dedup primitives (reference J1: rdfind replacement)
+# ---------------------------------------------------------------------------
+
+_MERSENNE_P = (1 << 61) - 1
+_MINHASH_A = tuple(
+    (0x9E3779B97F4A7C15 * (i + 1) ^ 0xBF58476D1CE4E5B9) % _MERSENNE_P or 1
+    for i in range(256)
+)
+_MINHASH_B = tuple(
+    (0x94D049BB133111EB * (i + 1) ^ 0x2545F4914F6CDD1D) % _MERSENNE_P
+    for i in range(256)
+)
+
+
+def shingles(text: str, k: int = 5) -> list[int]:
+    """k-word shingles -> stable 64-bit ids (crc32 pair; no Python hash())."""
+    toks = tokenize(text)
+    if len(toks) < k:
+        joined = " ".join(toks)
+        return [_stable64(joined)] if joined else []
+    seen = set()
+    out = []
+    for i in range(len(toks) - k + 1):
+        s = " ".join(toks[i : i + k])
+        h = _stable64(s)
+        if h not in seen:
+            seen.add(h)
+            out.append(h)
+    return out
+
+
+def _stable64(s: str) -> int:
+    b = s.encode("utf-8")
+    return (zlib.crc32(b) << 32) | zlib.crc32(b[::-1] + b"\x01")
+
+
+def minhash_signature(text: str, num_hashes: int = 64, k: int = 5) -> list[int]:
+    """MinHash over k-shingles with fixed universal-hash coefficients."""
+    sh = shingles(text, k)
+    if not sh:
+        return [0] * num_hashes
+    sig = []
+    for i in range(num_hashes):
+        a, b = _MINHASH_A[i], _MINHASH_B[i]
+        sig.append(min((a * x + b) % _MERSENNE_P for x in sh))
+    return sig
+
+
+def minhash_bands(sig: list[int], bands: int = 16) -> list[int]:
+    """Split signature into bands; band key = stable hash of (band_idx, rows)."""
+    r = len(sig) // bands
+    out = []
+    for b in range(bands):
+        chunk = sig[b * r : (b + 1) * r]
+        out.append(_stable64(f"{b}:" + ",".join(map(str, chunk))))
+    return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over tokens weighted by frequency."""
+    counts = Counter(tokenize(text))
+    if not counts:
+        return 0
+    v = [0] * 64
+    for tok, w in counts.items():
+        h = _stable64(tok)
+        for bit in range(64):
+            v[bit] += w if (h >> bit) & 1 else -w
+    out = 0
+    for bit in range(64):
+        if v[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> list[int]:
+    """Winnowing-style document fingerprint: polynomial rolling hash over
+    tokens, keep hashes ≡ 0 (mod keep_mod) — deterministic sparse signature."""
+    toks = tokenize(text)
+    if len(toks) < window:
+        return [_stable64(" ".join(toks))] if toks else []
+    out = []
+    for i in range(len(toks) - window + 1):
+        h = _stable64(" ".join(toks[i : i + window]))
+        if h % keep_mod == 0:
+            out.append(h)
+    return out[:256]
+
+
+# ---------------------------------------------------------------------------
+# 10. Text quality / language heuristics (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": frozenset(
+        "the of and a to in is was it for on are as with his they at be this "
+        "have from or had by hot word but what some we can out other were all "
+        "there when up use your how said an each she".split()
+    ),
+    "de": frozenset(
+        "der die das und ist in den von zu mit sich des auf für nicht eine als "
+        "auch es an werden aus er hat dass sie nach wird bei einer um am sind "
+        "noch wie einem über".split()
+    ),
+    "fr": frozenset(
+        "le de la et les des en un du une que est pour qui dans a par plus pas "
+        "au sur ne se ce il sont la vous je son avec ils aux cette".split()
+    ),
+}
+
+
+def detect_lang(text: str) -> str:
+    """n-gram/stopword-ratio language id over {en,de,fr}; 'und' if no signal."""
+    toks = tokenize(text)
+    if not toks:
+        return "und"
+    sample = toks[:400]
+    best_lang, best_hits = "und", 0
+    for lang in ("en", "de", "fr"):  # fixed iteration order => deterministic ties
+        hits = sum(1 for t in sample if t in STOPWORDS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    if best_hits * 20 < len(sample):  # <5% stopwords: no confident signal
+        return "und"
+    return best_lang
+
+
+def quality_score(text: str) -> dict:
+    """Deterministic quality features for training-data filtering."""
+    n = len(text)
+    toks = tokenize(text)
+    words = len(toks)
+    uniq = len(set(toks))
+    alpha = sum(1 for c in text if c.isalpha())
+    digits = sum(1 for c in text if c.isdigit())
+    punct = sum(1 for c in text if c in ".,;:!?\"'()[]{}")
+    stop_hits = sum(1 for t in toks if t in STOPWORDS["en"])
+    mean_wl = (sum(len(t) for t in toks) / words) if words else 0.0
+    return {
+        "n_chars": n,
+        "n_words": words,
+        "uniq_ratio": (uniq / words) if words else 0.0,
+        "alpha_ratio": (alpha / n) if n else 0.0,
+        "digit_ratio": (digits / n) if n else 0.0,
+        "punct_ratio": (punct / n) if n else 0.0,
+        "stopword_ratio": (stop_hits / words) if words else 0.0,
+        "mean_word_len": mean_wl,
+    }
+
+
+_BPEISH_RE = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+
+
+def token_count(text: str) -> tuple[int, int]:
+    """(whitespace_tokens, bpe_ish_tokens) — the second splits off digits and
+    punctuation like a byte-pair pretokenizer."""
+    ws = len(text.split())
+    bpe = len(_BPEISH_RE.findall(text))
+    return ws, bpe

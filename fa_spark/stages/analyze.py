@@ -1,0 +1,131 @@
+"""Fused per-page analysis stage.
+
+The reference runs its analyzers sequentially as separate subprocess stages
+(metadata → duplicates → ocr → virus → search → binary → vision,
+/root/reference/src/core/analyzer.py:94-119). Here all per-row analyzers are
+ONE Arrow-batched pass: decode each page's bytes once, derive every column
+family (sniff, meta, extract, sigs, fingerprints, quality) from that single
+decode. Inter-stage independence (SURVEY.md §3.2) is what makes the fusion
+legal; the only operators needing a shuffle (dedup, tags) stay outside.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from fa_spark import pure
+from fa_spark import schema as S
+
+# compiled once per Python worker process
+_COMPILED_SIGS = pure.compile_signatures()
+
+_ANALYSIS_FIELDS = [
+    "sniff", "meta", "extract", "sigs", "simhash", "minhash", "quality",
+    "detected_lang", "n_tokens_ws", "n_tokens_bpe",
+]
+
+ANALYSIS_STRUCT = StructType(
+    [
+        S.ANALYSIS["sniff"],
+        S.ANALYSIS["meta"],
+        S.ANALYSIS["extract"],
+        S.ANALYSIS["sigs"],
+        S.ANALYSIS["simhash"],
+        S.ANALYSIS["minhash"],
+        S.ANALYSIS["quality"],
+        S.ANALYSIS["detected_lang"],
+        S.ANALYSIS["n_tokens_ws"],
+        S.ANALYSIS["n_tokens_bpe"],
+    ]
+)
+
+_SIGNED64_MASK = (1 << 64) - 1
+
+
+def _to_i64(x: int) -> int:
+    """Fold an unsigned 64-bit value into Spark's signed LongType."""
+    x &= _SIGNED64_MASK
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+MINHASH_K = 64
+
+
+def analyze_batch(html: pd.Series) -> pd.DataFrame:
+    """One Arrow batch of raw page bytes -> full analysis columns."""
+    minhash_k = MINHASH_K
+    out: dict[str, list] = {f: [] for f in _ANALYSIS_FIELDS}
+    for data in html:
+        b = bytes(data) if data is not None else b""
+        sn = pure.sniff_bytes(b)
+        out["sniff"].append(
+            {
+                "content_type": sn["content_type"],
+                "charset": sn["charset"],
+                "embedded": [
+                    {"offset": off, "kind": kind} for off, kind in sn["embedded"]
+                ],
+                "interesting": sn["interesting"],
+            }
+        )
+        out["meta"].append(pure.extract_metadata(b))
+        ex = pure.extract_main_text(b)
+        out["extract"].append(
+            {
+                "text": ex.text,
+                "doc_type": ex.doc_type,
+                "status": ex.status,
+                "attempts": ex.attempts,
+                "title": ex.title,
+            }
+        )
+        text = ex.text
+        out["sigs"].append(pure.scan_text(text, _COMPILED_SIGS) if text else [])
+        out["simhash"].append(_to_i64(pure.simhash64(text)))
+        out["minhash"].append(
+            [_to_i64(h) for h in pure.minhash_signature(text, minhash_k)]
+            if text
+            else []
+        )
+        q = pure.quality_score(text)
+        out["quality"].append(q)
+        out["detected_lang"].append(pure.detect_lang(text))
+        ws, bpe = pure.token_count(text)
+        out["n_tokens_ws"].append(ws)
+        out["n_tokens_bpe"].append(bpe)
+    return pd.DataFrame(out)
+
+
+page_analysis = F.pandas_udf(analyze_batch, ANALYSIS_STRUCT)
+
+
+def with_analysis(pages_df):
+    """pages(url, warc_ts, html, ...) -> flat analysis DataFrame.
+
+    ``sha`` and ``html_bytes`` stay JVM-side (native sha2/length — no reason
+    to pay the Arrow transfer for them); everything needing the decoded DOM
+    rides the fused UDF. ``html`` is projected away immediately after the UDF
+    stage (SURVEY.md §7.3 hard part 4 — never carry the blob further).
+    """
+    return (
+        pages_df.withColumn("a", page_analysis("html"))
+        .select(
+            "url",
+            "warc_ts",
+            "lang",
+            F.col("a.sniff").alias("sniff"),
+            F.col("a.meta").alias("meta"),
+            F.col("a.extract").alias("extract"),
+            F.col("a.sigs").alias("sigs"),
+            F.sha2("html", 256).alias("sha"),
+            F.col("a.simhash").alias("simhash"),
+            F.col("a.minhash").alias("minhash"),
+            F.col("a.quality").alias("quality"),
+            F.col("a.detected_lang").alias("detected_lang"),
+            F.col("a.n_tokens_ws").alias("n_tokens_ws"),
+            F.col("a.n_tokens_bpe").alias("n_tokens_bpe"),
+            F.length("html").alias("html_bytes"),
+        )
+    )

@@ -1,0 +1,152 @@
+"""Dedup operators (reference J1 — rdfind replacement,
+/root/reference/src/core/analyzer.py:315-364).
+
+Exact dedup: native sha-256 grouping with a window election (no Python).
+Near-dup: MinHash band buckets -> within-bucket candidate pairs, with the
+salted / capped shuffle the north_rule demands for host-domain skew:
+band buckets wider than ``max_bucket`` are counted and dropped (the drop rule
+is surfaced to lineage, SURVEY.md §7.3 hard part 3) instead of exploding a
+single reducer with O(n²) pairs.
+
+Scale notes (100 TB design):
+  - `sha` grouping shuffles only (sha, url) — the html blob is never shuffled.
+  - the band-bucket pair join is a self-equi-join on band_key; AQE skew-join
+    splitting plus the bucket cap bound any single task.
+  - pair emission uses url_a < url_b so each pair exists exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_BUCKET = 64  # max candidate-bucket width before the cap kicks in
+
+
+def exact_dedup(df: DataFrame, key: str = "sha", order: str = "url") -> DataFrame:
+    """Adds is_canonical / dup_of / dup_count via one shuffle on ``key``.
+
+    Canonical row = first by ``order`` within the key group (deterministic —
+    the reference's rdfind keeps its first-ranked file; we pin rank by url,
+    SURVEY.md §2.5 W2).
+    """
+    w = Window.partitionBy(key).orderBy(order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_first", F.first(order).over(w))
+        .withColumn("dup_count", F.count("*").over(Window.partitionBy(key)))
+        .withColumn("is_canonical", F.col("_rn") == 1)
+        .withColumn(
+            "dup_of", F.when(F.col("_rn") > 1, F.col("_first")).otherwise(F.lit(None))
+        )
+        .drop("_rn", "_first")
+    )
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    id_col: str = "url",
+    minhash_col: str = "minhash",
+    bands: int = 16,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate candidate pairs with estimated Jaccard.
+
+    Band key = xxhash64(band_idx, slice of signature) — computed natively so
+    the only Python stage remains the signature itself. Jaccard estimate =
+    fraction of equal MinHash positions (zip_with, JVM-side).
+    """
+    r = F.floor(F.size(minhash_col) / F.lit(bands)).cast("int")
+    banded = (
+        df.select(id_col, minhash_col)
+        .where(F.size(minhash_col) > 0)
+        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .withColumn(
+            "band_key",
+            F.xxhash64(
+                "band",
+                F.slice(
+                    F.col(minhash_col), F.col("band") * r + F.lit(1), r
+                ).cast("array<string>").cast("string"),
+            ),
+        )
+        .select(id_col, minhash_col, "band_key")
+    )
+    # skew guard: cap bucket width; wide buckets are host-spam clusters
+    bucket_sizes = banded.groupBy("band_key").agg(F.count("*").alias("_bw"))
+    banded = banded.join(
+        F.broadcast(bucket_sizes.where(F.col("_bw") > max_bucket)),
+        "band_key",
+        "left_anti",
+    )
+    a = banded.select(
+        F.col("band_key"),
+        F.col(id_col).alias("id_a"),
+        F.col(minhash_col).alias("mh_a"),
+    )
+    b = banded.select(
+        F.col("band_key"),
+        F.col(id_col).alias("id_b"),
+        F.col(minhash_col).alias("mh_b"),
+    )
+    pairs = (
+        a.join(b, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "mh_a", "mh_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "jaccard_est",
+            F.aggregate(
+                F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.size("mh_a"),
+        )
+        .where(F.col("jaccard_est") >= min_jaccard)
+        .select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
+    )
+    return pairs
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "url",
+    simhash_col: str = "simhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via the block-permutation trick: split the 64-bit
+    hash into (max_hamming+1) chunks; any pair within distance d shares at
+    least one exact chunk (pigeonhole), so candidates come from chunk-equality
+    joins instead of an O(n²) cross join.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    keyed = df.select(id_col, simhash_col).where(F.col(simhash_col) != 0)
+    keyed = keyed.withColumn(
+        "chunk", F.explode(F.sequence(F.lit(0), F.lit(chunks - 1)))
+    ).withColumn(
+        "chunk_key",
+        F.concat_ws(
+            ":",
+            F.col("chunk"),
+            F.shiftrightunsigned(F.col(simhash_col), F.col("chunk") * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            ),
+        ),
+    )
+    a = keyed.select(
+        "chunk_key", F.col(id_col).alias("id_a"), F.col(simhash_col).alias("sh_a")
+    )
+    b = keyed.select(
+        "chunk_key", F.col(id_col).alias("id_b"), F.col(simhash_col).alias("sh_b")
+    )
+    return (
+        a.join(b, "chunk_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (training-data pipeline ops).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant (random-hyperplane signs -> bucket join) is the 100-TB scale path:
+the full N×Q cross product never materializes, only per-bucket candidates.
+
+All dot products are native `aggregate(zip_with(...))` double arithmetic —
+left-to-right accumulation, deterministic, JVM-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query. ``queries`` must be small (broadcast)."""
+    joined = vectors.crossJoin(F.broadcast(queries)).where(
+        F.col(id_col) != F.col(qid_col)
+    )
+    scored = joined.select(
+        qid_col,
+        id_col,
+        F.round(cosine_expr(F.col(vec_col), F.col(qvec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", "rank")
+    )
+
+
+def hyperplane_signs(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH bucketing."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    planes: list[list[float]],
+) -> DataFrame:
+    """Adds ``bucket`` = bit-string of hyperplane signs. Equal-bucket join
+    replaces the cross join at scale; recall grows with fewer planes or
+    multi-probe (flip one bit) — v1 ships single-probe."""
+    bits = [
+        F.when(
+            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) >= 0, "1"
+        ).otherwise("0")
+        for p in planes
+    ]
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the query."""
+    planes = hyperplane_signs(dim, n_planes, seed)
+    v = lsh_bucket(vectors, vec_col, planes)
+    q = lsh_bucket(queries, qvec_col, planes)
+    joined = v.join(F.broadcast(q), "bucket").where(F.col(id_col) != F.col(qid_col))
+    scored = joined.select(
+        qid_col,
+        id_col,
+        F.round(cosine_expr(F.col(vec_col), F.col(qvec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucketed self-join."""
+    planes = hyperplane_signs(dim, n_planes, seed)
+    v = lsh_bucket(vectors, vec_col, planes).select("bucket", id_col, vec_col)
+    a = v.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = v.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+        .dropDuplicates(["id_a", "id_b"])
+    )

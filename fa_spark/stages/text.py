@@ -1,0 +1,126 @@
+"""Text analytics for training-data pipelines — all native expressions.
+
+Language-ID, quality scoring, token counting: these are hot-path operators at
+100 TB, so they are pure Catalyst expressions (WholeStageCodegen, no Arrow
+transfer, no Python). The pandas-UDF variants in stages/analyze.py exist for
+the byte-identical pages pipeline; THESE are the scale path over `text`
+columns that are already extracted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fa_spark import pure
+from fa_spark.stages.tags import tokens_expr
+
+# fixed-order language table => deterministic ties (pure.detect_lang parity)
+LANGS = ("en", "de", "fr")
+
+
+def stopword_hits(tokens: Column, lang: str) -> Column:
+    stops = F.array(*[F.lit(w) for w in sorted(pure.STOPWORDS[lang])])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(stops, t)))
+
+
+def detect_lang_expr(text_col: str) -> Column:
+    """Stopword-ratio language id over a 400-token sample; 'und' below 5%.
+
+    Same decision rule as pure.detect_lang: strictly-greater comparison in
+    fixed (en, de, fr) order.
+    """
+    toks = F.slice(tokens_expr(text_col), 1, 400)
+    hits = {lang: stopword_hits(toks, lang) for lang in LANGS}
+    n = F.size(toks)
+    best = F.greatest(*[hits[lang] for lang in LANGS])
+    pick = F.when(F.lit(False), F.lit("und"))
+    for lang in LANGS:  # first max in fixed order wins (ties -> earlier lang)
+        pick = pick.when(hits[lang] == best, F.lit(lang))
+    return F.when(
+        (n == 0) | (best * 20 < n), F.lit("und")
+    ).otherwise(pick)
+
+
+def quality_exprs(text_col: str) -> list[Column]:
+    """Quality-feature columns (aliased; shared names with the SQL oracle)."""
+    toks = tokens_expr(text_col)
+    n = F.length(text_col)
+    words = F.size(toks)
+    alpha = F.length(F.regexp_replace(text_col, "[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(text_col, "[^0-9]", ""))
+    return [
+        n.alias("n_chars"),
+        words.alias("n_words"),
+        F.round(F.size(F.array_distinct(toks)) / words, 6).alias("uniq_ratio"),
+        F.round(alpha / n, 6).alias("alpha_ratio"),
+        F.round(digits / n, 6).alias("digit_ratio"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            )
+            / words,
+            6,
+        ).alias("mean_word_len"),
+    ]
+
+
+def token_count_exprs(text_col: str) -> list[Column]:
+    """(n_tokens_ws, n_tokens_bpe) as native regexp counts."""
+    ws = F.size(F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)"))
+    bpe = F.size(
+        F.expr(f"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]', 0)")
+    )
+    return [ws.alias("n_tokens_ws"), bpe.alias("n_tokens_bpe")]
+
+
+def ngram_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, grams array<string> distinct) — word n-gram shingle sets, natively:
+    transform over token indexes, concat_ws the window."""
+    toks = tokens_expr(text_col)
+    df = df.select(F.col(id_col), toks.alias("_toks"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+    )
+    return df.select(id_col, F.array_distinct(grams).alias("grams"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.
+
+    Candidate generation by shared-shingle equi-join (never a cross join);
+    at 100-TB scale the exploded grams relation is the shuffle driver, so
+    grams are distinct per doc and the join key is the gram string itself.
+    """
+    sets = ngram_sets(df, id_col, text_col, n).where(F.size("grams") > 0)
+    ex = sets.select(F.col(id_col), F.explode("grams").alias("gram"))
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), "gram")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sets.select(F.col(id_col), F.size("grams").alias("sz"))
+    return (
+        cand.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
