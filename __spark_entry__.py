@@ -1,38 +1,71 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship: synthesize CC-style pages from sf0.001 documents,
+                  run the full fused analysis pipeline (sniff → extract →
+                  dedup → tags → slug), return the analysis DataFrame.
+queries()       — one entry per implemented operator family (SURVEY.md §2),
+                  from fa_spark.queries.REGISTRY.
+oracle_sql()    — matching DuckDB SQL; ops without a SQL form (MinHash /
+                  SimHash / LSH) are rows-only by design.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from fa_spark.pipeline import JobConfig, analyze_pages
+    from fa_spark.queries import _synth_pages
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    pages = _synth_pages(spark, SF0001).select(
+        F.concat(F.lit("https://docs.example/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+    ).join(
+        docs.select(
+            F.concat(
+                F.lit("https://docs.example/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            F.col("lang"),
+        ),
+        "url",
+    ).withColumn("text", F.lit(""))
+    out = analyze_pages(pages, JobConfig(run_id="entry-smoke"))
+    return out.select(
+        "url",
+        F.col("extract.text").alias("ext_text"),
+        F.col("extract.doc_type").alias("doc_type"),
+        F.col("extract.status").alias("status"),
+        "sha",
+        "is_canonical",
+        "detected_lang",
+        "n_tokens_ws",
+        "tags",
+        "slug",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from fa_spark.queries import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fa_spark.queries import oracle_sql as _o
+
+    return _o()

@@ -1,0 +1,733 @@
+"""Query registry: every implemented operator (SURVEY.md §2) as a
+(spark_callable, oracle_sql) pair for the driver's DuckDB correctness gate.
+
+Alignment rules (driver compares row-count + schema + order-insensitive
+value hash):
+  - every computed column aliased identically on both sides
+  - every float rounded (2 for money, 6 for ratios) on both sides
+  - deterministic tie-breaks on every window/top-k
+  - DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all
+
+Queries without SQL oracles (minhash/simhash/LSH — not SQL-expressible)
+return deterministic DataFrames; the driver records rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fa_spark import pure
+from fa_spark.stages import similarity
+from fa_spark.stages.analyze import minhash_udf, page_analysis, simhash_udf
+from fa_spark.stages.dedup import exact_dedup, minhash_band_pairs, simhash_near_dups
+from fa_spark.stages.tags import GENERIC_TAGS, filename_udf, tokens_expr, top_tags
+from fa_spark.stages.text import detect_lang_expr, jaccard_pairs
+
+TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+GENERIC_SQL = "[" + ", ".join(f"'{g}'" for g in GENERIC_TAGS) + "]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational harness (proves the oracle plumbing; SURVEY.md §2.4 note)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "revenue")
+    )
+
+
+SQL_SHIPPING = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_nation_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: aggs, windows, sessionization, JSON props
+# ---------------------------------------------------------------------------
+
+def q_events_type_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_EVENTS_TYPE_STATS = """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_user_top(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("user_id", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+SQL_EVENTS_USER_TOP = """
+SELECT user_id, event_id, ROUND(value, 2) AS value FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events) WHERE rnk = 1
+"""
+
+SESSION_GAP_S = 300
+
+
+def q_events_sessions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # events ts is NTZ
+    gap = us - F.lag(us).over(w)
+    return (
+        ev.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > SESSION_GAP_S * 1_000_000), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONS = f"""
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                   OR (epoch_us(ts) - epoch_us(prev_ts)) > {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM (SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events)) GROUP BY user_id
+"""
+
+_PROPS_K_RE = r'"k":\s*(\d+)'
+
+
+def q_events_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", _PROPS_K_RE, 1).cast("long")
+    return (
+        ev.withColumn("k_bucket", F.pmod(k, F.lit(10)))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+SQL_EVENTS_PROPS = f"""
+SELECT CAST(regexp_extract(props, '{_PROPS_K_RE}', 1) AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: tag ranking, search, scan, dedup, quality, lang, tokens
+# (the web-text operator family, SURVEY.md §2.2/§2.3)
+# ---------------------------------------------------------------------------
+
+def q_doc_top_tags(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return top_tags(docs, "doc_id", "text", 10).withColumnRenamed("rank", "rnk")
+
+
+SQL_DOC_TOP_TAGS = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({TOKEN_SQL}) AS tag FROM documents WHERE doc_id < 50),
+counts AS (
+  SELECT doc_id, tag, COUNT(*) AS cnt FROM toks
+  WHERE LENGTH(tag) > 2 AND NOT list_contains({GENERIC_SQL}, tag)
+  GROUP BY doc_id, tag),
+ranked AS (
+  SELECT doc_id, tag, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tag ASC) AS rnk
+  FROM counts)
+SELECT doc_id, tag, cnt, rnk FROM ranked WHERE rnk <= 10
+"""
+
+
+def q_global_terms(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    generic = F.array(*[F.lit(g) for g in GENERIC_TAGS])
+    counts = (
+        docs.select(F.explode(tokens_expr("text")).alias("tag"))
+        .where((F.length("tag") > 2) & ~F.array_contains(generic, F.col("tag")))
+        .groupBy("tag")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tag"))
+    return counts.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 100)
+
+
+SQL_GLOBAL_TERMS = f"""
+WITH toks AS (SELECT UNNEST({TOKEN_SQL}) AS tag FROM documents),
+counts AS (
+  SELECT tag, COUNT(*) AS cnt FROM toks
+  WHERE LENGTH(tag) > 2 AND NOT list_contains({GENERIC_SQL}, tag)
+  GROUP BY tag),
+ranked AS (
+  SELECT tag, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tag ASC) AS rnk FROM counts)
+SELECT tag, cnt, rnk FROM ranked WHERE rnk <= 100
+"""
+
+SEARCH_PATTERN = "spark"
+
+
+def q_doc_search(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(
+                F.expr(f"regexp_extract_all(text, '{SEARCH_PATTERN}', 0)")
+            ).alias("matches"),
+        )
+        .where(F.col("matches") > 0)
+    )
+
+
+SQL_DOC_SEARCH = f"""
+SELECT doc_id, LEN(regexp_extract_all(text, '{SEARCH_PATTERN}')) AS matches
+FROM documents WHERE LEN(regexp_extract_all(text, '{SEARCH_PATTERN}')) > 0
+"""
+
+SIG_PATTERNS = ("join .*skew", "hash .*table", "window .*order")
+
+
+def q_sig_scan_summary(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    flagged = None
+    for p in SIG_PATTERNS:
+        c = F.col("text").rlike(p)
+        flagged = c if flagged is None else (flagged | c)
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(flagged.cast("long")).alias("n_flagged"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+SQL_SIG_SCAN = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN regexp_matches(text, '{SIG_PATTERNS[0]}')
+                 OR regexp_matches(text, '{SIG_PATTERNS[1]}')
+                 OR regexp_matches(text, '{SIG_PATTERNS[2]}')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+"""
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    """Exact dedup by content hash, canonical election (J1/W2)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("grp")
+    )
+    w = Window.partitionBy("grp").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count("*").over(Window.partitionBy("grp")))
+        .select(
+            "doc_id",
+            "grp",
+            (F.col("rn") == 1).alias("is_canonical"),
+            "dup_count",
+        )
+    )
+
+
+SQL_DOC_EXACT_DEDUP = """
+SELECT doc_id, grp, (rn = 1) AS is_canonical, dup_count FROM (
+  SELECT doc_id, md5(text) AS grp,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count
+  FROM documents)
+"""
+
+
+def q_doc_prefix_dedup(spark, sf_dir):
+    """Fingerprint dedup: md5 of the first-10-token prefix as group key."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(tokens_expr("text"), 1, 10)))
+    w = Window.partitionBy("key").orderBy("doc_id")
+    return (
+        docs.select("doc_id", key.alias("key"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count("*").over(Window.partitionBy("key")))
+        .select("doc_id", "key", (F.col("rn") == 1).alias("is_canonical"), "dup_count")
+    )
+
+
+SQL_DOC_PREFIX_DEDUP = f"""
+SELECT doc_id, key, (rn = 1) AS is_canonical, dup_count FROM (
+  SELECT doc_id, md5(array_to_string({TOKEN_SQL}[1:10], ' ')) AS key,
+         ROW_NUMBER() OVER (PARTITION BY md5(array_to_string({TOKEN_SQL}[1:10], ' '))
+                            ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(array_to_string({TOKEN_SQL}[1:10], ' '))) AS dup_count
+  FROM documents)
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = tokens_expr("text")
+    n = F.length("text")
+    words = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars"),
+        words.alias("n_words"),
+        F.round(F.size(F.array_distinct(toks)) / words, 6).alias("uniq_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")) / n, 6
+        ).alias("alpha_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^0-9]", "")) / n, 6
+        ).alias("digit_ratio"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            / words,
+            6,
+        ).alias("mean_word_len"),
+    )
+
+
+SQL_DOC_QUALITY = f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       LEN({TOKEN_SQL}) AS n_words,
+       ROUND(LEN(list_distinct({TOKEN_SQL})) / LEN({TOKEN_SQL}), 6) AS uniq_ratio,
+       ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) / LENGTH(text), 6) AS alpha_ratio,
+       ROUND(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / LENGTH(text), 6) AS digit_ratio,
+       ROUND(list_sum(list_transform({TOKEN_SQL}, t -> LENGTH(t))) / LEN({TOKEN_SQL}), 6) AS mean_word_len
+FROM documents WHERE doc_id < 100
+"""
+
+
+def q_doc_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).alias("n_tokens_ws"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]', 0)")
+        ).alias("n_tokens_bpe"),
+    )
+
+
+SQL_DOC_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '\S+')) AS n_tokens_ws,
+       LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens_bpe
+FROM documents
+"""
+
+
+def q_doc_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_lang_expr("text").alias("detected_lang"))
+
+
+def _lang_sql() -> str:
+    def arr(lang):
+        return "[" + ", ".join(f"'{w}'" for w in sorted(pure.STOPWORDS[lang])) + "]"
+
+    return f"""
+WITH t AS (SELECT doc_id, ({TOKEN_SQL})[1:400] AS toks FROM documents),
+h AS (SELECT doc_id, LEN(toks) AS n,
+             LEN(list_filter(toks, x -> list_contains({arr('en')}, x))) AS he,
+             LEN(list_filter(toks, x -> list_contains({arr('de')}, x))) AS hd,
+             LEN(list_filter(toks, x -> list_contains({arr('fr')}, x))) AS hf
+      FROM t)
+SELECT doc_id,
+       CASE WHEN n = 0 OR GREATEST(he, hd, hf) * 20 < n THEN 'und'
+            WHEN he = GREATEST(he, hd, hf) THEN 'en'
+            WHEN hd = GREATEST(he, hd, hf) THEN 'de'
+            ELSE 'fr' END AS detected_lang
+FROM h
+"""
+
+
+def q_doc_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard pairs among first 200 docs (threshold low enough
+    to produce rows on random text; deterministic either way)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return jaccard_pairs(docs, "doc_id", "text", n=2, min_jaccard=0.12)
+
+
+SQL_DOC_JACCARD = f"""
+WITH g AS (
+  SELECT doc_id, list_distinct(
+    list_transform(range(1, GREATEST(LEN({TOKEN_SQL}) - 1, 0) + 1),
+                   i -> array_to_string(({TOKEN_SQL})[i:i+1], ' '))) AS grams
+  FROM documents WHERE doc_id < 200),
+ex AS (SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE LEN(grams) > 0),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, LEN(grams) AS sz FROM g)
+SELECT id_a, id_b,
+       ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM cand JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.12
+"""
+
+
+# ---------------------------------------------------------------------------
+# extraction over synthesized pages — SQL-checked end-to-end (M6 analogue)
+# ---------------------------------------------------------------------------
+
+def _synth_pages(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><main><h1>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p></main></body></html>"),
+    )
+    return docs.select("doc_id", F.encode(html, "utf-8").alias("html"))
+
+
+def q_extract_synth(spark, sf_dir):
+    """Full DOM-extraction UDF over pages synthesized from `documents`;
+    the oracle computes the expected extraction analytically in SQL — a
+    value-level check on the extractor's block-classification contract."""
+    pages = _synth_pages(spark, sf_dir)
+    return pages.withColumn("a", page_analysis("html")).select(
+        "doc_id",
+        F.col("a.extract.text").alias("ext_text"),
+        F.col("a.extract.doc_type").alias("doc_type"),
+        F.col("a.extract.status").alias("status"),
+        F.col("a.extract.title").alias("title"),
+    )
+
+
+SQL_EXTRACT_SYNTH = r"""
+WITH t AS (
+  SELECT doc_id, TRIM(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+  FROM documents),
+w AS (SELECT doc_id, norm,
+             LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1 AS nw FROM t)
+SELECT doc_id,
+       CASE WHEN nw >= 8 THEN 'doc ' || doc_id || chr(10) || chr(10) || norm
+            ELSE 'doc ' || doc_id END AS ext_text,
+       CASE WHEN nw >= 8 THEN 'article' ELSE 'boilerplate' END AS doc_type,
+       'success' AS status,
+       'doc ' || doc_id AS title
+FROM w
+"""
+
+
+def q_filename_cascade(spark, sf_dir):
+    """M10 filename cascade, value-checked: 'An icon of a <tok>' must
+    slugify to 'icon-<tok>' (render.py:119-125 semantics)."""
+    docs = _t(spark, sf_dir, "documents")
+    desc = F.concat(F.lit("An icon of a "), F.element_at(tokens_expr("text"), 1))
+    return docs.select("doc_id", filename_udf(desc).alias("fname"))
+
+
+SQL_FILENAME_CASCADE = f"""
+SELECT doc_id, 'icon-' || ({TOKEN_SQL})[1] AS fname FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.brute_force_topk(emb, queries, k=5).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, e.vec_id,
+    list_sum(list_transform(range(1, LEN(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+    / (SQRT(list_sum(list_transform(range(1, LEN(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+     * SQRT(list_sum(list_transform(range(1, LEN(q.qvec) + 1),
+             i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+r AS (SELECT query_id, vec_id, ROUND(cos, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM s)
+SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 5
+"""
+
+
+def q_embedding_label_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.avg(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            "embedding",
+                            "embedding",
+                            lambda x, y: x.cast("double") * y.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda a, v: a + v,
+                    )
+                )
+            ),
+            6,
+        ).alias("avg_norm"),
+    )
+
+
+SQL_EMBEDDING_LABEL_STATS = """
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(SQRT(list_sum(list_transform(range(1, LEN(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))), 6) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# fingerprint near-dup (MinHash / SimHash / LSH) — rows-only (not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def _docs_with_mutants(spark, sf_dir):
+    """documents ∪ mutated copies (id+100000, one sentence appended) so the
+    near-dup operators provably find the planted pairs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended marker sentence")).alias("text"),
+    )
+    return docs.unionByName(mutants)
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    df = _docs_with_mutants(spark, sf_dir).withColumn(
+        "minhash", minhash_udf("text")
+    )
+    return minhash_band_pairs(
+        df, id_col="doc_id", bands=16, min_jaccard=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    df = _docs_with_mutants(spark, sf_dir).withColumn("simhash", simhash_udf("text"))
+    return simhash_near_dups(df, id_col="doc_id", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.lsh_topk(emb, queries, k=5, n_planes=4).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing — SQL-checked envelope (feature vector excluded)
+# ---------------------------------------------------------------------------
+
+_PNG_PREFIX = (
+    b"\x89PNG\r\n\x1a\n"
+    + b"\x00\x00\x00\x0dIHDR"
+    + (16).to_bytes(4, "big")
+    + (16).to_bytes(4, "big")
+    + b"\x08\x02\x00\x00\x00"
+    + b"\x00\x00\x00\x00"  # fake crc
+)
+_PNG_PREFIX_LEN = len(_PNG_PREFIX)
+
+
+def q_media_plumbing(spark, sf_dir):
+    """Multimodal stage envelope over synthesized PNG blobs (decode kernel is
+    a documented stub; schema/batching/partitioning are real)."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(_PNG_PREFIX), F.encode("text", "utf-8")).alias("content"),
+    )
+    feats = extract_media_features(media, mode="document")
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "content_type",
+        "n_bytes",
+        "width",
+        "height",
+        "target_res",
+        "decode_status",
+    )
+
+
+SQL_MEDIA_PLUMBING = f"""
+SELECT doc_id AS media_id, 'png' AS content_type,
+       {_PNG_PREFIX_LEN} + LENGTH(text) AS n_bytes,
+       16 AS width, 16 AS height, 768 AS target_res,
+       'stubbed' AS decode_status
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    # name: (spark_fn, oracle_sql_or_None)
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "events_type_stats": (q_events_type_stats, SQL_EVENTS_TYPE_STATS),
+    "events_user_top": (q_events_user_top, SQL_EVENTS_USER_TOP),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "events_props": (q_events_props, SQL_EVENTS_PROPS),
+    "doc_top_tags": (q_doc_top_tags, SQL_DOC_TOP_TAGS),
+    "global_terms": (q_global_terms, SQL_GLOBAL_TERMS),
+    "doc_search": (q_doc_search, SQL_DOC_SEARCH),
+    "sig_scan_summary": (q_sig_scan_summary, SQL_SIG_SCAN),
+    "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
+    "doc_prefix_dedup": (q_doc_prefix_dedup, SQL_DOC_PREFIX_DEDUP),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
+    "doc_lang": (q_doc_lang, _lang_sql()),
+    "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD),
+    "extract_synth": (q_extract_synth, SQL_EXTRACT_SYNTH),
+    "filename_cascade": (q_filename_cascade, SQL_FILENAME_CASCADE),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
+    "minhash_near_dups": (q_minhash_near_dups, None),
+    "simhash_near_dups": (q_simhash_near_dups, None),
+    "lsh_topk": (q_lsh_topk, None),
+    "media_plumbing": (q_media_plumbing, SQL_MEDIA_PLUMBING),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -101,6 +101,27 @@ def analyze_batch(html: pd.Series) -> pd.DataFrame:
 page_analysis = F.pandas_udf(analyze_batch, ANALYSIS_STRUCT)
 
 
+def _minhash_batch(text: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            [_to_i64(h) for h in pure.minhash_signature(t)] if t else []
+            for t in text
+        ]
+    )
+
+
+def _simhash_batch(text: pd.Series) -> pd.Series:
+    return pd.Series([_to_i64(pure.simhash64(t)) if t else 0 for t in text])
+
+
+# standalone fingerprint UDFs for text that is already extracted
+# (DataType objects, not DDL strings — string parsing needs a live session)
+from pyspark.sql.types import ArrayType, LongType  # noqa: E402
+
+minhash_udf = F.pandas_udf(_minhash_batch, ArrayType(LongType()))
+simhash_udf = F.pandas_udf(_simhash_batch, LongType())
+
+
 def with_analysis(pages_df):
     """pages(url, warc_ts, html, ...) -> flat analysis DataFrame.
 

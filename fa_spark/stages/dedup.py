@@ -131,7 +131,8 @@ def simhash_near_dups(
         F.concat_ws(
             ":",
             F.col("chunk"),
-            F.shiftrightunsigned(F.col(simhash_col), F.col("chunk") * width).bitwiseAND(
+            # shiftrightunsigned only takes a literal shift — use expr form
+            F.expr(f"shiftrightunsigned({simhash_col}, chunk * {width})").bitwiseAND(
                 F.lit((1 << width) - 1)
             ),
         ),

@@ -69,8 +69,7 @@ def lsh_bucket(
     planes: list[list[float]],
 ) -> DataFrame:
     """Adds ``bucket`` = bit-string of hyperplane signs. Equal-bucket join
-    replaces the cross join at scale; recall grows with fewer planes or
-    multi-probe (flip one bit) — v1 ships single-probe."""
+    replaces the cross join at scale."""
     bits = [
         F.when(
             _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) >= 0, "1"
@@ -78,6 +77,22 @@ def lsh_bucket(
         for p in planes
     ]
     return df.withColumn("bucket", F.concat(*bits))
+
+
+def multiprobe_buckets(bucket_col, n_planes: int):
+    """bucket -> array of probe buckets: the bucket itself plus every
+    1-bit flip (standard multi-probe LSH; boosts recall without widening
+    the join beyond (n_planes+1)× the query side)."""
+    probes = [F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col]
+    base = probes[0]
+    for i in range(1, n_planes + 1):
+        flipped = F.concat(
+            F.substring(base, 1, i - 1),
+            F.when(F.substring(base, i, 1) == "1", "0").otherwise("1"),
+            F.substring(base, i + 1, n_planes - i),
+        )
+        probes.append(flipped)
+    return F.array(*probes)
 
 
 def lsh_topk(
@@ -92,10 +107,14 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share an LSH bucket with the query."""
+    """Approximate top-k: candidates share an LSH bucket with the query
+    (multi-probe: query side probes its bucket plus all 1-bit flips)."""
     planes = hyperplane_signs(dim, n_planes, seed)
     v = lsh_bucket(vectors, vec_col, planes)
-    q = lsh_bucket(queries, qvec_col, planes)
+    q = (
+        lsh_bucket(queries, qvec_col, planes)
+        .withColumn("bucket", F.explode(multiprobe_buckets("bucket", n_planes)))
+    )
     joined = v.join(F.broadcast(q), "bucket").where(F.col(id_col) != F.col(qid_col))
     scored = joined.select(
         qid_col,

@@ -78,7 +78,9 @@ def ngram_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFra
     """(id, grams array<string> distinct) — word n-gram shingle sets, natively:
     transform over token indexes, concat_ws the window."""
     toks = tokens_expr(text_col)
-    df = df.select(F.col(id_col), toks.alias("_toks"))
+    df = df.select(F.col(id_col), toks.alias("_toks")).where(
+        F.size("_toks") >= n
+    )
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),

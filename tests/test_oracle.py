@@ -1,0 +1,142 @@
+"""Local replica of the driver's DuckDB correctness gate.
+
+For every (queries()[name], oracle_sql()[name]) pair: run the Spark query and
+the DuckDB SQL on the same sf0.001 parquet, compare row count, column names,
+and an order-insensitive value hash (values normalized: floats rounded to 9
+significant-ish decimals, rows sorted by their string form).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+
+from tests.conftest import SF0001
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}"
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append("|".join(_norm_cell(vals[i]) for i in order))
+    out.sort()
+    return out
+
+
+def _pairs():
+    from fa_spark.queries import REGISTRY
+
+    return [
+        (name, fn, sql) for name, (fn, sql) in REGISTRY.items() if sql is not None
+    ]
+
+
+@pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_oracle_match(spark, name, fn, sql):
+    sdf = fn(spark, SF0001)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(SF0001)
+    res = con.execute(sql)
+    d_cols = [c[0] for c in res.description]
+    d_rows = res.fetchall()
+    con.close()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column mismatch"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    sc = _canon(s_rows, s_cols)
+    dc = _canon(d_rows, d_cols)
+    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
+    assert not mismatches, f"{name}: first value mismatches {mismatches[:3]}"
+
+
+def test_rows_only_queries(spark):
+    """Queries without SQL oracles must still run and be deterministic."""
+    from fa_spark.queries import REGISTRY
+
+    for name, (fn, sql) in REGISTRY.items():
+        if sql is not None:
+            continue
+        df1 = fn(spark, SF0001)
+        rows1 = sorted(map(str, df1.collect()))
+        rows2 = sorted(map(str, fn(spark, SF0001).collect()))
+        assert rows1 == rows2, f"{name}: nondeterministic output"
+
+
+def test_minhash_finds_planted_pairs(spark):
+    from fa_spark.queries import q_minhash_near_dups
+
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in q_minhash_near_dups(spark, SF0001).collect()
+    }
+    # every mutant (id+100000) should pair with its source for most docs
+    hits = sum(1 for a, b in pairs if b == a + 100000)
+    assert hits >= 30, f"only {hits} planted near-dup pairs found"
+
+
+def test_simhash_finds_planted_pairs(spark):
+    from fa_spark.queries import q_simhash_near_dups
+
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in q_simhash_near_dups(spark, SF0001).collect()
+    }
+    hits = sum(1 for a, b in pairs if b == a + 100000)
+    assert hits >= 25, f"only {hits} planted simhash pairs found"
+
+
+def test_lsh_topk_recall(spark):
+    """LSH approximate top-k must recover most of the exact top-k."""
+    from fa_spark.queries import q_ann_topk, q_lsh_topk
+
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in q_ann_topk(spark, SF0001).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"]) for r in q_lsh_topk(spark, SF0001).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall {recall:.2f} too low"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"url", "ext_text", "doc_type", "status", "sha"} <= set(df.columns)
