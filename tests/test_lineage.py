@@ -1,0 +1,77 @@
+"""Resumability tests (SURVEY.md §5.2 item 4): run an increment, kill-like
+partial state, re-run — exactly-once output via the (url, sha) anti-join."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fa_spark import lineage
+
+TS1 = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+TS2 = dt.datetime(2025, 6, 2, tzinfo=dt.timezone.utc)
+
+
+@pytest.fixture()
+def base(tmp_path):
+    return str(tmp_path / "out")
+
+
+def test_resume_is_idempotent(spark, pages_df, base):
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang")
+    first = lineage.run_resumable(spark, pages, base, "run-1", TS1)
+    n_first = spark.read.parquet(os.path.join(base, "analysis")).count()
+    assert n_first == pages.count()
+
+    # second run over identical input: nothing to do, no new output rows
+    lineage.run_resumable(spark, pages, base, "run-2", TS2)
+    n_second = spark.read.parquet(os.path.join(base, "analysis")).count()
+    assert n_second == n_first
+
+    processed = lineage.read_processed(spark, base)
+    assert processed.count() == n_first  # no duplicate processed entries
+
+
+def test_resume_after_partial_failure(spark, pages_df, base):
+    """Simulate a crash after half the input committed: restart completes
+    exactly the remainder."""
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang")
+    half = pages.where(F.crc32("url") % 2 == 0)
+    lineage.run_resumable(spark, half, base, "run-1", TS1)
+    n_half = spark.read.parquet(os.path.join(base, "analysis")).count()
+    assert 0 < n_half < pages.count()
+
+    lineage.run_resumable(spark, pages, base, "run-2", TS2)
+    out = spark.read.parquet(os.path.join(base, "analysis"))
+    assert out.count() == pages.count()
+    # every url exactly once
+    assert out.groupBy("url").count().where("count > 1").count() == 0
+
+
+def test_changed_content_reprocessed(spark, pages_df, base):
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang").limit(50)
+    lineage.run_resumable(spark, pages, base, "run-1", TS1)
+    # same urls, mutated html => new sha => must be reprocessed
+    changed = pages.withColumn(
+        "html", F.concat(F.col("html"), F.lit(b"<!-- v2 -->"))
+    )
+    lineage.run_resumable(spark, changed, base, "run-2", TS2)
+    out = spark.read.parquet(os.path.join(base, "analysis"))
+    assert out.count() == 100  # both versions present (append semantics)
+    runs = {r["run_id"] for r in out.select("run_id").distinct().collect()}
+    assert runs == {"run-1", "run-2"}
+
+
+def test_partition_counters(spark, pages_df, base):
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang")
+    lineage.run_resumable(spark, pages, base, "run-1", TS1)
+    lin = lineage.read_lineage(spark, base)
+    rows = lin.collect()
+    assert sum(r["input_rows"] for r in rows) == pages.count()
+    assert all(r["attempt"] == 1 for r in rows)
+    assert all(r["committed_at"] is not None for r in rows)
+    # bucket ids within configured range
+    assert all(0 <= r["bucket"] < 64 for r in rows)

@@ -1,0 +1,310 @@
+"""Golden scalar-function tests — ports of the reference's pure-function test
+strategy (SURVEY.md §5.1) against fa_spark.pure. Expected values pinned by
+FIXTURES.md §3 (reference sources cited there)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fa_spark import pure
+
+
+# ---- tag cleaning (reference tests/test_filename_generation.py:24-89) ----
+
+def test_clean_tags_generics_and_short():
+    assert pure.clean_tags(["image", "photo", "shooting", "duck", "wizard", "sh"]) == [
+        "duck",
+        "wizard",
+    ]
+
+
+def test_clean_tags_case_dedup():
+    assert pure.clean_tags(["duck", "Duck", "DUCK", "wizard", "wizard"]) == [
+        "duck",
+        "wizard",
+    ]
+
+
+def test_clean_tags_frequency_then_alpha():
+    tags = ["rare", "common", "common", "common", "medium", "medium"]
+    assert pure.clean_tags(tags) == ["common", "medium", "rare"]
+
+
+def test_clean_tags_top10():
+    tags = [f"tag{i:02d}" for i in range(20)]
+    assert len(pure.clean_tags(tags)) == 10
+
+
+def test_clean_tags_empty():
+    assert pure.clean_tags([]) == []
+
+
+# ---- filename cascade (reference tests/test_filename_generation.py:95-160) ----
+
+@pytest.mark.parametrize(
+    "desc,expected",
+    [
+        ("The image shows the letter 'T' in red", "letter-t"),
+        ("The number 5 written in bold", "number-5"),
+        ("An icon of a star", "icon-star"),
+        ("A duck swimming in a pond", "duck"),
+        ("A cat and dog playing", "cat-dog"),
+        ("", "unknown-content"),
+        ("   ", "unknown-content"),
+        ("xyzzy plugh nothing here", "unknown-content"),
+    ],
+)
+def test_filename_cascade(desc, expected):
+    assert pure.generate_filename(desc) == expected
+
+
+def test_filename_proper_nouns():
+    assert pure.generate_filename("The Statue of Liberty in New York") in (
+        "statue-liberty-new",
+        "statue-liberty",
+    )
+
+
+def test_filename_unicode_and_long():
+    assert pure.generate_filename("Ünïcödé line ærø" * 20) == "unknown-content"
+    long_desc = "An icon of a " + "x" * 100
+    assert pure.generate_filename(long_desc) != ""
+
+
+def test_slugify():
+    assert pure.slugify("Hello,  World!") == "hello-world"
+    assert pure.slugify("--a---b--") == "a-b"
+
+
+# ---- JSON extraction (reference tests/test_json_utils.py:32-120) ----
+
+def test_json_whole_parse():
+    assert pure.extract_json_from_text('{"description": "a", "tags": ["b"]}') == {
+        "description": "a",
+        "tags": ["b"],
+    }
+
+
+def test_json_embedded_in_noise():
+    txt = 'Sure! Here is the JSON: {"description": "duck", "tags": ["bird"]} hope it helps'
+    obj = pure.extract_json_from_text(txt)
+    assert obj == {"description": "duck", "tags": ["bird"]}
+
+
+def test_json_prefers_expected_fields_over_largest():
+    txt = '{"noise": "xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"} {"description": "d", "tags": []}'
+    obj = pure.extract_json_from_text(txt, ("description", "tags"))
+    assert "description" in obj
+
+
+def test_json_single_quotes_repair():
+    txt = "{'description': 'a', 'tags': ['b']}"
+    obj = pure.extract_json_from_text(txt)
+    assert obj and obj["description"] == "a"
+
+
+def test_json_escaped_quotes():
+    txt = '{"description": "a \\"quoted\\" word", "tags": ["x"]}'
+    obj = pure.extract_json_from_text(txt)
+    assert obj["description"] == 'a "quoted" word'
+
+
+def test_json_nested():
+    txt = 'prefix {"a": {"b": {"c": 1}}, "description": "d", "tags": ["t"]} suffix'
+    obj = pure.extract_json_from_text(txt)
+    assert obj["a"]["b"]["c"] == 1
+
+
+def test_json_plain_text_refusal():
+    out = pure.process_model_output("I cannot analyze this image.")
+    assert out["metadata"]["json_parsing_failed"] is True
+    assert out["description"].startswith("I cannot")
+
+
+def test_json_truncated_repetitive():
+    # 512-token truncation analogue: repeated tags then cut mid-string
+    txt = '{"description": "a shark", "tags": ["shark", "shark", "shark", "sha'
+    out = pure.process_model_output(txt)
+    assert isinstance(out, dict)
+    assert "description" in out
+
+
+def test_validate_structure_modes():
+    assert pure.validate_json_structure({"text": "x", "document_type": "y"}, "document")
+    assert not pure.validate_json_structure({"text": "x"}, "document")
+    assert pure.validate_json_structure(
+        {"objects": [], "description": ""}, "detect"
+    )
+
+
+# ---- sniffing / decoding ----
+
+@pytest.mark.parametrize(
+    "data,expected",
+    [
+        (b"%PDF-1.4 stuff", "pdf"),
+        (b"\x89PNG\r\n\x1a\n" + b"\x00" * 8, "png"),
+        (b"GIF89a" + b"\x00" * 4, "gif"),
+        (b"PK\x03\x04zipdata", "zip"),
+        (b"\x1f\x8b\x08gz", "gzip"),
+        (b"<!DOCTYPE html><html></html>", "html"),
+        (b"<HTML><BODY>x</BODY></HTML>", "html"),
+        (b"", "empty"),
+        (b"\xff\xd8\xff\xe0jfif", "jpeg"),
+        (b"plain text no markup here", "text"),
+        (bytes(range(256)), "binary"),
+    ],
+)
+def test_sniff(data, expected):
+    assert pure.sniff_bytes(data)["content_type"] == expected
+
+
+def test_sniff_embedded_interesting():
+    data = b"<html><body>x</body></html>" + b"%PDF-1.4" + b"\x00" * 10
+    sn = pure.sniff_bytes(data)
+    assert sn["interesting"] and sn["embedded"][0][1] == "pdf"
+
+
+def test_decode_bom():
+    assert pure.decode_bytes("héllo".encode("utf-8-sig"))[1] == "utf-8-sig"
+
+
+def test_decode_declared_mismatch_falls_back():
+    data = ('<meta charset="utf-8"><p>café</p>').encode("latin-1")
+    text, cs = pure.decode_bytes(data)
+    assert cs == "latin-1" and "café" in text
+
+
+# ---- extraction ----
+
+def test_extract_simple_article():
+    html = (
+        b"<html><head><title>My Title</title></head><body>"
+        b"<nav><a href='/'>home</a><a href='/x'>about</a></nav>"
+        b"<main><h1>My Title</h1>"
+        b"<p>one two three four five six seven eight nine ten.</p></main>"
+        b"<footer>short footer text</footer></body></html>"
+    )
+    r = pure.extract_main_text(html)
+    assert r.status == "success"
+    assert r.text == "My Title\n\none two three four five six seven eight nine ten."
+    assert r.title == "My Title"
+    assert r.doc_type == "article"
+
+
+def test_extract_boilerplate_only():
+    html = b"<html><body><nav><a href='/'>a b c d e f g h i j</a></nav></body></html>"
+    r = pure.extract_main_text(html)
+    assert r.status in ("success_lenient", "empty")
+
+
+def test_extract_truncated_is_lenient():
+    html = b"<html><body><p>one two three four five six seven eight nine ten and th"
+    r = pure.extract_main_text(html)
+    assert r.status in ("success", "success_lenient")
+    assert "one two three" in r.text
+
+
+def test_extract_non_html_skipped():
+    r = pure.extract_main_text(b"%PDF-1.4 binary")
+    assert r.status == "skipped" and r.doc_type == "pdf" and r.text == ""
+
+
+def test_extract_empty():
+    assert pure.extract_main_text(b"").status == "skipped"
+    assert pure.extract_main_text(None).status == "skipped"
+
+
+def test_extract_deterministic():
+    html = b"<html><body><p>" + b"word " * 50 + b"</p></body></html>"
+    assert pure.extract_main_text(html).text == pure.extract_main_text(html).text
+
+
+# ---- metadata ----
+
+def test_png_metadata():
+    import struct as st
+    import zlib as zl
+
+    ihdr = st.pack(">IIBBBBB", 32, 16, 8, 2, 0, 0, 0)
+    chunk = st.pack(">I", len(ihdr)) + b"IHDR" + ihdr + st.pack(">I", zl.crc32(b"IHDR" + ihdr))
+    data = b"\x89PNG\r\n\x1a\n" + chunk
+    m = pure.extract_metadata(data)
+    assert m["png:width"] == "32" and m["png:height"] == "16"
+
+
+def test_pdf_metadata():
+    data = b"%PDF-1.7\n1 0 obj\n<< /Title (Test Doc) >>\n/Type /Page\n"
+    m = pure.extract_metadata(data)
+    assert m["pdf:version"] == "1.7"
+    assert m["pdf:title"] == "Test Doc"
+    assert m["pdf:pages"] == "1"
+
+
+def test_html_metadata():
+    data = b'<html><head><meta charset="utf-8"><meta name="author" content="Ann"><title>T5</title></head><body></body></html>'
+    m = pure.extract_metadata(data)
+    assert m["meta:author"] == "Ann"
+    assert m["title"] == "T5"
+
+
+# ---- scanning ----
+
+def test_scan_signatures():
+    compiled = pure.compile_signatures()
+    hits = pure.scan_text("x eval( base64_decode(zzz) y", compiled)
+    assert hits == ["eval_b64"]
+    assert pure.scan_text("clean text", compiled) == []
+
+
+def test_count_matches():
+    assert pure.count_matches("Spark spark SPARK", "spark") == 3
+    assert pure.count_matches("Spark spark", "spark", ignore_case=False) == 1
+
+
+# ---- fingerprints ----
+
+def test_minhash_similarity_ordering():
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    b = a + " extra tail sentence appended here"
+    c = "completely different content about databases and spark engines " * 10
+    sa, sb, sc = (pure.minhash_signature(t) for t in (a, b, c))
+    sim_ab = sum(x == y for x, y in zip(sa, sb)) / len(sa)
+    sim_ac = sum(x == y for x, y in zip(sa, sc)) / len(sa)
+    assert sim_ab > 0.5 > sim_ac
+
+
+def test_simhash_close_for_near_dup():
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    b = a + " one extra"
+    assert pure.hamming64(pure.simhash64(a), pure.simhash64(b)) <= 3
+    c = "unrelated words entirely about spark partitions " * 10
+    assert pure.hamming64(pure.simhash64(a), pure.simhash64(c)) > 10
+
+
+def test_fingerprint_deterministic():
+    t = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    assert pure.rolling_fingerprint(t) == pure.rolling_fingerprint(t)
+
+
+# ---- lang / quality ----
+
+def test_detect_lang():
+    assert pure.detect_lang("the cat and the dog are in the house with all of them") == "en"
+    assert pure.detect_lang("der hund und die katze sind in dem haus mit der maus") == "de"
+    assert pure.detect_lang("le chat et le chien sont dans la maison avec les autres") == "fr"
+    assert pure.detect_lang("zzz qqq xxx www") == "und"
+    assert pure.detect_lang("") == "und"
+
+
+def test_quality_score():
+    q = pure.quality_score("The cat sat. The cat sat again, happily!")
+    assert q["n_words"] == 8
+    assert 0 < q["alpha_ratio"] < 1
+    assert q["uniq_ratio"] < 1
+
+
+def test_token_count():
+    ws, bpe = pure.token_count("Hello, world! 123")
+    assert ws == 3
+    assert bpe == 7  # Hello , world ! 1 2 3
