@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from fa_spark.stages.analyze import with_analysis
 from fa_spark.stages.dedup import exact_dedup
-from fa_spark.stages.tags import slug_udf, tags_array
 
 DEFAULT_BUCKETS = 64
 
@@ -64,23 +63,17 @@ def bucket_col(url_col: str = "url", buckets: int = DEFAULT_BUCKETS):
 def analyze_pages(pages_df: DataFrame, cfg: JobConfig = JobConfig()) -> DataFrame:
     """Full per-page analysis + exact dedup + tags + slug.
 
-    Shuffle census (scale review): 1 shuffle for the sha dedup window,
-    1 for tag ranking (explode+groupBy), 1 broadcast-free join back on url.
+    Shuffle census (scale review): exactly ONE shuffle — the sha dedup
+    window. Tag ranking is a per-row top-k over the doc's own tokens, so it
+    is computed inside the fused Arrow stage (a groupBy+window+join version
+    doubled the Python stage and added two shuffles — measured 2× slower).
     The html blob dies at the UDF boundary — only derived columns shuffle.
     """
     analyzed = with_analysis(pages_df).withColumn(
         "bucket", bucket_col("url", cfg.buckets)
     )
     deduped = exact_dedup(analyzed, key="sha", order="url")
-    tag_src = deduped.select("url", F.col("extract.text").alias("_t"))
-    tags = tags_array(tag_src, "url", "_t", cfg.tag_k)
-    out = (
-        deduped.join(tags, "url", "left")
-        .withColumn("tags", F.coalesce("tags", F.array().cast("array<string>")))
-        .withColumn("slug", slug_udf(F.col("extract.title"), F.col("extract.text")))
-        .withColumn("run_id", F.lit(cfg.run_id))
-    )
-    return out
+    return deduped.withColumn("run_id", F.lit(cfg.run_id))
 
 
 def write_analysis(df: DataFrame, path: str, mode: str = "append") -> None:

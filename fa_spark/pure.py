@@ -837,15 +837,24 @@ def process_model_output(text: str, mode: str = "describe") -> dict:
 # 9. Hashing / dedup primitives (reference J1: rdfind replacement)
 # ---------------------------------------------------------------------------
 
-_MERSENNE_P = (1 << 61) - 1
-_MINHASH_A = tuple(
-    (0x9E3779B97F4A7C15 * (i + 1) ^ 0xBF58476D1CE4E5B9) % _MERSENNE_P or 1
-    for i in range(256)
+import numpy as _np
+
+# splitmix64-style mixers, one seed per MinHash dimension. Mixing in uint64
+# wraparound arithmetic is numpy-vectorizable (a mod-p universal hash needs
+# 128-bit intermediates Python-side — measured 20× slower per doc).
+_MINHASH_SEEDS = _np.array(
+    [(0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF for i in range(256)],
+    dtype=_np.uint64,
 )
-_MINHASH_B = tuple(
-    (0x94D049BB133111EB * (i + 1) ^ 0x2545F4914F6CDD1D) % _MERSENNE_P
-    for i in range(256)
-)
+_MIX1 = _np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = _np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: "_np.ndarray") -> "_np.ndarray":
+    """splitmix64 finalizer (vectorized, wraparound uint64)."""
+    x = (x ^ (x >> _np.uint64(30))) * _MIX1
+    x = (x ^ (x >> _np.uint64(27))) * _MIX2
+    return x ^ (x >> _np.uint64(31))
 
 
 def shingles(text: str, k: int = 5) -> list[int]:
@@ -871,15 +880,16 @@ def _stable64(s: str) -> int:
 
 
 def minhash_signature(text: str, num_hashes: int = 64, k: int = 5) -> list[int]:
-    """MinHash over k-shingles with fixed universal-hash coefficients."""
+    """MinHash over k-shingles: dimension i = min over shingles of
+    splitmix64(shingle_id ^ seed_i). Fully numpy-vectorized, deterministic."""
     sh = shingles(text, k)
     if not sh:
         return [0] * num_hashes
-    sig = []
-    for i in range(num_hashes):
-        a, b = _MINHASH_A[i], _MINHASH_B[i]
-        sig.append(min((a * x + b) % _MERSENNE_P for x in sh))
-    return sig
+    x = _np.array(sh, dtype=_np.uint64)
+    with _np.errstate(over="ignore"):
+        # (num_hashes, n_shingles) broadcast: one vectorized pass
+        m = _mix64(x[None, :] ^ _MINHASH_SEEDS[:num_hashes, None])
+    return [int(v) for v in m.min(axis=1)]
 
 
 def minhash_bands(sig: list[int], bands: int = 16) -> list[int]:
@@ -893,15 +903,14 @@ def minhash_bands(sig: list[int], bands: int = 16) -> list[int]:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over tokens weighted by frequency."""
+    """64-bit SimHash over tokens weighted by frequency (numpy-vectorized)."""
     counts = Counter(tokenize(text))
     if not counts:
         return 0
-    v = [0] * 64
-    for tok, w in counts.items():
-        h = _stable64(tok)
-        for bit in range(64):
-            v[bit] += w if (h >> bit) & 1 else -w
+    hashes = _np.array([_stable64(t) for t in counts], dtype=_np.uint64)
+    weights = _np.array(list(counts.values()), dtype=_np.int64)
+    bits = (hashes[:, None] >> _np.arange(64, dtype=_np.uint64)) & _np.uint64(1)
+    v = ((bits.astype(_np.int64) * 2 - 1) * weights[:, None]).sum(axis=0)
     out = 0
     for bit in range(64):
         if v[bit] > 0:
@@ -965,15 +974,20 @@ def detect_lang(text: str) -> str:
     return best_lang
 
 
+_ALPHA_RE = re.compile(r"[^\W\d_]")
+_DIGIT_RE = re.compile(r"\d")
+_PUNCT_RE = re.compile(r"[.,;:!?\"'()\[\]{}]")
+
+
 def quality_score(text: str) -> dict:
     """Deterministic quality features for training-data filtering."""
     n = len(text)
     toks = tokenize(text)
     words = len(toks)
     uniq = len(set(toks))
-    alpha = sum(1 for c in text if c.isalpha())
-    digits = sum(1 for c in text if c.isdigit())
-    punct = sum(1 for c in text if c in ".,;:!?\"'()[]{}")
+    alpha = len(_ALPHA_RE.findall(text))
+    digits = len(_DIGIT_RE.findall(text))
+    punct = len(_PUNCT_RE.findall(text))
     stop_hits = sum(1 for t in toks if t in STOPWORDS["en"])
     mean_wl = (sum(len(t) for t in toks) / words) if words else 0.0
     return {

@@ -82,6 +82,8 @@ ANALYSIS = T.StructType(
         T.StructField("detected_lang", T.StringType()),
         T.StructField("n_tokens_ws", T.LongType()),
         T.StructField("n_tokens_bpe", T.LongType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("slug", T.StringType()),
         T.StructField("html_bytes", T.LongType()),
     ]
 )

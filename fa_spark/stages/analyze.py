@@ -23,7 +23,7 @@ _COMPILED_SIGS = pure.compile_signatures()
 
 _ANALYSIS_FIELDS = [
     "sniff", "meta", "extract", "sigs", "simhash", "minhash", "quality",
-    "detected_lang", "n_tokens_ws", "n_tokens_bpe",
+    "detected_lang", "n_tokens_ws", "n_tokens_bpe", "tags", "slug",
 ]
 
 ANALYSIS_STRUCT = StructType(
@@ -38,6 +38,8 @@ ANALYSIS_STRUCT = StructType(
         S.ANALYSIS["detected_lang"],
         S.ANALYSIS["n_tokens_ws"],
         S.ANALYSIS["n_tokens_bpe"],
+        S.ANALYSIS["tags"],
+        S.ANALYSIS["slug"],
     ]
 )
 
@@ -95,6 +97,10 @@ def analyze_batch(html: pd.Series) -> pd.DataFrame:
         ws, bpe = pure.token_count(text)
         out["n_tokens_ws"].append(ws)
         out["n_tokens_bpe"].append(bpe)
+        # tag ranking (reference A1) is top-k of ONE doc's token counts —
+        # a per-row op, so it lives here, not behind a groupBy shuffle
+        out["tags"].append(pure.keywords(text))
+        out["slug"].append(pure.page_slug(ex.title, text))
     return pd.DataFrame(out)
 
 
@@ -147,6 +153,8 @@ def with_analysis(pages_df):
             F.col("a.detected_lang").alias("detected_lang"),
             F.col("a.n_tokens_ws").alias("n_tokens_ws"),
             F.col("a.n_tokens_bpe").alias("n_tokens_bpe"),
+            F.col("a.tags").alias("tags"),
+            F.col("a.slug").alias("slug"),
             F.length("html").alias("html_bytes"),
         )
     )

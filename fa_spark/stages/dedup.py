@@ -56,6 +56,12 @@ def minhash_band_pairs(
     Band key = xxhash64(band_idx, slice of signature) — computed natively so
     the only Python stage remains the signature itself. Jaccard estimate =
     fraction of equal MinHash positions (zip_with, JVM-side).
+
+    The banded relation is persisted before the self-join: without it the
+    signature UDF would re-execute once per join branch (a, b, and the
+    bucket-size guard) — a 4× Python-cost bug at 100-TB scale. In production
+    the signatures land in their own table first; persist() is the in-job
+    equivalent.
     """
     r = F.floor(F.size(minhash_col) / F.lit(bands)).cast("int")
     banded = (
@@ -72,7 +78,7 @@ def minhash_band_pairs(
             ),
         )
         .select(id_col, minhash_col, "band_key")
-    )
+    ).persist()
     # skew guard: cap bucket width; wide buckets are host-spam clusters
     bucket_sizes = banded.groupBy("band_key").agg(F.count("*").alias("_bw"))
     banded = banded.join(
@@ -123,7 +129,8 @@ def simhash_near_dups(
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    keyed = df.select(id_col, simhash_col).where(F.col(simhash_col) != 0)
+    # persist: the simhash UDF would otherwise recompute per join branch
+    keyed = df.select(id_col, simhash_col).where(F.col(simhash_col) != 0).persist()
     keyed = keyed.withColumn(
         "chunk", F.explode(F.sequence(F.lit(0), F.lit(chunks - 1)))
     ).withColumn(
