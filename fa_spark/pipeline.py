@@ -45,6 +45,8 @@ def default_session(
     return (
         SparkSession.builder.master(master)
         .appName(app)
+        # container disk is slow+noisy; shuffle/spill to tmpfs in local mode
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
