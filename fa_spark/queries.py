@@ -32,6 +32,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """The sf tables are single parquet files (1-3 splits) — a Python-UDF
+    stage downstream would run on 1-3 tasks. Spread to all cores. Only used
+    by UDF-bearing queries; pure-Catalyst queries keep the native scan."""
+    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(par, key)
+
+
 # ---------------------------------------------------------------------------
 # relational harness (proves the oracle plumbing; SURVEY.md §2.4 note)
 # ---------------------------------------------------------------------------
@@ -502,7 +510,7 @@ def q_extract_synth(spark, sf_dir):
     """Full DOM-extraction UDF over pages synthesized from `documents`;
     the oracle computes the expected extraction analytically in SQL — a
     value-level check on the extractor's block-classification contract."""
-    pages = _synth_pages(spark, sf_dir)
+    pages = _spread(_synth_pages(spark, sf_dir))
     return pages.withColumn("a", page_analysis("html")).select(
         "doc_id",
         F.col("a.extract.text").alias("ext_text"),
@@ -531,7 +539,7 @@ FROM w
 def q_filename_cascade(spark, sf_dir):
     """M10 filename cascade, value-checked: 'An icon of a <tok>' must
     slugify to 'icon-<tok>' (render.py:119-125 semantics)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     desc = F.concat(F.lit("An icon of a "), F.element_at(tokens_expr("text"), 1))
     return docs.select("doc_id", filename_udf(desc).alias("fname"))
 
@@ -616,7 +624,7 @@ def _docs_with_mutants(spark, sf_dir):
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" appended marker sentence")).alias("text"),
     )
-    return docs.unionByName(mutants)
+    return _spread(docs.unionByName(mutants))
 
 
 def q_minhash_near_dups(spark, sf_dir):
@@ -665,7 +673,7 @@ def q_media_plumbing(spark, sf_dir):
     a documented stub; schema/batching/partitioning are real)."""
     from fa_spark.stages.multimodal import extract_media_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.concat(F.lit(_PNG_PREFIX), F.encode("text", "utf-8")).alias("content"),
