@@ -311,6 +311,9 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
+DESCRIPTION_LEN = 200
+
+
 @dataclass
 class ExtractResult:
     text: str
@@ -318,6 +321,7 @@ class ExtractResult:
     status: str
     attempts: int
     title: str
+    description: str = ""
 
 
 _TAG_STRIP_RE = re.compile(r"<[^>]*>")
@@ -410,11 +414,24 @@ def extract_main_text(data: bytes | None) -> ExtractResult:
         b["text"] for b in blocks if b["is_content"] and b["tag"] != "title"
     ]
     if content:
-        return ExtractResult("\n\n".join(content), doc_type, "success", 1, title)
+        # description (reference describe-mode analogue, SURVEY.md §2.2 M7):
+        # first non-heading content block, else the first content block
+        body = [
+            b["text"]
+            for b in blocks
+            if b["is_content"] and b["tag"] not in _HEADING_TAGS
+        ]
+        desc = (body[0] if body else content[0])[:DESCRIPTION_LEN]
+        return ExtractResult(
+            "\n\n".join(content), doc_type, "success", 1, title, desc
+        )
     # attempt 2: lenient strip
     stripped = _lenient_strip(html_str)
     if stripped:
-        return ExtractResult(stripped, doc_type, "success_lenient", 2, title)
+        return ExtractResult(
+            stripped, doc_type, "success_lenient", 2, title,
+            stripped[:DESCRIPTION_LEN],
+        )
     return ExtractResult("", doc_type, "empty", 3, title)
 
 

@@ -146,6 +146,36 @@ GROUP BY r_name, n_name
 # events: aggs, windows, sessionization, JSON props
 # ---------------------------------------------------------------------------
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: multi-predicate scan + scalar agg — every predicate
+    must reach the parquet scan (PushedFilters), no shuffle at all after
+    partial agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
 def q_events_type_stats(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -231,6 +261,28 @@ SQL_EVENTS_PROPS = f"""
 SELECT CAST(regexp_extract(props, '{_PROPS_K_RE}', 1) AS BIGINT) % 10 AS k_bucket,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
 FROM events GROUP BY 1
+"""
+
+
+def q_events_json_path(spark, sf_dir):
+    """JSON get-path semantics (reference scalar-fn row: dot-notation key
+    extraction, /root/reference/src/utils/json_parser.py:26-56) via native
+    get_json_object — no regex."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_id", k.alias("k"))
+        .where(F.col("k").isNotNull() & (F.col("k") >= 50))
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+SQL_EVENTS_JSON_PATH = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+ORDER BY event_id LIMIT 100
 """
 
 
@@ -517,6 +569,7 @@ def q_extract_synth(spark, sf_dir):
         F.col("a.extract.doc_type").alias("doc_type"),
         F.col("a.extract.status").alias("status"),
         F.col("a.extract.title").alias("title"),
+        F.col("a.extract.description").alias("description"),
     )
 
 
@@ -531,7 +584,9 @@ SELECT doc_id,
             ELSE 'doc ' || doc_id END AS ext_text,
        CASE WHEN nw >= 8 THEN 'article' ELSE 'boilerplate' END AS doc_type,
        'success' AS status,
-       'doc ' || doc_id AS title
+       'doc ' || doc_id AS title,
+       CASE WHEN nw >= 8 THEN SUBSTR(norm, 1, 200)
+            ELSE 'doc ' || doc_id END AS description
 FROM w
 """
 
@@ -708,10 +763,12 @@ REGISTRY: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE),
     "events_type_stats": (q_events_type_stats, SQL_EVENTS_TYPE_STATS),
     "events_user_top": (q_events_user_top, SQL_EVENTS_USER_TOP),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_props": (q_events_props, SQL_EVENTS_PROPS),
+    "events_json_path": (q_events_json_path, SQL_EVENTS_JSON_PATH),
     "doc_top_tags": (q_doc_top_tags, SQL_DOC_TOP_TAGS),
     "global_terms": (q_global_terms, SQL_GLOBAL_TERMS),
     "doc_search": (q_doc_search, SQL_DOC_SEARCH),

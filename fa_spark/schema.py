@@ -47,6 +47,7 @@ EXTRACT = T.StructType(
         T.StructField("status", T.StringType()),
         T.StructField("attempts", T.IntegerType()),
         T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
     ]
 )
 

@@ -81,6 +81,7 @@ def analyze_batch(html: pd.Series) -> pd.DataFrame:
                 "status": ex.status,
                 "attempts": ex.attempts,
                 "title": ex.title,
+                "description": ex.description,
             }
         )
         text = ex.text
