@@ -383,6 +383,21 @@ FROM documents GROUP BY source
 """
 
 
+def q_salted_source_stats(spark, sf_dir):
+    """Two-phase salted aggregation (skew defense) — must equal the naive
+    GROUP BY exactly (the oracle IS the naive form)."""
+    from fa_spark.stages.skew import salted_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return salted_counts(docs, "source", sum_cols=("n_chars",), salt_source="doc_id")
+
+
+SQL_SALTED_SOURCE_STATS = """
+SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents GROUP BY source
+"""
+
+
 def q_doc_exact_dedup(spark, sf_dir):
     """Exact dedup by content hash, canonical election (J1/W2)."""
     docs = _t(spark, sf_dir, "documents").select(
@@ -708,6 +723,17 @@ def q_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse k-means quantizer + nprobe cell join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_lists=16, nprobe=4
+    ).withColumnRenamed("rank", "rnk")
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing — SQL-checked envelope (feature vector excluded)
 # ---------------------------------------------------------------------------
@@ -786,6 +812,8 @@ REGISTRY: dict[str, tuple] = {
     "minhash_near_dups": (q_minhash_near_dups, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
     "lsh_topk": (q_lsh_topk, None),
+    "ivf_topk": (q_ivf_topk, None),
+    "salted_source_stats": (q_salted_source_stats, SQL_SALTED_SOURCE_STATS),
     "media_plumbing": (q_media_plumbing, SQL_MEDIA_PLUMBING),
 }
 

@@ -129,6 +129,119 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 5,
+    sample: int = 2048,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic driver-side Lloyd iterations on a fixed sample — the
+    coarse quantizer for IVF. At 100-TB scale the sample is a `.limit()` over
+    a bucketed scan (cheap); the k centroids are broadcast, never shuffled."""
+    import numpy as np
+
+    rows = (
+        vectors.select(vec_col).orderBy(F.col(vec_col).getItem(0)).limit(sample).collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(C)):
+            m = X[assign == j]
+            if len(m):
+                C[j] = m.mean(axis=0)
+    return C.round(6).tolist()
+
+
+def _nearest_centroid(vec_col, centroids: list[list[float]]):
+    """Index of the nearest centroid (squared-L2, native exprs)."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ]
+    best = F.least(*dists)
+    expr = F.lit(-1)
+    for i in range(len(dists) - 1, -1, -1):
+        expr = F.when(dists[i] == best, F.lit(i)).otherwise(expr)
+    return expr
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: inverted lists = centroid cells; each query
+    probes its ``nprobe`` nearest cells. The vectors relation is scanned once
+    with a narrow `cell` column; the join key is the cell id — candidate
+    count ≈ N * nprobe / n_lists per query instead of N."""
+    import numpy as np
+
+    centroids = kmeans_centroids(vectors, vec_col, k=n_lists, seed=seed)
+    v = vectors.withColumn("cell", _nearest_centroid(vec_col, centroids))
+
+    # driver-side probe list per query cell ordering is data-independent:
+    # compute each query's nprobe nearest centroids natively via exploded ranks
+    C = np.array(centroids)
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(qvec_col),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v_: acc + v_,
+        ).alias(f"_d{i}")
+        for i, c in enumerate(C)
+    ]
+    q = queries.select(qid_col, qvec_col, *dists)
+    pairs = F.array(
+        *[
+            F.struct(F.col(f"_d{i}").alias("d"), F.lit(i).alias("cell"))
+            for i in range(len(C))
+        ]
+    )
+    q = q.select(
+        qid_col,
+        qvec_col,
+        F.explode(F.slice(F.array_sort(pairs), 1, nprobe)).alias("p"),
+    ).select(qid_col, qvec_col, F.col("p.cell").alias("cell"))
+
+    joined = v.join(F.broadcast(q), "cell").where(F.col(id_col) != F.col(qid_col))
+    scored = joined.select(
+        qid_col,
+        id_col,
+        F.round(cosine_expr(F.col(vec_col), F.col(qvec_col)), 6).alias("cosine"),
+    ).dropDuplicates([qid_col, id_col])
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", "rank")
+    )
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -119,6 +119,40 @@ def test_simhash_finds_planted_pairs(spark):
     assert hits >= 25, f"only {hits} planted simhash pairs found"
 
 
+def test_ivf_topk_recall(spark):
+    """IVF approximate top-k must recover most of the exact top-k."""
+    from fa_spark.queries import q_ann_topk, q_ivf_topk
+
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in q_ann_topk(spark, SF0001).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"]) for r in q_ivf_topk(spark, SF0001).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+
+
+def test_salted_equals_naive(spark):
+    """The salted two-phase agg must be EXACTLY the naive groupBy result."""
+    from pyspark.sql import functions as F
+
+    from fa_spark.queries import q_salted_source_stats
+
+    salted = {
+        r["source"]: (r["n_rows"], r["sum_n_chars"])
+        for r in q_salted_source_stats(spark, SF0001).collect()
+    }
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    naive = {
+        r["source"]: (r["n_rows"], r["sum_n_chars"])
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n_rows"), F.sum("n_chars").alias("sum_n_chars"))
+        .collect()
+    }
+    assert salted == naive
+
+
 def test_lsh_topk_recall(spark):
     """LSH approximate top-k must recover most of the exact top-k."""
     from fa_spark.queries import q_ann_topk, q_lsh_topk
