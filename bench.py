@@ -47,6 +47,21 @@ def _force(df) -> int:
     return 0
 
 
+def _warm(spark, cores: int) -> None:
+    """Warm the JVM (codegen, parquet reader) AND the Python workers — the
+    first ArrowEvalPython stage pays ~100-300 ms/worker for process spawn +
+    module import, which would otherwise be billed to the first UDF query."""
+    from pyspark.sql import functions as F
+
+    from fa_spark.stages.analyze import minhash_udf
+
+    _force(spark.range(1_000_000).selectExpr("sum(id) as s"))
+    warm = spark.range(0, cores * 4, 1, cores).select(
+        F.concat(F.lit("warm up tokens "), F.col("id").cast("string")).alias("t")
+    )
+    _force(warm.select(minhash_udf("t")))
+
+
 def _synth_pages_df(spark, sf_dir: str, multiplier: int = 1):
     """CC-style pages synthesized from `documents`. ``multiplier`` replicates
     each document into distinct variants (suffix varies, so sha/url differ)
@@ -125,8 +140,7 @@ def count_docs(sf_dir: str) -> int:
 def bench_once(cpus: int, sf_dir: str) -> dict:
     spark = _session(cpus)
     try:
-        # warm the JVM + Python workers so timings measure steady state
-        _force(spark.range(1_000_000).selectExpr("sum(id) as s"))
+        _warm(spark, cpus)
         times = run_headline(spark, sf_dir)
     finally:
         spark.stop()
@@ -192,7 +206,7 @@ def _throughput_worker(cores: int, pages_path: str, n_docs: int, repeat: int) ->
 
     spark = _session(cores)
     try:
-        _force(spark.range(1_000_000).selectExpr("sum(id) as s"))
+        _warm(spark, cores)
         samples = []
         for _ in range(repeat + 1):  # +1 warmup, discarded below
             pages = spark.read.parquet(pages_path)

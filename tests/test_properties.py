@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the pure core — the reference has
+no property tests (SURVEY.md §5.1); these pin the invariants the 100-TB run
+depends on: total functions (never raise on arbitrary bytes), determinism,
+and bounded outputs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fa_spark import pure
+
+BYTES = st.binary(max_size=4096)
+TEXT = st.text(max_size=2048)
+
+
+@settings(max_examples=200, deadline=None)
+@given(BYTES)
+def test_extract_never_raises_and_is_deterministic(data):
+    r1 = pure.extract_main_text(data)
+    r2 = pure.extract_main_text(data)
+    assert r1 == r2
+    assert isinstance(r1.text, str)
+    assert r1.status in ("success", "success_lenient", "empty", "skipped")
+
+
+@settings(max_examples=200, deadline=None)
+@given(BYTES)
+def test_sniff_total(data):
+    sn = pure.sniff_bytes(data)
+    assert isinstance(sn["content_type"], str)
+    assert len(sn["embedded"]) <= pure.MAX_EMBEDDED
+
+
+@settings(max_examples=200, deadline=None)
+@given(BYTES)
+def test_metadata_total(data):
+    m = pure.extract_metadata(data)
+    assert all(isinstance(k, str) and isinstance(v, str) for k, v in m.items())
+
+
+@settings(max_examples=200, deadline=None)
+@given(BYTES)
+def test_decode_total(data):
+    text, charset = pure.decode_bytes(data)
+    assert isinstance(text, str) and isinstance(charset, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_slug_bounds(desc):
+    name = pure.generate_filename(desc)
+    assert pure.MIN_SLUG_LEN <= len(name) <= pure.MAX_SLUG_LEN
+    assert name == name.lower()
+    assert " " not in name
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_minhash_shape_and_determinism(text):
+    s1 = pure.minhash_signature(text, 32)
+    assert len(s1) == 32
+    assert s1 == pure.minhash_signature(text, 32)
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT)
+def test_minhash_self_similarity(text):
+    """A text is always estimated identical to itself."""
+    s = pure.minhash_signature(text)
+    assert s == pure.minhash_signature(text)
+    if pure.shingles(text):
+        assert all(isinstance(v, int) for v in s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_simhash_hamming_bounds(text):
+    h = pure.simhash64(text)
+    assert 0 <= h < (1 << 64)
+    assert pure.hamming64(h, h) == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_quality_ratios_bounded(text):
+    q = pure.quality_score(text)
+    for key in ("uniq_ratio", "alpha_ratio", "digit_ratio", "stopword_ratio"):
+        assert 0.0 <= q[key] <= 1.0
+    assert q["n_chars"] == len(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_lang_in_domain(text):
+    assert pure.detect_lang(text) in ("en", "de", "fr", "und")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=1024))
+def test_json_extraction_total(text):
+    out = pure.process_model_output(text)
+    assert isinstance(out, dict)
+    assert "metadata" in out
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=12), max_size=50))
+def test_clean_tags_invariants(tags):
+    out = pure.clean_tags(tags)
+    assert len(out) <= pure.TOP_K_TAGS
+    assert all(t == t.lower() and len(t) > 2 for t in out)
+    assert all(t not in pure.GENERIC_TAGS for t in out)
+    assert len(set(out)) == len(out)
