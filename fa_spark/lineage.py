@@ -1,32 +1,46 @@
 """Per-partition lineage + resumable runs (reference J2 + artifact manifest,
 /root/reference/src/core/artifact_guard.py:80-186 re-expressed as tables).
 
-Two small tables live next to the output:
-  _lineage/processed/   (url, sha, run_id)           — the processed set
-  _lineage/partitions/  (run_id, bucket, input_rows, output_rows, bytes,
-                         attempt, committed_at)       — per-bucket counters
+Layout next to the output:
+  analysis/run_id=<id>/bucket=<b>/...   the analysis rows of each increment
+  _lineage/processed/                   (url, sha, run_id) — the processed set
+  _lineage/partitions/                  per-bucket counters per run
+  _lineage/commits/<run_id>.json        THE commit point (atomic rename)
 
-Restart = left-anti join of incoming pages against processed on (url, sha):
-already-done rows are skipped, changed rows (same url, new sha) recompute.
-This is idempotent per bucket — the exactly-once story Iceberg snapshots give
-in production, reproduced over plain parquet for local runs (SURVEY.md §4.2
-item 5: Spark's own df.checkpoint() is NOT durable across applications).
+Exactly-once protocol (the parquet stand-in for an Iceberg transactional
+snapshot commit):
 
-Scale note: at 10^12 docs the processed set is itself huge; the anti-join is
-a shuffle on url. Both sides are bucketed by xxhash64(url) so a
-storage-partitioned join can avoid the shuffle entirely when the sink is
-Iceberg with matching bucket specs.
+  1. recover(): physically drop analysis/run_id=* dirs with no commit marker
+     (a crashed previous attempt), so partial output never survives
+  2. anti-join incoming pages against the processed set *filtered to
+     committed run_ids* — uncommitted processed rows are invisible
+  3. write analysis -> write processed -> write counters -> write the commit
+     marker LAST via os.rename (atomic on POSIX)
+
+A crash in any window either leaves no visible output (pre-marker) or a
+fully-committed increment (post-marker); restarts are idempotent either way.
+At 10^12-doc scale the processed set is huge; both sides are bucketed by
+xxhash64(url) so an Iceberg storage-partitioned join avoids the shuffle.
+
+Spark's own df.checkpoint() is NOT the mechanism — it is not durable across
+applications (SURVEY.md §4.2 item 5).
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fa_spark import schema as S
+
+
+def _analysis_path(base: str) -> str:
+    return os.path.join(base, "analysis")
 
 
 def _processed_path(base: str) -> str:
@@ -37,18 +51,69 @@ def _partitions_path(base: str) -> str:
     return os.path.join(base, "_lineage", "partitions")
 
 
+def _commits_path(base: str) -> str:
+    return os.path.join(base, "_lineage", "commits")
+
+
+def list_committed(base: str) -> set[str]:
+    p = _commits_path(base)
+    if not os.path.isdir(p):
+        return set()
+    return {f[: -len(".json")] for f in os.listdir(p) if f.endswith(".json")}
+
+
+def write_commit_marker(base: str, run_id: str, committed_at: dt.datetime) -> None:
+    p = _commits_path(base)
+    os.makedirs(p, exist_ok=True)
+    tmp = os.path.join(p, f".{run_id}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"run_id": run_id, "committed_at": committed_at.isoformat()}, f)
+    os.rename(tmp, os.path.join(p, f"{run_id}.json"))  # atomic commit point
+
+
+def recover(base: str) -> list[str]:
+    """Drop analysis output of crashed (uncommitted) runs. Returns the
+    run_ids that were rolled back."""
+    ap = _analysis_path(base)
+    if not os.path.isdir(ap):
+        return []
+    committed = list_committed(base)
+    rolled = []
+    for d in os.listdir(ap):
+        if not d.startswith("run_id="):
+            continue
+        run_id = d.split("=", 1)[1]
+        if run_id not in committed:
+            shutil.rmtree(os.path.join(ap, d), ignore_errors=True)
+            rolled.append(run_id)
+    return rolled
+
+
 def read_processed(spark: SparkSession, base: str) -> DataFrame:
+    """The committed processed set (uncommitted appends filtered out)."""
     p = _processed_path(base)
+    committed = sorted(list_committed(base))
     try:
-        return spark.read.schema(S.PROCESSED).parquet(p)
+        df = spark.read.schema(S.PROCESSED).parquet(p)
     except Exception:
         return spark.createDataFrame([], S.PROCESSED)
+    if not committed:
+        return spark.createDataFrame([], S.PROCESSED)
+    return df.where(F.col("run_id").isin(committed))
 
 
 def filter_unprocessed(pages: DataFrame, processed: DataFrame) -> DataFrame:
     """Anti-join restart primitive: only new or changed (url, sha) pass."""
     keyed = pages.withColumn("sha", F.sha2("html", 256))
     return keyed.join(processed.select("url", "sha"), ["url", "sha"], "left_anti")
+
+
+def read_analysis(spark: SparkSession, base: str) -> DataFrame:
+    """Committed analysis rows (crashed-run partitions are physically gone
+    after recover(); the run_id filter also guards a concurrent writer)."""
+    df = spark.read.parquet(_analysis_path(base))
+    committed = sorted(list_committed(base))
+    return df.where(F.col("run_id").isin(committed)) if committed else df.limit(0)
 
 
 def commit_lineage(
@@ -58,12 +123,8 @@ def commit_lineage(
     committed_at: dt.datetime,
     attempt: int = 1,
 ) -> None:
-    """Append processed-set rows and per-bucket counters for a finished run.
-
-    ``committed_at`` is a job parameter, never wall clock read inside the job
-    (determinism discipline, SURVEY.md §7.3 item 2).
-    """
-    spark = analysis.sparkSession
+    """Append processed-set rows and per-bucket counters. ``committed_at`` is
+    a job parameter, never wall clock read inside the job (SURVEY.md §7.3)."""
     analysis.select("url", "sha", F.lit(run_id).alias("run_id")).write.mode(
         "append"
     ).parquet(_processed_path(base))
@@ -90,7 +151,9 @@ def commit_lineage(
 
 
 def read_lineage(spark: SparkSession, base: str) -> DataFrame:
-    return spark.read.parquet(_partitions_path(base))
+    df = spark.read.parquet(_partitions_path(base))
+    committed = sorted(list_committed(base))
+    return df.where(F.col("run_id").isin(committed)) if committed else df.limit(0)
 
 
 def run_resumable(
@@ -101,21 +164,23 @@ def run_resumable(
     committed_at: dt.datetime,
     cfg=None,
 ) -> DataFrame:
-    """One resumable increment: filter -> analyze -> write -> commit lineage.
-
-    Returns the analysis DataFrame of the increment (already persisted).
-    Calling it twice with the same input is a no-op the second time.
-    """
-    from fa_spark.pipeline import JobConfig, analyze_pages, write_analysis
+    """One resumable increment: recover -> filter -> analyze -> write ->
+    commit. Returns the increment's analysis DataFrame (already persisted).
+    Re-running with identical input is a no-op."""
+    from fa_spark.pipeline import JobConfig, analyze_pages
 
     cfg = cfg or JobConfig(run_id=run_id)
+    recover(base)
     processed = read_processed(spark, base)
     todo = filter_unprocessed(pages, processed).drop("sha")
     analysis = analyze_pages(todo, cfg)
     analysis = analysis.persist()
     n = analysis.count()
     if n:
-        write_analysis(analysis, os.path.join(base, "analysis"))
+        analysis.write.mode("append").partitionBy("run_id", "bucket").parquet(
+            _analysis_path(base)
+        )
         commit_lineage(analysis, base, run_id, committed_at)
+        write_commit_marker(base, run_id, committed_at)
     analysis.unpersist()
     return analysis

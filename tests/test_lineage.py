@@ -65,6 +65,40 @@ def test_changed_content_reprocessed(spark, pages_df, base):
     assert runs == {"run-1", "run-2"}
 
 
+def test_crash_before_commit_marker_rolls_back(spark, pages_df, base):
+    """Crash window: analysis + processed written, marker NOT written.
+    Restart must roll the partial output back and reprocess exactly once."""
+    from fa_spark.pipeline import JobConfig, analyze_pages
+
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang").limit(100)
+    # simulate the crashed attempt: all writes EXCEPT the commit marker
+    analysis = analyze_pages(pages, JobConfig(run_id="crashed")).persist()
+    analysis.write.mode("append").partitionBy("run_id", "bucket").parquet(
+        os.path.join(base, "analysis")
+    )
+    lineage.commit_lineage(analysis, base, "crashed", TS1)
+    analysis.unpersist()
+
+    # uncommitted state is invisible
+    assert lineage.list_committed(base) == set()
+    assert lineage.read_processed(spark, base).count() == 0
+
+    # restart: recovery drops the partial dir, the full run processes all rows
+    lineage.run_resumable(spark, pages, base, "run-2", TS2)
+    out = lineage.read_analysis(spark, base)
+    assert out.count() == 100
+    assert out.groupBy("url").count().where("count > 1").count() == 0
+    runs = {r["run_id"] for r in out.select("run_id").distinct().collect()}
+    assert runs == {"run-2"}
+
+
+def test_recover_is_noop_on_committed(spark, pages_df, base):
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang").limit(50)
+    lineage.run_resumable(spark, pages, base, "run-1", TS1)
+    assert lineage.recover(base) == []
+    assert lineage.read_analysis(spark, base).count() == 50
+
+
 def test_partition_counters(spark, pages_df, base):
     pages = pages_df.select("url", "warc_ts", "html", "text", "lang")
     lineage.run_resumable(spark, pages, base, "run-1", TS1)
