@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from fa_spark import pure
 from fa_spark.stages import similarity
 from fa_spark.stages.analyze import minhash_udf, page_analysis, simhash_udf
-from fa_spark.stages.dedup import exact_dedup, minhash_band_pairs, simhash_near_dups
+from fa_spark.stages.dedup import minhash_band_pairs, simhash_near_dups
 from fa_spark.stages.tags import GENERIC_TAGS, filename_udf, tokens_expr, top_tags
 from fa_spark.stages.text import detect_lang_expr, jaccard_pairs
 
@@ -713,6 +713,32 @@ def q_simhash_near_dups(spark, sf_dir):
     )
 
 
+def q_fingerprint_near_dups(spark, sf_dir):
+    """Winnowing-fingerprint near-dups (MOSS-style): docs sharing >= 3 sparse
+    rolling-hash fingerprints are candidates; overlap count ranks them.
+    Shared-fingerprint equi-join — never a cross join (same shape as the
+    shingle join in jaccard_pairs)."""
+    from fa_spark.stages.analyze import fingerprint_udf
+
+    df = (
+        _docs_with_mutants(spark, sf_dir)
+        .withColumn("fp", fingerprint_udf("text"))
+        .where(F.size("fp") > 0)
+        .persist()  # UDF would re-execute per self-join branch
+    )
+    ex = df.select("doc_id", F.explode("fp").alias("h"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= 3)
+        .orderBy("id_a", "id_b")
+    )
+    return pairs
+
+
 def q_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
@@ -811,6 +837,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
     "minhash_near_dups": (q_minhash_near_dups, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
+    "fingerprint_near_dups": (q_fingerprint_near_dups, None),
     "lsh_topk": (q_lsh_topk, None),
     "ivf_topk": (q_ivf_topk, None),
     "salted_source_stats": (q_salted_source_stats, SQL_SALTED_SOURCE_STATS),

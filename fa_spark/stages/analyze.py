@@ -121,12 +121,22 @@ def _simhash_batch(text: pd.Series) -> pd.Series:
     return pd.Series([_to_i64(pure.simhash64(t)) if t else 0 for t in text])
 
 
+def _fingerprint_batch(text: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            [_to_i64(h) for h in pure.rolling_fingerprint(t)] if t else []
+            for t in text
+        ]
+    )
+
+
 # standalone fingerprint UDFs for text that is already extracted
 # (DataType objects, not DDL strings — string parsing needs a live session)
 from pyspark.sql.types import ArrayType, LongType  # noqa: E402
 
 minhash_udf = F.pandas_udf(_minhash_batch, ArrayType(LongType()))
 simhash_udf = F.pandas_udf(_simhash_batch, LongType())
+fingerprint_udf = F.pandas_udf(_fingerprint_batch, ArrayType(LongType()))
 
 
 def with_analysis(pages_df):

@@ -153,6 +153,14 @@ def test_salted_equals_naive(spark):
     assert salted == naive
 
 
+def test_fingerprint_finds_planted_pairs(spark):
+    from fa_spark.queries import q_fingerprint_near_dups
+
+    pairs = q_fingerprint_near_dups(spark, SF0001).collect()
+    planted = sum(1 for r in pairs if r["id_b"] == r["id_a"] + 100000)
+    assert planted >= 20, f"only {planted} planted fingerprint pairs found"
+
+
 def test_lsh_topk_recall(spark):
     """LSH approximate top-k must recover most of the exact top-k."""
     from fa_spark.queries import q_ann_topk, q_lsh_topk
