@@ -1,0 +1,108 @@
+"""Training-corpus builder: the end-to-end composition every operator in
+this repo exists for — raw crawl pages in, deduplicated quality-filtered
+text corpus + accounting out.
+
+    pages ──► analyze (fused Arrow stage)
+          ──► keep extractable docs (status, doc_type)
+          ──► language filter (detected_lang ∈ allow)
+          ──► quality gate (word count, uniq ratio, alpha ratio)
+          ──► exact dedup (sha canonical election)        [1 shuffle]
+          ──► near-dup drop (MinHash bands, canonical=min url) [narrow shuffles]
+          ──► corpus rows + a savings/accounting report
+
+Every stage is a column predicate or an existing operator — nothing new;
+this module is composition + accounting only. The report mirrors the
+reference's summary record (analyzer.py:823-838) at corpus scope.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fa_spark.pipeline import JobConfig, analyze_pages
+from fa_spark.stages.dedup import minhash_band_pairs
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    langs: tuple[str, ...] = ("en",)
+    min_words: int = 20
+    min_uniq_ratio: float = 0.3
+    min_alpha_ratio: float = 0.5
+    near_dup_jaccard: float = 0.8
+    minhash_bands: int = 16
+    job: JobConfig = field(default_factory=JobConfig)
+
+
+def build_corpus(pages_df: DataFrame, cfg: CorpusConfig = CorpusConfig()):
+    """Returns (corpus_df, report_df).
+
+    corpus_df: url, text, title, lang, n_tokens_ws, n_tokens_bpe, tags, sha
+    report_df: one row of funnel counters (input → extracted → lang →
+               quality → exact-canonical → near-dup-free) + bytes/tokens.
+    """
+    analysis = analyze_pages(pages_df, cfg.job).persist()
+
+    extracted = analysis.where(
+        F.col("extract.status").isin("success", "success_lenient")
+        & (F.col("extract.doc_type") != "boilerplate")
+    )
+    lang_ok = extracted.where(F.col("detected_lang").isin(*cfg.langs))
+    quality_ok = lang_ok.where(
+        (F.col("quality.n_words") >= cfg.min_words)
+        & (F.col("quality.uniq_ratio") >= cfg.min_uniq_ratio)
+        & (F.col("quality.alpha_ratio") >= cfg.min_alpha_ratio)
+    )
+    exact_canonical = quality_ok.where(F.col("is_canonical"))
+
+    # near-dup drop: non-minimal side of every confident MinHash pair
+    pairs = minhash_band_pairs(
+        exact_canonical,
+        id_col="url",
+        bands=cfg.minhash_bands,
+        min_jaccard=cfg.near_dup_jaccard,
+    )
+    drop = pairs.select(F.col("id_b").alias("url")).distinct()
+    corpus = exact_canonical.join(drop, "url", "left_anti").select(
+        "url",
+        F.col("extract.text").alias("text"),
+        F.col("extract.title").alias("title"),
+        F.col("detected_lang").alias("lang"),
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        "tags",
+        "sha",
+    )
+
+    counters = [
+        analysis.count(),
+        extracted.count(),
+        lang_ok.count(),
+        quality_ok.count(),
+        exact_canonical.count(),
+        corpus.count(),
+    ]
+    spark = pages_df.sparkSession
+    stats = corpus.agg(
+        F.sum("n_tokens_ws").alias("tokens_ws"),
+        F.sum("n_tokens_bpe").alias("tokens_bpe"),
+        F.sum(F.length("text")).alias("chars"),
+    ).collect()[0]
+    report = spark.createDataFrame(
+        [
+            (
+                counters[0], counters[1], counters[2], counters[3],
+                counters[4], counters[5],
+                int(stats["tokens_ws"] or 0), int(stats["tokens_bpe"] or 0),
+                int(stats["chars"] or 0),
+            )
+        ],
+        "n_input long, n_extracted long, n_lang long, n_quality long, "
+        "n_exact_canonical long, n_corpus long, tokens_ws long, "
+        "tokens_bpe long, chars long",
+    )
+    analysis.unpersist()
+    return corpus, report

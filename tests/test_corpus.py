@@ -1,0 +1,42 @@
+"""End-to-end training-corpus builder: funnel monotonicity, dedup actually
+removes the planted duplicates, accounting adds up, determinism."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from fa_spark.corpus import CorpusConfig, build_corpus
+
+
+def test_corpus_funnel(spark, pages_df, pages_path):
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang")
+    corpus, report = build_corpus(pages, CorpusConfig(langs=("en", "und")))
+    r = report.collect()[0]
+
+    n = pq.ParquetFile(pages_path).metadata.num_rows
+    assert r["n_input"] == n
+    # funnel is monotone non-increasing
+    seq = [
+        r["n_input"], r["n_extracted"], r["n_lang"], r["n_quality"],
+        r["n_exact_canonical"], r["n_corpus"],
+    ]
+    assert all(a >= b for a, b in zip(seq, seq[1:])), seq
+    # fixtures plant exact dups and near dups: both stages must bite
+    assert r["n_exact_canonical"] < r["n_quality"]
+    assert r["n_corpus"] >= 1
+    assert r["tokens_ws"] > 0 and r["chars"] > 0
+
+    rows = corpus.collect()
+    assert len(rows) == r["n_corpus"]
+    # no duplicate content survives
+    shas = [row["sha"] for row in rows]
+    assert len(shas) == len(set(shas))
+
+
+def test_corpus_deterministic(spark, pages_df):
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang").limit(300)
+    c1, _ = build_corpus(pages)
+    c2, _ = build_corpus(pages.repartition(11))
+    a = sorted(r["url"] for r in c1.collect())
+    b = sorted(r["url"] for r in c2.collect())
+    assert a == b
