@@ -651,6 +651,54 @@ SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 5
 """
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over embeddings ∪ planted perturbed
+    copies (vec_id+100000, first component nudged). Exact pairwise form here
+    (oracle-checkable); the LSH-bucketed scale path is
+    `similarity.embedding_near_dups` (used by `lsh` queries)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mutants = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.001)).cast("float")),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    allv = emb.unionByName(mutants)
+    a = allv.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = allv.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.round(similarity.cosine_expr(F.col("va"), F.col("vb")), 6)
+        )
+        .where(F.col("cosine") >= 0.999)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH mut AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_prepend(CAST(CAST(embedding[1] AS DOUBLE) + 0.001 AS FLOAT),
+                      embedding[2:64]) AS embedding
+  FROM embeddings WHERE vec_id < 20),
+allv AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT * FROM mut),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ROUND(
+      list_sum(list_transform(range(1, LEN(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (SQRT(list_sum(list_transform(range(1, LEN(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+       * SQRT(list_sum(list_transform(range(1, LEN(b.embedding) + 1),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+  FROM allv a CROSS JOIN allv b WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.999
+"""
+
+
 def q_embedding_label_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return emb.groupBy("label").agg(
@@ -835,6 +883,7 @@ REGISTRY: dict[str, tuple] = {
     "filename_cascade": (q_filename_cascade, SQL_FILENAME_CASCADE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
+    "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "minhash_near_dups": (q_minhash_near_dups, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
     "fingerprint_near_dups": (q_fingerprint_near_dups, None),
