@@ -1028,3 +1028,170 @@ def token_count(text: str) -> tuple[int, int]:
     ws = len(text.split())
     bpe = len(_BPEISH_RE.findall(text))
     return ws, bpe
+
+
+# ---------------------------------------------------------------------------
+# 11. Fused single-pass analysis (the hot path of the Spark stage)
+# ---------------------------------------------------------------------------
+
+def _detect_lang_toks(toks: list[str]) -> str:
+    """detect_lang on a pre-computed token list (same decision rule)."""
+    if not toks:
+        return "und"
+    sample = toks[:400]
+    best_lang, best_hits = "und", 0
+    for lang in ("en", "de", "fr"):
+        hits = sum(1 for t in sample if t in STOPWORDS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    if best_hits * 20 < len(sample):
+        return "und"
+    return best_lang
+
+
+def _quality_toks(text: str, toks: list[str]) -> dict:
+    """quality_score on pre-computed tokens (identical output)."""
+    n = len(text)
+    words = len(toks)
+    uniq = len(set(toks))
+    alpha = len(_ALPHA_RE.findall(text))
+    digits = len(_DIGIT_RE.findall(text))
+    punct = len(_PUNCT_RE.findall(text))
+    stop_hits = sum(1 for t in toks if t in STOPWORDS["en"])
+    mean_wl = (sum(len(t) for t in toks) / words) if words else 0.0
+    return {
+        "n_chars": n,
+        "n_words": words,
+        "uniq_ratio": (uniq / words) if words else 0.0,
+        "alpha_ratio": (alpha / n) if n else 0.0,
+        "digit_ratio": (digits / n) if n else 0.0,
+        "punct_ratio": (punct / n) if n else 0.0,
+        "stopword_ratio": (stop_hits / words) if words else 0.0,
+        "mean_word_len": mean_wl,
+    }
+
+
+def _shingles_toks(toks: list[str], k: int = 5) -> list[int]:
+    """shingles() on pre-computed tokens (identical output)."""
+    if len(toks) < k:
+        joined = " ".join(toks)
+        return [_stable64(joined)] if joined else []
+    seen = set()
+    out = []
+    for i in range(len(toks) - k + 1):
+        s = " ".join(toks[i : i + k])
+        h = _stable64(s)
+        if h not in seen:
+            seen.add(h)
+            out.append(h)
+    return out
+
+
+def _minhash_shingles(sh: list[int], num_hashes: int = 64) -> list[int]:
+    if not sh:
+        return [0] * num_hashes
+    x = _np.array(sh, dtype=_np.uint64)
+    with _np.errstate(over="ignore"):
+        m = _mix64(x[None, :] ^ _MINHASH_SEEDS[:num_hashes, None])
+    return [int(v) for v in m.min(axis=1)]
+
+
+def _simhash_toks(toks: list[str]) -> int:
+    counts = Counter(toks)
+    if not counts:
+        return 0
+    hashes = _np.array([_stable64(t) for t in counts], dtype=_np.uint64)
+    weights = _np.array(list(counts.values()), dtype=_np.int64)
+    bits = (hashes[:, None] >> _np.arange(64, dtype=_np.uint64)) & _np.uint64(1)
+    v = ((bits.astype(_np.int64) * 2 - 1) * weights[:, None]).sum(axis=0)
+    out = 0
+    for bit in range(64):
+        if v[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def _metadata_from_parse(
+    data: bytes, ct: str, charset: str | None, parser, title: str
+) -> dict[str, str]:
+    """extract_metadata's logic reusing an existing DOM parse (identical
+    output for html/text/xml inputs; binary inputs never reach here)."""
+    out: dict[str, str] = {}
+    out.update(_parse_png_meta(data))
+    out.update(_parse_jpeg_meta(data))
+    out.update(_parse_pdf_meta(data))
+    if ct in ("html", "text", "xml"):
+        out["charset"] = charset or ""
+        for k, v in sorted(parser.meta.items()):
+            out[f"meta:{k}"] = v
+        if title:
+            out["title"] = title
+        n_img = 0
+        for _m in _DATA_URI_RE.finditer(data):
+            n_img += 1
+            if n_img >= 8:
+                break
+        if n_img:
+            out["embedded_images"] = str(n_img)
+    out["bytes"] = str(len(data))
+    return out
+
+
+def analyze_document(data: bytes | None, minhash_k: int = 64) -> dict:
+    """ONE pass per document: decode once, parse the DOM once, tokenize the
+    extracted text once; every analyzer consumes the shared intermediates.
+    Field-for-field identical to calling the individual functions (pinned by
+    tests/test_pure.py::test_fused_equals_individual)."""
+    b = data if data is not None else b""
+    sn = sniff_bytes(b)
+    ct = sn["content_type"]
+
+    if ct in ("html", "text", "xml"):
+        html_str, cs = decode_bytes(b)
+        blocks, parser = extract_blocks(html_str)
+        title = _norm_ws("".join(parser.title_parts))
+        doc_type = classify_doc_type(blocks, parser, ct)
+        content = [
+            blk["text"] for blk in blocks if blk["is_content"] and blk["tag"] != "title"
+        ]
+        if content:
+            body = [
+                blk["text"]
+                for blk in blocks
+                if blk["is_content"] and blk["tag"] not in _HEADING_TAGS
+            ]
+            desc = (body[0] if body else content[0])[:DESCRIPTION_LEN]
+            ex = ExtractResult(
+                "\n\n".join(content), doc_type, "success", 1, title, desc
+            )
+        else:
+            stripped = _lenient_strip(html_str)
+            if stripped:
+                ex = ExtractResult(
+                    stripped, doc_type, "success_lenient", 2, title,
+                    stripped[:DESCRIPTION_LEN],
+                )
+            else:
+                ex = ExtractResult("", doc_type, "empty", 3, title)
+        meta = _metadata_from_parse(b, ct, cs, parser, title)
+    else:
+        ex = extract_main_text(b)
+        meta = extract_metadata(b)
+
+    text = ex.text
+    toks = tokenize(text)
+    return {
+        "sniff": sn,
+        "meta": meta,
+        "extract": ex,
+        "toks": toks,
+        "quality": _quality_toks(text, toks),
+        "detected_lang": _detect_lang_toks(toks),
+        "minhash": _minhash_shingles(_shingles_toks(toks), minhash_k)
+        if text
+        else [0] * 0,
+        "simhash": _simhash_toks(toks) if text else 0,
+        "tags": clean_tags(toks),
+        "slug": page_slug(ex.title, text),
+        "token_count": token_count(text),
+    }

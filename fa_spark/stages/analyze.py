@@ -56,12 +56,17 @@ MINHASH_K = 64
 
 
 def analyze_batch(html: pd.Series) -> pd.DataFrame:
-    """One Arrow batch of raw page bytes -> full analysis columns."""
-    minhash_k = MINHASH_K
+    """One Arrow batch of raw page bytes -> full analysis columns.
+
+    Delegates to pure.analyze_document — ONE decode + ONE DOM parse + ONE
+    tokenization per page shared by all analyzers (field-for-field identical
+    to the individual pure functions; the two-parse/four-tokenize version
+    measured ~40% slower)."""
     out: dict[str, list] = {f: [] for f in _ANALYSIS_FIELDS}
     for data in html:
         b = bytes(data) if data is not None else b""
-        sn = pure.sniff_bytes(b)
+        d = pure.analyze_document(b, MINHASH_K)
+        sn = d["sniff"]
         out["sniff"].append(
             {
                 "content_type": sn["content_type"],
@@ -72,8 +77,8 @@ def analyze_batch(html: pd.Series) -> pd.DataFrame:
                 "interesting": sn["interesting"],
             }
         )
-        out["meta"].append(pure.extract_metadata(b))
-        ex = pure.extract_main_text(b)
+        out["meta"].append(d["meta"])
+        ex = d["extract"]
         out["extract"].append(
             {
                 "text": ex.text,
@@ -86,22 +91,17 @@ def analyze_batch(html: pd.Series) -> pd.DataFrame:
         )
         text = ex.text
         out["sigs"].append(pure.scan_text(text, _COMPILED_SIGS) if text else [])
-        out["simhash"].append(_to_i64(pure.simhash64(text)))
-        out["minhash"].append(
-            [_to_i64(h) for h in pure.minhash_signature(text, minhash_k)]
-            if text
-            else []
-        )
-        q = pure.quality_score(text)
-        out["quality"].append(q)
-        out["detected_lang"].append(pure.detect_lang(text))
-        ws, bpe = pure.token_count(text)
+        out["simhash"].append(_to_i64(d["simhash"]))
+        out["minhash"].append([_to_i64(h) for h in d["minhash"]])
+        out["quality"].append(d["quality"])
+        out["detected_lang"].append(d["detected_lang"])
+        ws, bpe = d["token_count"]
         out["n_tokens_ws"].append(ws)
         out["n_tokens_bpe"].append(bpe)
         # tag ranking (reference A1) is top-k of ONE doc's token counts —
         # a per-row op, so it lives here, not behind a groupBy shuffle
-        out["tags"].append(pure.keywords(text))
-        out["slug"].append(pure.page_slug(ex.title, text))
+        out["tags"].append(d["tags"][:10])
+        out["slug"].append(d["slug"])
     return pd.DataFrame(out)
 
 

@@ -308,3 +308,28 @@ def test_token_count():
     ws, bpe = pure.token_count("Hello, world! 123")
     assert ws == 3
     assert bpe == 7  # Hello , world ! 1 2 3
+
+
+# ---- fused single-pass path must equal the individual functions ----
+
+def test_fused_equals_individual():
+    from fa_spark.gen_fixtures import gen_pages
+
+    rows = gen_pages(300).to_pylist()
+    for r in rows:
+        b = r["html"]
+        d = pure.analyze_document(b)
+        assert d["sniff"] == pure.sniff_bytes(b)
+        assert d["meta"] == pure.extract_metadata(b)
+        assert d["extract"] == pure.extract_main_text(b)
+        text = d["extract"].text
+        assert d["quality"] == pure.quality_score(text)
+        assert d["detected_lang"] == pure.detect_lang(text)
+        assert d["tags"] == pure.clean_tags(pure.tokenize(text))
+        assert d["slug"] == pure.page_slug(d["extract"].title, text)
+        assert d["token_count"] == pure.token_count(text)
+        if text:
+            assert d["simhash"] == pure.simhash64(text)
+            assert d["minhash"] == pure.minhash_signature(text)
+        else:
+            assert d["simhash"] == 0 and d["minhash"] == []
