@@ -234,12 +234,16 @@ def _throughput_worker(cores: int, pages_path: str, n_docs: int, repeat: int) ->
     }
 
 
-SCALE_N = 4  # N and 4N cores: both runs keep cpu headroom for the JVM's
-SCALE_4N = 16  # scan/shuffle/Arrow service threads, as real executors would
+# N and 4N cores. N=2 vs 4N=8: both levels keep cpu headroom for the JVM's
+# scan/shuffle/Arrow service threads AND neither saturates this single box's
+# shared memory bus — a real cluster's 4N executors bring 4x bandwidth, one
+# VM does not, so wider geometries measure the memory bus, not the job.
+SCALE_N = 2
+SCALE_4N = 8
 
 
 def bench_scaling_paired(
-    sf_dir: str, rounds: int = 3, multiplier: int | None = None
+    sf_dir: str, rounds: int = 2, multiplier: int | None = None
 ) -> dict:
     """Interleaved N/4N measurement: each round runs a 4-core sample and a
     16-core sample back-to-back, so host-contention drift (±20% over minutes
@@ -247,14 +251,16 @@ def bench_scaling_paired(
     median of per-round ratios — robust where sequential same-level batches
     are not."""
     if multiplier is None:
-        multiplier = max(1, 300_000 // max(count_docs(sf_dir), 1))
+        multiplier = max(1, 100_000 // max(count_docs(sf_dir), 1))
     pages_path = "/tmp/fa_bench_pages.parquet"
     n = materialize_pages(sf_dir, multiplier, pages_path)
     ratios = []
     lo_samples, hi_samples = [], []
     for _ in range(rounds):
-        lo = extraction_throughput(SCALE_N, pages_path, n, repeat=0)
-        hi = extraction_throughput(SCALE_4N, pages_path, n, repeat=0)
+        # repeat=2 -> best-of-2 per level per round: transient host co-tenancy
+        # spikes a single sample by 20%+; min-of-2 filters it
+        lo = extraction_throughput(SCALE_N, pages_path, n, repeat=2)
+        hi = extraction_throughput(SCALE_4N, pages_path, n, repeat=2)
         lo_samples.append(lo["secs"]["min"])
         hi_samples.append(hi["secs"]["min"])
         ratios.append((lo["secs"]["min"] / hi["secs"]["min"]) / (SCALE_4N / SCALE_N))
@@ -339,7 +345,7 @@ def main() -> None:
         return
 
     if args.scaling:
-        result = bench_scaling_paired(args.sf_dir, rounds=3, multiplier=args.multiplier)
+        result = bench_scaling_paired(args.sf_dir, rounds=2, multiplier=args.multiplier)
         write_baseline_md(result)
     else:
         result = bench_once(args.cpus, args.sf_dir)
