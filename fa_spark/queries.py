@@ -286,6 +286,72 @@ ORDER BY event_id LIMIT 100
 """
 
 
+def q_events_daily(spark, sf_dir):
+    """Time-series rollup: per-day event counts/volumes (date_trunc agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_part_type_stats(spark, sf_dir):
+    """Agg + HAVING (post-aggregation filter pushdown check)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+        .where(F.col("n_parts") >= 5)
+    )
+
+
+SQL_PART_TYPE_STATS = """
+SELECT p_type, COUNT(*) AS n_parts,
+       ROUND(AVG(p_retailprice), 6) AS avg_price,
+       MAX(p_size) AS max_size
+FROM part GROUP BY p_type HAVING COUNT(*) >= 5
+"""
+
+
+def q_supplier_rank(spark, sf_dir):
+    """Global rank window over a broadcast dim join."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("rnk", "s_suppkey", "s_name", "n_name",
+                F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+SQL_SUPPLIER_RANK = """
+SELECT rnk, s_suppkey, s_name, n_name, ROUND(s_acctbal, 2) AS s_acctbal FROM (
+  SELECT s_suppkey, s_name, n_name, s_acctbal,
+         ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+WHERE rnk <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: tag ranking, search, scan, dedup, quality, lang, tokens
 # (the web-text operator family, SURVEY.md §2.2/§2.3)
@@ -869,6 +935,9 @@ REGISTRY: dict[str, tuple] = {
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_props": (q_events_props, SQL_EVENTS_PROPS),
     "events_json_path": (q_events_json_path, SQL_EVENTS_JSON_PATH),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "part_type_stats": (q_part_type_stats, SQL_PART_TYPE_STATS),
+    "supplier_rank": (q_supplier_rank, SQL_SUPPLIER_RANK),
     "doc_top_tags": (q_doc_top_tags, SQL_DOC_TOP_TAGS),
     "global_terms": (q_global_terms, SQL_GLOBAL_TERMS),
     "doc_search": (q_doc_search, SQL_DOC_SEARCH),
