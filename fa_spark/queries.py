@@ -827,6 +827,32 @@ def q_simhash_near_dups(spark, sf_dir):
     )
 
 
+def q_vocab_profile(spark, sf_dir):
+    """Grouped-map (applyInPandas) per-source vocabulary-growth profile.
+    Partially oracle-checked: n_docs/total_tokens/vocab are SQL-expressible;
+    heaps_beta (cumulative-order fit) is the grouped-map-only part, so this
+    query exposes only the SQL-checkable columns and the full profile is
+    covered by tests/test_grouped.py."""
+    from fa_spark.stages.grouped import vocab_profile
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return vocab_profile(docs).select("source", "n_docs", "total_tokens", "vocab")
+
+
+SQL_VOCAB_PROFILE = f"""
+WITH d AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(LEN({TOKEN_SQL})) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source),
+v AS (
+  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+  FROM (SELECT source, UNNEST({TOKEN_SQL}) AS tok FROM documents)
+  GROUP BY source)
+SELECT d.source, d.n_docs, d.total_tokens, COALESCE(v.vocab, 0) AS vocab
+FROM d LEFT JOIN v USING (source)
+"""
+
+
 def q_fingerprint_near_dups(spark, sf_dir):
     """Winnowing-fingerprint near-dups (MOSS-style): docs sharing >= 3 sparse
     rolling-hash fingerprints are candidates; overlap count ranks them.
@@ -959,6 +985,7 @@ REGISTRY: dict[str, tuple] = {
     "lsh_topk": (q_lsh_topk, None),
     "ivf_topk": (q_ivf_topk, None),
     "salted_source_stats": (q_salted_source_stats, SQL_SALTED_SOURCE_STATS),
+    "vocab_profile": (q_vocab_profile, SQL_VOCAB_PROFILE),
     "media_plumbing": (q_media_plumbing, SQL_MEDIA_PLUMBING),
 }
 
