@@ -13,18 +13,46 @@ from __future__ import annotations
 
 import os
 import sys
+import zipfile
 from collections.abc import Callable
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SF0001 = "/root/testdata/sf0.001"
 
+_PYFILES_ZIP = "/tmp/fa_spark_pyfiles.zip"
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make fa_spark importable on the Python WORKERS regardless of the
+    driver's cwd: sys.path edits only affect the driver process, so the
+    package ships to workers via addPyFile (the spark-submit --py-files
+    mechanism, applied post-hoc)."""
+    if not os.path.exists(_PYFILES_ZIP):
+        tmp = _PYFILES_ZIP + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            pkg = os.path.join(_REPO, "fa_spark")
+            for root, _dirs, files in os.walk(pkg):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, _REPO))
+        os.replace(tmp, _PYFILES_ZIP)
+    try:
+        spark.sparkContext.addPyFile(_PYFILES_ZIP)
+    except Exception:
+        pass  # already added in this context
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ship_package(spark)
     from fa_spark.pipeline import JobConfig, analyze_pages
     from fa_spark.queries import _synth_pages
 
@@ -62,7 +90,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from fa_spark.queries import queries as _q
 
-    return _q()
+    def _wrap(fn):
+        def call(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return call
+
+    return {name: _wrap(fn) for name, fn in _q().items()}
 
 
 def oracle_sql() -> dict[str, str]:
