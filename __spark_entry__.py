@@ -24,7 +24,23 @@ from pyspark.sql import functions as F
 
 SF0001 = "/root/testdata/sf0.001"
 
-_PYFILES_ZIP = "/tmp/fa_spark_pyfiles.zip"
+def _pkg_fingerprint() -> str:
+    """Content fingerprint of the package sources — the shipped zip must
+    never go stale after edits (workers would silently run old code)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    pkg = os.path.join(_REPO, "fa_spark")
+    for root, _dirs, files in sorted(os.walk(pkg)):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                h.update(p.encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+    return h.hexdigest()[:16]
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -32,8 +48,9 @@ def _ship_package(spark: SparkSession) -> None:
     driver's cwd: sys.path edits only affect the driver process, so the
     package ships to workers via addPyFile (the spark-submit --py-files
     mechanism, applied post-hoc)."""
-    if not os.path.exists(_PYFILES_ZIP):
-        tmp = _PYFILES_ZIP + ".tmp"
+    zip_path = f"/tmp/fa_spark_pyfiles_{_pkg_fingerprint()}.zip"
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
         with zipfile.ZipFile(tmp, "w") as z:
             pkg = os.path.join(_REPO, "fa_spark")
             for root, _dirs, files in os.walk(pkg):
@@ -43,9 +60,9 @@ def _ship_package(spark: SparkSession) -> None:
                     if f.endswith(".py"):
                         full = os.path.join(root, f)
                         z.write(full, os.path.relpath(full, _REPO))
-        os.replace(tmp, _PYFILES_ZIP)
+        os.replace(tmp, zip_path)
     try:
-        spark.sparkContext.addPyFile(_PYFILES_ZIP)
+        spark.sparkContext.addPyFile(zip_path)
     except Exception:
         pass  # already added in this context
 
