@@ -333,3 +333,13 @@ def test_fused_equals_individual():
             assert d["minhash"] == pure.minhash_signature(text)
         else:
             assert d["simhash"] == 0 and d["minhash"] == []
+
+
+def test_fixture_generator_deterministic():
+    """seed=42 twice -> byte-identical tables (FIXTURES.md requirement)."""
+    from fa_spark.gen_fixtures import gen_pages
+
+    a = gen_pages(200)
+    b = gen_pages(200)
+    assert a.equals(b)
+    assert a.column("html")[0].as_py() == b.column("html")[0].as_py()
