@@ -399,11 +399,16 @@ def extract_main_text(data: bytes | None) -> ExtractResult:
       1. DOM block classification (title excluded; content blocks joined "\n\n")
       2. lenient regex strip when the DOM pass found nothing but text exists
       3. empty result with explicit status
+
+    PDF bytes route through the layout parser (north_rule "PDF/layout parse");
+    other binary types are skipped with an explicit status.
     """
     sn = sniff_bytes(data)
     ct = sn["content_type"]
     if ct == "empty":
         return ExtractResult("", "empty", "skipped", 0, "")
+    if ct == "pdf":
+        return extract_pdf_text(data)
     if ct not in ("html", "text", "xml"):
         return ExtractResult("", ct, "skipped", 0, "")
     html_str, _cs = decode_bytes(data)
@@ -433,6 +438,217 @@ def extract_main_text(data: bytes | None) -> ExtractResult:
             stripped[:DESCRIPTION_LEN],
         )
     return ExtractResult("", doc_type, "empty", 3, title)
+
+
+# ---------------------------------------------------------------------------
+# 3b. PDF text / layout extraction (north_rule "PDF/layout parse")
+#
+# Reference semantics: document mode returns {text, document_type}
+# (/root/reference/src/utils/json_utils.py:190-196); the reference handles
+# .pdf as a first-class document type (/root/reference/config.json:6-9,
+# document-mode extraction /root/reference/src/core/vision.py:306-560).
+# Fresh pure-Python implementation: object/stream scan, FlateDecode via the
+# already-imported zlib, BT..ET text-operator interpretation (Tj/TJ/'/"),
+# literal-string escapes + octal + hex strings, line segmentation on
+# Td/TD/T*. No external codec libraries.
+# ---------------------------------------------------------------------------
+
+# stream dict (lazy ">>" + backtracking handles nested <<...>> dicts: the
+# regex engine retries successive ">>" positions until "stream" follows)
+_PDF_STREAM_RE = re.compile(rb"<<(.{0,2048}?)>>\s*stream\r?\n", re.DOTALL)
+
+PDF_MAX_STREAMS = 64  # degenerate-input bound
+PDF_MAX_TEXT = 1 << 20  # 1 MiB of extracted text per document
+
+_PDF_ESCAPES = {
+    0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\f",
+    0x28: b"(", 0x29: b")", 0x5C: b"\\",
+}
+_PDF_DELIMS = b" \t\r\n\x00()<>[]{}/%"
+
+
+def _pdf_streams(data: bytes) -> list[bytes]:
+    """Decoded stream bodies: raw when unfiltered, inflated when
+    /FlateDecode; other filters are skipped (not silently garbled).
+    decompressobj() tolerates the trailing EOL before `endstream`."""
+    out: list[bytes] = []
+    pos = 0
+    while len(out) < PDF_MAX_STREAMS:
+        m = _PDF_STREAM_RE.search(data, pos)
+        if not m:
+            break
+        start = m.end()
+        end = data.find(b"endstream", start)
+        if end < 0:
+            break
+        pos = end + len(b"endstream")
+        body = data[start:end]
+        head = m.group(1)
+        if b"/FlateDecode" in head:
+            try:
+                body = zlib.decompressobj().decompress(body, PDF_MAX_TEXT)
+            except zlib.error:
+                continue
+        elif b"/Filter" in head:
+            continue  # unsupported filter (DCT, LZW, ...)
+        out.append(body)
+    return out
+
+
+def _pdf_literal_string(content: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a PDF literal string starting at content[i] == '('.
+    Handles nested parens, \\-escapes, octal escapes, line continuations."""
+    n = len(content)
+    i += 1
+    depth = 1
+    out = bytearray()
+    while i < n and depth:
+        b = content[i]
+        if b == 0x5C:  # backslash
+            nxt = content[i + 1] if i + 1 < n else -1
+            if nxt in _PDF_ESCAPES:
+                out += _PDF_ESCAPES[nxt]
+                i += 2
+            elif 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
+                j = i + 1
+                code = 0
+                while j < n and j < i + 4 and 0x30 <= content[j] <= 0x37:
+                    code = code * 8 + (content[j] - 0x30)
+                    j += 1
+                out.append(code & 0xFF)
+                i = j
+            elif nxt in (0x0A, 0x0D):  # line continuation
+                i += 2
+                if nxt == 0x0D and i < n and content[i] == 0x0A:
+                    i += 1
+            elif nxt == -1:
+                i += 1
+            else:  # unknown escape: keep the char (spec: ignore backslash)
+                out.append(nxt)
+                i += 2
+        elif b == 0x28:
+            depth += 1
+            out.append(b)
+            i += 1
+        elif b == 0x29:
+            depth -= 1
+            if depth:
+                out.append(b)
+            i += 1
+        else:
+            out.append(b)
+            i += 1
+    return bytes(out), i
+
+
+def _pdf_hex_string(content: bytes, i: int) -> tuple[bytes, int]:
+    """Parse <hex> string at content[i] == '<'. Odd digit count pads with 0."""
+    end = content.find(b">", i + 1)
+    if end < 0:
+        return b"", len(content)
+    digits = bytes(c for c in content[i + 1 : end] if c not in b" \t\r\n")
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii")), end + 1
+    except ValueError:
+        return b"", end + 1
+
+
+def _pdf_decode_text(raw: bytes) -> str:
+    """String-object bytes -> text: UTF-16 when BOM'd, else UTF-8 with a
+    latin-1 fallback (deterministic cascade, same policy as decode_bytes)."""
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", errors="replace")
+    raw = raw.replace(b"\x00", b"")  # NUL padding from hex/UTF-16-ish strings
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+def _pdf_stream_lines(content: bytes) -> list[str]:
+    """Interpret a content stream's text operators into layout lines.
+
+    Shown strings (Tj, TJ array elements, ', \") accumulate into the current
+    line; text-positioning ops (Td, TD, T*) and BT/ET flush it. ' and \" flush
+    first (they mean "next line, then show"). Lines are whitespace-normalized;
+    empties dropped. TJ kerning numbers are ignored (joined without spaces —
+    explicit spaces live inside the string objects)."""
+    lines: list[str] = []
+    parts: list[str] = []
+    pend: list[str] = []  # string operands since the last operator
+    total = 0
+
+    def flush() -> None:
+        if parts:
+            t = _norm_ws("".join(parts))
+            parts.clear()
+            if t:
+                lines.append(t)
+
+    n = len(content)
+    i = 0
+    while i < n and total < PDF_MAX_TEXT:
+        c = content[i]
+        if c == 0x28:  # (
+            raw, i = _pdf_literal_string(content, i)
+            s = _pdf_decode_text(raw)
+            pend.append(s)
+            total += len(s)
+        elif c == 0x3C:  # < or <<
+            if content[i + 1 : i + 2] == b"<":
+                i += 2
+            else:
+                raw, i = _pdf_hex_string(content, i)
+                s = _pdf_decode_text(raw)
+                pend.append(s)
+                total += len(s)
+        elif c == 0x25:  # % comment to EOL
+            j = content.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c == 0x2F:  # /Name
+            i += 1
+            while i < n and content[i] not in _PDF_DELIMS:
+                i += 1
+        elif (0x41 <= c <= 0x5A) or (0x61 <= c <= 0x7A) or c in (0x27, 0x22):
+            j = i
+            while j < n and content[j] not in _PDF_DELIMS:
+                j += 1
+            op = content[i:j]
+            i = j if j > i else i + 1
+            if op in (b"Tj", b"TJ"):
+                parts.extend(pend)
+            elif op in (b"'", b'"'):
+                flush()
+                parts.extend(pend)
+            elif op in (b"Td", b"TD", b"T*", b"BT", b"ET"):
+                flush()
+            pend.clear()
+        else:
+            i += 1
+    flush()
+    return lines
+
+
+def extract_pdf_text(data: bytes | None) -> ExtractResult:
+    """PDF bytes -> layout text. doc_type is always 'pdf'; status 'success'
+    when any text line was recovered, else 'empty'. Title comes from the
+    /Info dictionary when present (same source as extract_metadata)."""
+    b = data or b""
+    meta = _parse_pdf_meta(b)
+    title = meta.get("pdf:title", "")
+    lines: list[str] = []
+    for s in _pdf_streams(b):
+        lines.extend(_pdf_stream_lines(s))
+        if sum(len(ln) for ln in lines) >= PDF_MAX_TEXT:
+            break
+    if lines:
+        text = "\n".join(lines)[:PDF_MAX_TEXT]
+        return ExtractResult(
+            text, "pdf", "success", 1, title, lines[0][:DESCRIPTION_LEN]
+        )
+    return ExtractResult("", "pdf", "empty", 1, title)
 
 
 # ---------------------------------------------------------------------------
@@ -1174,6 +1390,10 @@ def analyze_document(data: bytes | None, minhash_k: int = 64) -> dict:
             else:
                 ex = ExtractResult("", doc_type, "empty", 3, title)
         meta = _metadata_from_parse(b, ct, cs, parser, title)
+    elif ct == "pdf":
+        # route directly (extract_main_text would re-sniff the magic bytes)
+        ex = extract_pdf_text(b)
+        meta = extract_metadata(b)
     else:
         ex = extract_main_text(b)
         meta = extract_metadata(b)

@@ -672,6 +672,65 @@ FROM w
 """
 
 
+def _synth_pdfs(spark, sf_dir):
+    """Deterministic single-page PDFs synthesized natively from `documents`
+    (uncompressed content stream — Catalyst can't deflate; the FlateDecode
+    path is pytest-covered with real zlib streams in tests/test_pdf.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    content = F.concat(
+        F.lit("BT /F1 12 Tf 72 720 Td (doc "), did,
+        F.lit(") Tj 0 -14 Td ("), F.col("text"), F.lit(") Tj ET"),
+    )
+    pdf = F.concat(
+        F.lit(
+            "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+            "4 0 obj << /Length "
+        ),
+        F.length(content).cast("string"),
+        F.lit(" >>\nstream\n"),
+        content,
+        F.lit("\nendstream\nendobj\n5 0 obj << /Title (doc "),
+        did,
+        F.lit(") >> endobj\ntrailer << /Root 1 0 R /Info 5 0 R >>\n%%EOF\n"),
+    )
+    return docs.select("doc_id", F.encode(pdf, "utf-8").alias("html"))
+
+
+def q_pdf_extract(spark, sf_dir):
+    """PDF layout parse end-to-end through the fused analysis UDF (the
+    north_rule's 'PDF/layout parse' target): synthesized one-page PDFs ->
+    extracted text/title/status, value-checked against the analytically
+    expected layout lines."""
+    pages = _spread(_synth_pdfs(spark, sf_dir))
+    return pages.withColumn("a", page_analysis("html")).select(
+        "doc_id",
+        F.col("a.extract.text").alias("ext_text"),
+        F.col("a.extract.doc_type").alias("doc_type"),
+        F.col("a.extract.status").alias("status"),
+        F.col("a.extract.title").alias("title"),
+        F.col("a.extract.description").alias("description"),
+        F.col("a.sniff.content_type").alias("content_type"),
+    )
+
+
+SQL_PDF_EXTRACT = r"""
+WITH t AS (
+  SELECT doc_id, TRIM(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+  FROM documents)
+SELECT doc_id,
+       'doc ' || doc_id || chr(10) || norm AS ext_text,
+       'pdf' AS doc_type,
+       'success' AS status,
+       'doc ' || doc_id AS title,
+       'doc ' || doc_id AS description,
+       'pdf' AS content_type
+FROM t
+"""
+
+
 def q_filename_cascade(spark, sf_dir):
     """M10 filename cascade, value-checked: 'An icon of a <tok>' must
     slugify to 'icon-<tok>' (render.py:119-125 semantics)."""
@@ -975,6 +1034,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_lang": (q_doc_lang, _lang_sql()),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD),
     "extract_synth": (q_extract_synth, SQL_EXTRACT_SYNTH),
+    "pdf_extract": (q_pdf_extract, SQL_PDF_EXTRACT),
     "filename_cascade": (q_filename_cascade, SQL_FILENAME_CASCADE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),

@@ -206,8 +206,12 @@ def test_extract_truncated_is_lenient():
 
 
 def test_extract_non_html_skipped():
+    # PDFs now route through the layout parser (round 2); streamless bytes
+    # yield an explicit empty result, not "skipped"
     r = pure.extract_main_text(b"%PDF-1.4 binary")
-    assert r.status == "skipped" and r.doc_type == "pdf" and r.text == ""
+    assert r.status == "empty" and r.doc_type == "pdf" and r.text == ""
+    r2 = pure.extract_main_text(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    assert r2.status == "skipped" and r2.doc_type == "png" and r2.text == ""
 
 
 def test_extract_empty():
