@@ -71,21 +71,37 @@ def write_commit_marker(base: str, run_id: str, committed_at: dt.datetime) -> No
     os.rename(tmp, os.path.join(p, f"{run_id}.json"))  # atomic commit point
 
 
-def recover(base: str) -> list[str]:
-    """Drop analysis output of crashed (uncommitted) runs. Returns the
-    run_ids that were rolled back."""
-    ap = _analysis_path(base)
-    if not os.path.isdir(ap):
+def _purge_run_dirs(root: str, keep: set[str]) -> list[str]:
+    """Delete run_id=<id> partition dirs under ``root`` whose id is not in
+    ``keep``. Returns the purged ids."""
+    if not os.path.isdir(root):
         return []
-    committed = list_committed(base)
-    rolled = []
-    for d in os.listdir(ap):
+    purged = []
+    for d in os.listdir(root):
         if not d.startswith("run_id="):
             continue
         run_id = d.split("=", 1)[1]
-        if run_id not in committed:
-            shutil.rmtree(os.path.join(ap, d), ignore_errors=True)
-            rolled.append(run_id)
+        if run_id not in keep:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            purged.append(run_id)
+    return purged
+
+
+def recover(base: str) -> list[str]:
+    """Drop ALL output of crashed (uncommitted) runs: the analysis
+    partitions AND the _lineage/processed + _lineage/partitions rows (both
+    are partitioned by run_id exactly so this physical purge is possible).
+    Without the lineage purge, a crash between commit_lineage() and
+    write_commit_marker() followed by a retry of the same run_id would make
+    the crashed attempt's rows visible once the retry commits — processed
+    double-entries and double-counted counters (round-1 ADVICE, medium).
+    Returns the run_ids that were rolled back."""
+    committed = list_committed(base)
+    rolled = _purge_run_dirs(_analysis_path(base), committed)
+    for extra in _purge_run_dirs(_processed_path(base), committed):
+        if extra not in rolled:
+            rolled.append(extra)
+    _purge_run_dirs(_partitions_path(base), committed)
     return rolled
 
 
@@ -123,11 +139,14 @@ def commit_lineage(
     committed_at: dt.datetime,
     attempt: int = 1,
 ) -> None:
-    """Append processed-set rows and per-bucket counters. ``committed_at`` is
-    a job parameter, never wall clock read inside the job (SURVEY.md §7.3)."""
+    """Append processed-set rows and per-bucket counters, PARTITIONED BY
+    run_id — recover() physically drops uncommitted attempts' partitions, so
+    a crashed append can never become visible through a later retry of the
+    same run_id. ``committed_at`` is a job parameter, never wall clock read
+    inside the job (SURVEY.md §7.3)."""
     analysis.select("url", "sha", F.lit(run_id).alias("run_id")).write.mode(
         "append"
-    ).parquet(_processed_path(base))
+    ).partitionBy("run_id").parquet(_processed_path(base))
     counters = (
         analysis.groupBy("bucket")
         .agg(
@@ -147,13 +166,63 @@ def commit_lineage(
             F.lit(committed_at).alias("committed_at"),
         )
     )
-    counters.write.mode("append").parquet(_partitions_path(base))
+    counters.write.mode("append").partitionBy("run_id").parquet(
+        _partitions_path(base)
+    )
 
 
 def read_lineage(spark: SparkSession, base: str) -> DataFrame:
-    df = spark.read.parquet(_partitions_path(base))
+    # explicit schema: partition-column inference would type a numeric-
+    # looking run_id dir name as INT and break the committed-set filter
+    df = spark.read.schema(S.LINEAGE).parquet(_partitions_path(base))
     committed = sorted(list_committed(base))
     return df.where(F.col("run_id").isin(committed)) if committed else df.limit(0)
+
+
+def expire_runs(
+    base: str,
+    keep_last_n: int | None = None,
+    older_than: dt.datetime | None = None,
+) -> list[str]:
+    """Retention GC (reference artifact retention policy,
+    /root/reference/src/core/artifact_guard.py:519-588): drop the analysis
+    output, lineage rows, and commit markers of expired runs. A run expires
+    when it falls outside the newest ``keep_last_n`` commits (by commit
+    time, ties by run_id) or its commit time is before ``older_than``.
+    Expired urls leave the processed set — re-submitting those pages
+    re-processes them, the standard artifact-retention trade. Surviving
+    runs keep exactly-once semantics (pytest: expire -> resume)."""
+    commits = []
+    cp = _commits_path(base)
+    if not os.path.isdir(cp):
+        return []
+    for f in os.listdir(cp):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(cp, f)) as fh:
+            doc = json.load(fh)
+        commits.append(
+            (dt.datetime.fromisoformat(doc["committed_at"]), doc["run_id"])
+        )
+    commits.sort()
+    expired: list[str] = []
+    if keep_last_n is not None and len(commits) > keep_last_n:
+        expired.extend(r for _, r in commits[: len(commits) - keep_last_n])
+    if older_than is not None:
+        expired.extend(r for t, r in commits if t < older_than)
+    expired = sorted(set(expired))
+    if not expired:
+        return []
+    keep = {r for _, r in commits if r not in expired}
+    _purge_run_dirs(_analysis_path(base), keep)
+    _purge_run_dirs(_processed_path(base), keep)
+    _purge_run_dirs(_partitions_path(base), keep)
+    for r in expired:  # markers last: a crash mid-purge re-expires cleanly
+        try:
+            os.remove(os.path.join(cp, f"{r}.json"))
+        except FileNotFoundError:
+            pass
+    return expired
 
 
 def run_resumable(

@@ -130,6 +130,20 @@ def _fingerprint_batch(text: pd.Series) -> pd.Series:
     )
 
 
+def _fingerprint_full_batch(text: pd.Series) -> pd.Series:
+    """Dense variant: keep EVERY 8-token window hash (keep_mod=1), distinct.
+    The shared-count between two docs then equals their shared distinct
+    8-gram count — exactly recomputable in SQL (the correctness hook the
+    sparse winnowing form cannot offer). The sparse form (keep_mod=16)
+    remains the 100-TB scale path."""
+    out = []
+    for t in text:
+        hs = pure.rolling_fingerprint(t, window=8, keep_mod=1) if t else []
+        seen: dict[int, None] = dict.fromkeys(_to_i64(h) for h in hs)
+        out.append(list(seen))
+    return pd.Series(out)
+
+
 # standalone fingerprint UDFs for text that is already extracted
 # (DataType objects, not DDL strings — string parsing needs a live session)
 from pyspark.sql.types import ArrayType, LongType  # noqa: E402
@@ -137,6 +151,7 @@ from pyspark.sql.types import ArrayType, LongType  # noqa: E402
 minhash_udf = F.pandas_udf(_minhash_batch, ArrayType(LongType()))
 simhash_udf = F.pandas_udf(_simhash_batch, LongType())
 fingerprint_udf = F.pandas_udf(_fingerprint_batch, ArrayType(LongType()))
+fingerprint_full_udf = F.pandas_udf(_fingerprint_full_batch, ArrayType(LongType()))
 
 
 def with_analysis(pages_df):

@@ -22,6 +22,23 @@ from pyspark.sql import functions as F
 
 DEFAULT_MAX_BUCKET = 64  # max candidate-bucket width before the cap kicks in
 
+# Pair relations are persisted so the signature UDF never re-executes per
+# join branch; the (much larger) signature caches are dropped as soon as the
+# pairs materialize. The small pairs caches are registered here so
+# long-lived sessions (corpus increments, the driver's registry sweep) can
+# reclaim them — round-1 ADVICE: persist() without unpersist() accumulated
+# cached blocks across invocations.
+_PAIR_CACHES: list = []
+
+
+def release_pair_caches() -> int:
+    """Unpersist every pair cache created by the near-dup operators.
+    Safe at any time: a released pairs DataFrame recomputes on next use."""
+    n = len(_PAIR_CACHES)
+    while _PAIR_CACHES:
+        _PAIR_CACHES.pop().unpersist()
+    return n
+
 
 def exact_dedup(df: DataFrame, key: str = "sha", order: str = "url") -> DataFrame:
     """Adds is_canonical / dup_of / dup_count via one shuffle on ``key``.
@@ -61,10 +78,12 @@ def minhash_band_pairs(
     signature UDF would re-execute once per join branch (a, b, and the
     bucket-size guard) — a 4× Python-cost bug at 100-TB scale. In production
     the signatures land in their own table first; persist() is the in-job
-    equivalent.
+    equivalent. The returned pairs are materialized eagerly so the banded
+    cache is released before returning; the pairs cache itself registers
+    with release_pair_caches() for explicit reclamation.
     """
     r = F.floor(F.size(minhash_col) / F.lit(bands)).cast("int")
-    banded = (
+    banded_cached = (
         df.select(id_col, minhash_col)
         .where(F.size(minhash_col) > 0)
         .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
@@ -80,8 +99,8 @@ def minhash_band_pairs(
         .select(id_col, minhash_col, "band_key")
     ).persist()
     # skew guard: cap bucket width; wide buckets are host-spam clusters
-    bucket_sizes = banded.groupBy("band_key").agg(F.count("*").alias("_bw"))
-    banded = banded.join(
+    bucket_sizes = banded_cached.groupBy("band_key").agg(F.count("*").alias("_bw"))
+    banded = banded_cached.join(
         F.broadcast(bucket_sizes.where(F.col("_bw") > max_bucket)),
         "band_key",
         "left_anti",
@@ -113,6 +132,10 @@ def minhash_band_pairs(
         .where(F.col("jaccard_est") >= min_jaccard)
         .select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
     )
+    pairs = pairs.persist()
+    pairs.count()  # materialize now so the wide signature cache can drop
+    banded_cached.unpersist()
+    _PAIR_CACHES.append(pairs)
     return pairs
 
 
@@ -129,9 +152,10 @@ def simhash_near_dups(
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    # persist: the simhash UDF would otherwise recompute per join branch
-    keyed = df.select(id_col, simhash_col).where(F.col(simhash_col) != 0).persist()
-    keyed = keyed.withColumn(
+    # persist: the simhash UDF would otherwise recompute per join branch;
+    # released after the eager checkpoint below (round-1 ADVICE)
+    sig_cached = df.select(id_col, simhash_col).where(F.col(simhash_col) != 0).persist()
+    keyed = sig_cached.withColumn(
         "chunk", F.explode(F.sequence(F.lit(0), F.lit(chunks - 1)))
     ).withColumn(
         "chunk_key",
@@ -150,7 +174,7 @@ def simhash_near_dups(
     b = keyed.select(
         "chunk_key", F.col(id_col).alias("id_b"), F.col(simhash_col).alias("sh_b")
     )
-    return (
+    pairs = (
         a.join(b, "chunk_key")
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -158,3 +182,8 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    pairs = pairs.persist()
+    pairs.count()  # materialize now so the signature cache can drop
+    sig_cached.unpersist()
+    _PAIR_CACHES.append(pairs)
+    return pairs

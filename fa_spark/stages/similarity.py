@@ -136,16 +136,28 @@ def kmeans_centroids(
     iters: int = 5,
     sample: int = 2048,
     seed: int = 42,
+    id_col: str = "vec_id",
+    sample_mod: int = 16,
 ) -> list[list[float]]:
     """Deterministic driver-side Lloyd iterations on a fixed sample — the
-    coarse quantizer for IVF. At 100-TB scale the sample is a `.limit()` over
-    a bucketed scan (cheap); the k centroids are broadcast, never shuffled."""
+    coarse quantizer for IVF. The sample is a HASH filter on the id column
+    (`pmod(xxhash64(id), sample_mod) == 0`) — a pure scan+filter that prunes
+    without any global sort (the round-1 `orderBy(vec[0]).limit()` seed was a
+    full-table sort at scale). The filtered rows are sorted driver-side by id
+    (cheap: ≈ n/sample_mod rows) so the seed set is independent of partition
+    order; `limit(sample * 4)` is only a safety bound against a mis-sized
+    sample_mod. In production the centroids land in their own table once;
+    this is the in-job equivalent."""
     import numpy as np
 
     rows = (
-        vectors.select(vec_col).orderBy(F.col(vec_col).getItem(0)).limit(sample).collect()
+        vectors.select(id_col, vec_col)
+        .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+        .limit(sample * 4)
+        .collect()
     )
-    X = np.array([r[0] for r in rows], dtype=np.float64)
+    rows = sorted(rows, key=lambda r: r[0])[:sample]
+    X = np.array([r[1] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
     for _ in range(iters):
@@ -190,14 +202,19 @@ def ivf_topk(
     n_lists: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: inverted lists = centroid cells; each query
     probes its ``nprobe`` nearest cells. The vectors relation is scanned once
     with a narrow `cell` column; the join key is the cell id — candidate
-    count ≈ N * nprobe / n_lists per query instead of N."""
+    count ≈ N * nprobe / n_lists per query instead of N.
+
+    ``centroids`` overrides the k-means quantizer (e.g. a pre-trained or
+    data-row codebook); default trains k-means on a hash-sampled seed set."""
     import numpy as np
 
-    centroids = kmeans_centroids(vectors, vec_col, k=n_lists, seed=seed)
+    if centroids is None:
+        centroids = kmeans_centroids(vectors, vec_col, k=n_lists, seed=seed, id_col=id_col)
     v = vectors.withColumn("cell", _nearest_centroid(vec_col, centroids))
 
     # driver-side probe list per query cell ordering is data-independent:

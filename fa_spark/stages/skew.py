@@ -28,15 +28,18 @@ def salted_counts(
 ) -> DataFrame:
     """groupBy(key).agg(count, sum(cols)) via a two-phase salted shuffle.
 
-    ``salt_source``: a high-cardinality column whose hash spreads the rows
-    (default: a deterministic hash of all of phase-1's grouping inputs via
-    xxhash64 over the sum columns + key; falls back to spark_partition_id,
-    which is stable for a deterministic scan order).
+    ``salt_source``: a high-cardinality column whose hash spreads the rows.
+    Default (None): xxhash64 over the key + every sum column — deterministic
+    and row-content-based, so a hot key concentrated in few input partitions
+    still fans out across ``salt`` reducers. Caveat: rows whose key AND sum
+    columns are all identical hash to one bucket; pass an id-like
+    ``salt_source`` when the aggregated columns carry no entropy.
     """
     if salt_source:
         bucket = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt))
     else:
-        bucket = F.pmod(F.spark_partition_id(), F.lit(salt))
+        cols = [F.col(key_col)] + [F.col(c) for c in sum_cols]
+        bucket = F.pmod(F.xxhash64(*cols), F.lit(salt))
     partial = (
         df.withColumn("_salt", bucket)
         .groupBy(key_col, "_salt")

@@ -99,6 +99,67 @@ def test_recover_is_noop_on_committed(spark, pages_df, base):
     assert lineage.read_analysis(spark, base).count() == 50
 
 
+def test_crash_retry_same_run_id_no_double_count(spark, pages_df, base):
+    """Regression (round-1 ADVICE, medium): crashed attempt appends lineage
+    rows, then the SAME run_id retries and commits — the crashed attempt's
+    processed/partitions rows must not become visible (double counting)."""
+    from fa_spark.pipeline import JobConfig, analyze_pages
+
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang").limit(80)
+    # crashed attempt: analysis + lineage appended, marker NOT written
+    analysis = analyze_pages(pages, JobConfig(run_id="run-x")).persist()
+    analysis.write.mode("append").partitionBy("run_id", "bucket").parquet(
+        os.path.join(base, "analysis")
+    )
+    lineage.commit_lineage(analysis, base, "run-x", TS1)
+    analysis.unpersist()
+
+    # retry of the SAME run_id (standard scheduler behavior)
+    lineage.run_resumable(spark, pages, base, "run-x", TS2)
+
+    processed = lineage.read_processed(spark, base)
+    assert processed.count() == 80  # not 160
+    assert processed.groupBy("url", "sha").count().where("count > 1").count() == 0
+    lin = lineage.read_lineage(spark, base)
+    assert sum(r["input_rows"] for r in lin.collect()) == 80  # not 160
+
+
+def test_expire_runs_retention(spark, pages_df, base):
+    """expire_runs drops old runs' analysis + lineage + markers; surviving
+    runs keep exactly-once on resume."""
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang")
+    p1 = pages.limit(40)
+    p2 = pages.limit(80)  # superset: second run processes the remainder
+    lineage.run_resumable(spark, p1, base, "run-1", TS1)
+    lineage.run_resumable(spark, p2, base, "run-2", TS2)
+    assert lineage.read_analysis(spark, base).count() == 80
+
+    expired = lineage.expire_runs(base, keep_last_n=1)
+    assert expired == ["run-1"]
+    assert lineage.list_committed(base) == {"run-2"}
+    out = lineage.read_analysis(spark, base)
+    assert out.count() == 40  # only run-2's increment survives
+    assert {r["run_id"] for r in out.select("run_id").distinct().collect()} == {
+        "run-2"
+    }
+    # processed set shrank with it; expired urls would be re-processed
+    assert lineage.read_processed(spark, base).count() == 40
+
+    # resume after expiry: still exactly-once for surviving + re-ingested rows
+    lineage.run_resumable(spark, p2, base, "run-3", TS2)
+    out = lineage.read_analysis(spark, base)
+    assert out.count() == 80
+    assert out.groupBy("url").count().where("count > 1").count() == 0
+
+
+def test_expire_runs_older_than(spark, pages_df, base):
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang").limit(30)
+    lineage.run_resumable(spark, pages, base, "run-1", TS1)
+    assert lineage.expire_runs(base, older_than=TS1) == []  # strict <
+    assert lineage.expire_runs(base, older_than=TS2) == ["run-1"]
+    assert lineage.list_committed(base) == set()
+
+
 def test_partition_counters(spark, pages_df, base):
     pages = pages_df.select("url", "warc_ts", "html", "text", "lang")
     lineage.run_resumable(spark, pages, base, "run-1", TS1)
