@@ -1,0 +1,209 @@
+"""Operator CLI — the spark-submit surface of the engine.
+
+The reference layers config.json + env + CLI flags and exposes
+include/exclude globs, mode and output options on its `analyze` command
+(/root/reference/src/cli/analyze/main.py:124-231,
+ /root/reference/src/cli/common/config.py:100-121). This maps that UX onto
+job parameters for the Spark rebuild:
+
+    spark-submit --py-files fa_spark.zip jobs/cli_job.py analyze \
+        --input pages.parquet --output out/ --run-id r1 \
+        --include 'https://host1*' --exclude '*spam*' --limit 10000
+
+    spark-submit --py-files fa_spark.zip jobs/cli_job.py corpus \
+        --input pages.parquet --output corpus/ --langs en,de \
+        --min-words 20 --near-dup-jaccard 0.8 --report-json report.json
+
+    python -m fa_spark.cli query --name pricing_summary \
+        --sf-dir /root/testdata/sf0.01 --limit 5
+
+Flag precedence is CLI > env (FA_SPARK_<FLAG>) > built-in default — the
+reference's three-layer config resolution, without a config file (job
+parameters belong in the scheduler, not a mutable file, at cluster scale).
+All timestamps are explicit parameters; the only wall-clock read is the
+documented --committed-at default on the driver, resolved once.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import sys
+
+
+def _env_default(flag: str, fallback):
+    """Env layer: FA_SPARK_MIN_WORDS=30 overrides the built-in default but
+    loses to an explicit CLI flag (argparse default mechanism)."""
+    raw = os.environ.get("FA_SPARK_" + flag.upper().replace("-", "_"))
+    if raw is None:
+        return fallback
+    if isinstance(fallback, bool):
+        return raw.lower() in ("1", "true", "yes")
+    if isinstance(fallback, int):
+        return int(raw)
+    if isinstance(fallback, float):
+        return float(raw)
+    return raw
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="fa-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--input", required=True, help="pages parquet/Iceberg path")
+        p.add_argument("--include", action="append", default=None,
+                       help="fnmatch url glob; repeatable; must match >=1")
+        p.add_argument("--exclude", action="append", default=None,
+                       help="fnmatch url glob; repeatable; must match none")
+        p.add_argument("--extensions", default=_env_default("extensions", ""),
+                       help="comma list; empty = no extension filter")
+        p.add_argument("--limit", type=int, default=None,
+                       help="deterministic cap (orderBy url, limit)")
+        p.add_argument("--buckets", type=int, default=_env_default("buckets", 64))
+        p.add_argument("--cores", type=int, default=None,
+                       help="local[N] when no master is configured")
+
+    pa = sub.add_parser("analyze", help="resumable analysis increment")
+    common(pa)
+    pa.add_argument("--output", required=True, help="analysis base dir")
+    pa.add_argument("--run-id", required=True)
+    pa.add_argument("--committed-at", default=None, help="ISO timestamp")
+
+    pc = sub.add_parser("corpus", help="end-to-end training-corpus build")
+    common(pc)
+    pc.add_argument("--output", required=True, help="corpus parquet dir")
+    pc.add_argument("--langs", default=_env_default("langs", "en"),
+                    help="comma list of allowed detected languages")
+    pc.add_argument("--min-words", type=int,
+                    default=_env_default("min-words", 20))
+    pc.add_argument("--min-uniq-ratio", type=float,
+                    default=_env_default("min-uniq-ratio", 0.3))
+    pc.add_argument("--min-alpha-ratio", type=float,
+                    default=_env_default("min-alpha-ratio", 0.5))
+    pc.add_argument("--near-dup-jaccard", type=float,
+                    default=_env_default("near-dup-jaccard", 0.8))
+    pc.add_argument("--report-json", default=None,
+                    help="also write the funnel report to this path")
+
+    pq = sub.add_parser("query", help="run a registry query")
+    pq.add_argument("--name", required=True)
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pq.add_argument("--limit", type=int, default=20)
+    pq.add_argument("--cores", type=int, default=None)
+
+    pe = sub.add_parser("expire", help="lineage retention GC")
+    pe.add_argument("--output", required=True, help="analysis base dir")
+    pe.add_argument("--keep-last-n", type=int, default=None)
+    pe.add_argument("--older-than", default=None, help="ISO timestamp")
+    return ap
+
+
+def _session(app: str, cores: int | None):
+    """Under spark-submit the master/conf arrive via system properties
+    (SparkConf picks them up); a bare python invocation falls back to the
+    tuned local session."""
+    from pyspark import SparkConf
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    if SparkConf().contains("spark.master"):
+        return SparkSession.builder.appName(app).getOrCreate()
+    from fa_spark.pipeline import default_session
+
+    return default_session(app=app, cores=cores)
+
+
+def _filtered_pages(spark, args):
+    from fa_spark import sources
+
+    pages = sources.read_pages(spark, args.input)
+    pages = sources.glob_filter(pages, args.include, args.exclude)
+    exts = [e for e in (args.extensions or "").split(",") if e]
+    if exts:
+        pages = sources.extension_filter(pages, set(exts))
+    if args.limit:
+        pages = sources.capped(pages, args.limit)
+    return pages
+
+
+def cmd_analyze(args) -> dict:
+    from fa_spark.lineage import run_resumable
+    from fa_spark.pipeline import JobConfig, summary
+
+    committed_at = (
+        dt.datetime.fromisoformat(args.committed_at)
+        if args.committed_at
+        else dt.datetime.now(dt.timezone.utc)  # resolved ONCE on the driver
+    )
+    spark = _session(f"fa-analyze-{args.run_id}", args.cores)
+    pages = _filtered_pages(spark, args)
+    analysis = run_resumable(
+        spark, pages, args.output, args.run_id, committed_at,
+        JobConfig(run_id=args.run_id, buckets=args.buckets),
+    )
+    rows = summary(analysis).collect()
+    return rows[0].asDict() if rows else {"analyses": 0}
+
+
+def cmd_corpus(args) -> dict:
+    from fa_spark.corpus import build_corpus, CorpusConfig
+    from fa_spark.pipeline import JobConfig
+
+    spark = _session("fa-corpus", args.cores)
+    pages = _filtered_pages(spark, args)
+    cfg = CorpusConfig(
+        langs=tuple(x for x in args.langs.split(",") if x),
+        min_words=args.min_words,
+        min_uniq_ratio=args.min_uniq_ratio,
+        min_alpha_ratio=args.min_alpha_ratio,
+        near_dup_jaccard=args.near_dup_jaccard,
+        job=JobConfig(run_id="corpus-cli", buckets=args.buckets),
+    )
+    corpus, report = build_corpus(pages, cfg)
+    corpus.write.mode("overwrite").parquet(args.output)
+    payload = report.collect()[0].asDict()
+    if args.report_json:
+        with open(args.report_json, "w") as f:
+            json.dump(payload, f)
+    return payload
+
+
+def cmd_query(args) -> dict:
+    from fa_spark.queries import REGISTRY
+
+    if args.name not in REGISTRY:
+        raise SystemExit(
+            f"unknown query {args.name!r}; available: {', '.join(sorted(REGISTRY))}"
+        )
+    spark = _session(f"fa-query-{args.name}", args.cores)
+    df = REGISTRY[args.name][0](spark, args.sf_dir)
+    rows = [r.asDict() for r in df.limit(args.limit).collect()]
+    return {"query": args.name, "n_shown": len(rows), "rows": rows}
+
+
+def cmd_expire(args) -> dict:
+    from fa_spark.lineage import expire_runs
+
+    older = dt.datetime.fromisoformat(args.older_than) if args.older_than else None
+    expired = expire_runs(args.output, keep_last_n=args.keep_last_n, older_than=older)
+    return {"expired": expired}
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    out = {
+        "analyze": cmd_analyze,
+        "corpus": cmd_corpus,
+        "query": cmd_query,
+        "expire": cmd_expire,
+    }[args.cmd](args)
+    print(json.dumps(out, default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -87,13 +87,16 @@ def write_analysis(df: DataFrame, path: str, mode: str = "append") -> None:
 def summary(df: DataFrame) -> DataFrame:
     """Session-summary aggregation (reference A2/A5,
     /root/reference/src/models/analyzer.py:286-299): one partial+final agg."""
+    def _sum(col):
+        return F.coalesce(F.sum(col), F.lit(0))  # empty increment -> 0, not null
+
     return df.agg(
         F.count("*").alias("analyses"),
-        F.sum(
+        _sum(
             (F.col("extract.status").isin("success", "success_lenient")).cast("long")
         ).alias("successful"),
-        F.sum((F.col("extract.status") == "error").cast("long")).alias("failed"),
-        F.sum((~F.col("is_canonical")).cast("long")).alias("duplicates"),
-        F.sum((F.size("sigs") > 0).cast("long")).alias("flagged"),
-        F.sum("html_bytes").alias("bytes_scanned"),
+        _sum((F.col("extract.status") == "error").cast("long")).alias("failed"),
+        _sum((~F.col("is_canonical")).cast("long")).alias("duplicates"),
+        _sum((F.size("sigs") > 0).cast("long")).alias("flagged"),
+        _sum("html_bytes").alias("bytes_scanned"),
     )
