@@ -112,6 +112,8 @@ HEADLINE = [
     "ann_topk",
     "minhash_near_dups",
     "extract_synth",
+    "pdf_extract",  # added round 2 (north_rule "PDF/layout parse") — totals
+                    # are NOT comparable to BENCH_r01 without subtracting it
 ]
 
 
@@ -243,13 +245,20 @@ SCALE_4N = 8
 
 
 def bench_scaling_paired(
-    sf_dir: str, rounds: int = 2, multiplier: int | None = None
+    sf_dir: str,
+    rounds: int = 2,
+    multiplier: int | None = None,
+    scale_n: int = SCALE_N,
+    scale_4n: int = SCALE_4N,
 ) -> dict:
-    """Interleaved N/4N measurement: each round runs a 4-core sample and a
-    16-core sample back-to-back, so host-contention drift (±20% over minutes
-    on this shared VM) hits both sides of the ratio equally. Efficiency =
-    median of per-round ratios — robust where sequential same-level batches
-    are not."""
+    """Interleaved N/4N measurement: each round runs both levels back-to-back,
+    so host-contention drift (±20% over minutes on this shared VM) hits both
+    sides of the ratio equally. Efficiency = median of per-round ratios —
+    robust where sequential same-level batches are not. ``scale_n``/
+    ``scale_4n`` select the geometry: 2v8 is the official gate (headroom for
+    JVM service threads, below the single-box memory-bus ceiling); 8v32 is
+    also published for transparency with the bus-ceiling caveat
+    (SURVEY §5.2 as written; VERDICT round-1 item 5)."""
     if multiplier is None:
         multiplier = max(1, 100_000 // max(count_docs(sf_dir), 1))
     pages_path = "/tmp/fa_bench_pages.parquet"
@@ -259,30 +268,32 @@ def bench_scaling_paired(
     for _ in range(rounds):
         # repeat=2 -> best-of-2 per level per round: transient host co-tenancy
         # spikes a single sample by 20%+; min-of-2 filters it
-        lo = extraction_throughput(SCALE_N, pages_path, n, repeat=2)
-        hi = extraction_throughput(SCALE_4N, pages_path, n, repeat=2)
+        lo = extraction_throughput(scale_n, pages_path, n, repeat=2)
+        hi = extraction_throughput(scale_4n, pages_path, n, repeat=2)
         lo_samples.append(lo["secs"]["min"])
         hi_samples.append(hi["secs"]["min"])
-        ratios.append((lo["secs"]["min"] / hi["secs"]["min"]) / (SCALE_4N / SCALE_N))
+        ratios.append((lo["secs"]["min"] / hi["secs"]["min"]) / (scale_4n / scale_n))
     eff = statistics.median(ratios)
     med_lo = statistics.median(lo_samples)
     med_hi = statistics.median(hi_samples)
     return {
-        "metric": f"extraction docs/sec scaling local[{SCALE_N}] -> local[{SCALE_4N}] (paired rounds)",
+        "metric": f"extraction docs/sec scaling local[{scale_n}] -> local[{scale_4n}] (paired rounds)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": sf_dir,
+        "scale_n": scale_n,
+        "scale_4n": scale_4n,
         "rounds": [round(r, 3) for r in ratios],
-        f"local{SCALE_N}": {
-            "cores": SCALE_N,
+        f"local{scale_n}": {
+            "cores": scale_n,
             "n_docs": n,
             "secs": {"median": round(med_lo, 3), "min": round(min(lo_samples), 3),
                      "mean": round(statistics.mean(lo_samples), 3),
                      "max": round(max(lo_samples), 3)},
             "docs_per_sec": round(n / med_lo, 1),
         },
-        f"local{SCALE_4N}": {
-            "cores": SCALE_4N,
+        f"local{scale_4n}": {
+            "cores": scale_4n,
             "n_docs": n,
             "secs": {"median": round(med_hi, 3), "min": round(min(hi_samples), 3),
                      "mean": round(statistics.mean(hi_samples), 3),
@@ -312,18 +323,20 @@ def bench_scaling(sf_dir: str, repeat: int = 5, multiplier: int | None = None) -
     }
 
 
-def write_baseline_md(result: dict) -> None:
+def write_baseline_md(result: dict, note: str = "") -> None:
     os.makedirs("BENCH", exist_ok=True)
-    lo, hi = result[f"local{SCALE_N}"], result[f"local{SCALE_4N}"]
+    sn, s4 = result.get("scale_n", SCALE_N), result.get("scale_4n", SCALE_4N)
+    lo, hi = result[f"local{sn}"], result[f"local{s4}"]
     rounds = f" · per-round ratios {result['rounds']}" if "rounds" in result else ""
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
             f"\n## Scaling run — sf_dir={result['sf']}, n_docs={lo['n_docs']}{rounds}\n\n"
             f"| cores | min s | median s | docs/sec |\n|---|---|---|---|\n"
-            f"| {SCALE_N} | {lo['secs']['min']} | {lo['secs']['median']} | {lo['docs_per_sec']} |\n"
-            f"| {SCALE_4N} | {hi['secs']['min']} | {hi['secs']['median']} | {hi['docs_per_sec']} |\n\n"
-            f"**Scaling efficiency ({SCALE_N}→{SCALE_4N} cores): {result['value']}** "
+            f"| {sn} | {lo['secs']['min']} | {lo['secs']['median']} | {lo['docs_per_sec']} |\n"
+            f"| {s4} | {hi['secs']['min']} | {hi['secs']['median']} | {hi['docs_per_sec']} |\n\n"
+            f"**Scaling efficiency ({sn}→{s4} cores): {result['value']}** "
             f"(gate ≥ 0.8 per BASELINE.json north_rule)\n"
+            + (f"\n{note}\n" if note else "")
         )
 
 
@@ -332,6 +345,9 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-wide", action="store_true",
+                    help="also run the 8v32 geometry (published with the "
+                         "single-box memory-bus caveat)")
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--multiplier", type=int, default=None)
     ap.add_argument("--worker-cores", type=int, default=None)
@@ -344,7 +360,20 @@ def main() -> None:
             args.worker_cores, args.pages_path, args.n_docs, args.repeat)))
         return
 
-    if args.scaling:
+    if args.scaling_wide:
+        result = bench_scaling_paired(
+            args.sf_dir, rounds=2, multiplier=args.multiplier,
+            scale_n=8, scale_4n=32,
+        )
+        write_baseline_md(
+            result,
+            note=("Caveat: 8v32 saturates this single box's shared memory bus "
+                  "(raw 4→32-process Python scaling tops at ~0.80 on this VM); "
+                  "a real cluster's 4N executors bring 4× memory bandwidth, one "
+                  "VM does not. Published for transparency alongside the "
+                  "official 2v8 gate (SURVEY §5.2 / round-1 VERDICT item 5)."),
+        )
+    elif args.scaling:
         result = bench_scaling_paired(args.sf_dir, rounds=2, multiplier=args.multiplier)
         write_baseline_md(result)
     else:

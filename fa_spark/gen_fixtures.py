@@ -37,12 +37,16 @@ NAV_LINKS = ("home", "about", "products", "contact", "login", "register",
              "privacy", "terms", "sitemap", "careers", "blog", "support")
 
 # Content-mix shares per FIXTURES.md §1 (cumulative over 100).
+# Round 2: 2% of the former non-HTML share became REAL single-page PDFs —
+# a CC-scale corpus is several percent PDF and the extractor now parses them
+# (north_rule "PDF/layout parse").
 CASES = (
     ("article", 60),
     ("boiler_heavy", 10),
     ("truncated", 8),
     ("spam", 6),
-    ("non_html", 5),
+    ("non_html", 3),
+    ("pdf", 2),
     ("bad_charset", 4),
     ("exact_dup", 3),
     ("near_dup", 2),
@@ -82,6 +86,25 @@ def _sidebar_html(rng: np.random.Generator) -> str:
         f'<p><a href="/x/{i}">{_sentence(rng, 3)}</a></p>' for i in range(k)
     )
     return f'<aside class="sidebar">{links}</aside>'
+
+
+def _pdf_page(title: str, paras: list[str]) -> bytes:
+    """Minimal real single-page PDF: catalog/pages/page objects, an
+    uncompressed content stream (title + one Tj line per paragraph), and an
+    /Info dict. ASCII-only by construction (WORDS vocabulary)."""
+    lines = [title] + paras
+    content = "BT /F1 12 Tf 72 720 Td " + " 0 -14 Td ".join(
+        f"({ln}) Tj" for ln in lines
+    ) + " ET"
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        f"4 0 obj << /Length {len(content)} >>\nstream\n{content}\nendstream\nendobj\n"
+        f"5 0 obj << /Title ({title}) >> endobj\n"
+        "trailer << /Root 1 0 R /Info 5 0 R >>\n%%EOF\n"
+    ).encode("ascii")
 
 
 def _article_html(rng: np.random.Generator, title: str, paras: list[str]) -> str:
@@ -161,6 +184,11 @@ def gen_pages(n_rows: int, seed: int = SEED, n_hosts: int = 200) -> pa.Table:
                 rng.integers(0, 256, size=int(rng.integers(64, 512))).astype(np.uint8)
             )
             gt = ""
+        elif case == "pdf":
+            paras = [_paragraph(rng) for _ in range(int(rng.integers(1, 4)))]
+            html = _pdf_page(title, paras)
+            gt = "\n".join([title] + paras)
+            url = url[: -len(".html")] + ".pdf"
         elif case == "bad_charset":
             para = _paragraph(rng) + " café naïve résumé"
             html = (

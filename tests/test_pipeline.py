@@ -93,10 +93,19 @@ def test_sniff_distribution(analysis, source_rows):
     got = dict(
         analysis.groupBy(F.col("sniff.content_type").alias("ct")).count().collect()
     )
-    # non_html cases must be detected as their magic type, not html
-    n_non_html = sum(1 for r in source_rows.values() if r["gt_case"] == "non_html")
+    # non_html + real-pdf cases must be detected by magic bytes, not as html
+    n_magic_cases = sum(
+        1 for r in source_rows.values() if r["gt_case"] in ("non_html", "pdf")
+    )
     n_magic = sum(v for k, v in got.items() if k in ("pdf", "png", "gif", "zip", "gzip"))
-    assert n_magic == n_non_html
+    assert n_magic == n_magic_cases
+    # the real-pdf share must actually extract (north_rule "PDF/layout parse")
+    pdf_ok = analysis.where(
+        (F.col("sniff.content_type") == "pdf")
+        & (F.col("extract.status") == "success")
+    ).count()
+    n_pdf = sum(1 for r in source_rows.values() if r["gt_case"] == "pdf")
+    assert pdf_ok == n_pdf > 0
 
 
 def test_tags_and_slug(analysis):
