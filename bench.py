@@ -345,6 +345,9 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--rounds", type=int, default=2,
+                    help="paired rounds for --scaling/--scaling-wide; more "
+                         "rounds = a more robust median under host drift")
     ap.add_argument("--scaling-wide", action="store_true",
                     help="also run the 8v32 geometry (published with the "
                          "single-box memory-bus caveat)")
@@ -362,7 +365,7 @@ def main() -> None:
 
     if args.scaling_wide:
         result = bench_scaling_paired(
-            args.sf_dir, rounds=2, multiplier=args.multiplier,
+            args.sf_dir, rounds=args.rounds, multiplier=args.multiplier,
             scale_n=8, scale_4n=32,
         )
         write_baseline_md(
@@ -374,7 +377,9 @@ def main() -> None:
                   "official 2v8 gate (SURVEY §5.2 / round-1 VERDICT item 5)."),
         )
     elif args.scaling:
-        result = bench_scaling_paired(args.sf_dir, rounds=2, multiplier=args.multiplier)
+        result = bench_scaling_paired(
+            args.sf_dir, rounds=args.rounds, multiplier=args.multiplier
+        )
         write_baseline_md(result)
     else:
         result = bench_once(args.cpus, args.sf_dir)

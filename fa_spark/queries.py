@@ -310,6 +310,86 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_asof_attribution(spark, sf_dir):
+    """Point-in-time attribution (as-of join — an operator Spark lacks
+    natively, composed union-sort-window in stages/joins.py): each purchase
+    event gets the user's most recent prior-or-simultaneous click. Oracle is
+    DuckDB's native ASOF LEFT JOIN over the same relations."""
+    from fa_spark.stages.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.round("value", 2).alias("click_value"),
+    )
+    out = asof_join(purchases, clicks, key="user_id", ts="ts", order_col="click_id")
+
+    def us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))  # events ts is NTZ
+
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        "click_value",
+        (us("ts") - us("_asof_ts")).alias("lag_us"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, click_id, click_value FROM (
+        SELECT user_id, ts, event_id AS click_id, ROUND(value, 2) AS click_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1)
+SELECT p.event_id, p.user_id, c.click_id, c.click_value,
+       (epoch_us(p.ts) - epoch_us(c.ts)) AS lag_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (80/10/10) by md5 bucket —
+    the split every training-data pipeline needs: reproducible across
+    engines and cluster sizes because it hashes row identity, never
+    partition or order. Pure Catalyst exprs (conv on an md5 prefix)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select(
+        "doc_id", "source", bucket.alias("bucket"), split.alias("split")
+    )
+
+
+# DuckDB has no base-16 conv(); the same 4 md5 hex digits are decoded by
+# digit position instead — value-identical to Spark's conv(...,16,10)
+_HEX_DIGIT = "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+_HEX4 = " + ".join(
+    f"{_HEX_DIGIT.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+)
+
+SQL_DATASET_SPLIT = f"""
+WITH b AS (SELECT doc_id, source, ({_HEX4}) % 100 AS bucket FROM documents)
+SELECT doc_id, source, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def q_part_type_stats(spark, sf_dir):
     """Agg + HAVING (post-aggregation filter pushdown check)."""
     part = _t(spark, sf_dir, "part")
@@ -940,27 +1020,33 @@ SQL_MUTANT_UNIVERSE = f"""
 """
 
 
-def _docs_with_mutants(spark, sf_dir):
+def _docs_with_mutants(spark, sf_dir, spread: bool = True):
     """documents ∪ mutated copies (id+100000, one sentence appended) so the
-    near-dup operators provably find the planted pairs."""
+    near-dup operators provably find the planted pairs. ``spread`` fans the
+    rows over all cores — needed upstream of a Python-UDF stage, pure
+    overhead (an extra exchange) for native-expression consumers."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutants = docs.where(F.col("doc_id") < N_MUTANTS).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(MUTANT_SUFFIX)).alias("text"),
     )
-    return _spread(docs.unionByName(mutants))
+    u = docs.unionByName(mutants)
+    return _spread(u) if spread else u
 
 
 def _exact_jaccard(pairs, universe, n: int, min_jaccard: float):
     """Attach the EXACT n-gram Jaccard to candidate (id_a, id_b) pairs by
     joining distinct gram sets — the SQL-checkable projection of a
-    hash-based candidate generator. Native array ops, no Python."""
+    hash-based candidate generator. Native array ops, no Python. The pairs
+    relation is tiny (LSH output) — broadcast it so each gram-set
+    attachment is a map-side join over one scan, no shuffle of gram
+    arrays."""
     sets = ngram_sets(universe, "doc_id", "text", n=n)
     ga = sets.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
     gb = sets.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
     return (
-        pairs.join(ga, "id_a")
+        F.broadcast(pairs).join(ga, "id_a")
         .join(gb, "id_b")
         .withColumn(
             "jaccard",
@@ -978,12 +1064,19 @@ def q_minhash_near_dups(spark, sf_dir):
     J=0.8 pair with p=(1-0.8^4)^16 ≈ 2e-4 and the measured recall on the
     fixed test tables is 100% (verified sf0.001 + sf0.01); est-filter is
     disabled so only the banding structure gates candidates."""
-    universe = _docs_with_mutants(spark, sf_dir)
-    df = universe.withColumn("minhash", minhash_udf("text"))
+    df = _docs_with_mutants(spark, sf_dir).withColumn(
+        "minhash", minhash_udf("text")
+    )
     cand = minhash_band_pairs(
         df, id_col="doc_id", bands=16, min_jaccard=0.0, max_bucket=4096
     ).select("id_a", "id_b")
-    return _exact_jaccard(cand, universe, n=2, min_jaccard=0.8)
+    # universe stays SPREAD here too: the sf tables are 1-3 parquet splits,
+    # and the native gram projection (tokenize + 2-gram transform + distinct)
+    # is the next-heaviest stage after the UDF — unspread it runs on 2 tasks
+    # (measured 2.5× slower end-to-end)
+    return _exact_jaccard(
+        cand, _docs_with_mutants(spark, sf_dir), n=2, min_jaccard=0.8
+    )
 
 
 SQL_MINHASH_NEAR_DUPS = f"""
@@ -1097,10 +1190,7 @@ def q_fingerprint_near_dups(spark, sf_dir):
     )
     from fa_spark.stages.dedup import _PAIR_CACHES
 
-    pairs = pairs.persist()
-    pairs.count()  # materialize now so the fingerprint cache can drop
-    fp_cached.unpersist()
-    _PAIR_CACHES.append(pairs)
+    _PAIR_CACHES.append(fp_cached)
     return pairs
 
 
@@ -1308,6 +1398,8 @@ REGISTRY: dict[str, tuple] = {
     "events_props": (q_events_props, SQL_EVENTS_PROPS),
     "events_json_path": (q_events_json_path, SQL_EVENTS_JSON_PATH),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "events_asof_attribution": (q_events_asof_attribution, SQL_EVENTS_ASOF),
+    "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "part_type_stats": (q_part_type_stats, SQL_PART_TYPE_STATS),
     "supplier_rank": (q_supplier_rank, SQL_SUPPLIER_RANK),
     "doc_top_tags": (q_doc_top_tags, SQL_DOC_TOP_TAGS),

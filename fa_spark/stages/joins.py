@@ -1,0 +1,70 @@
+"""Beyond-reference join operators Spark lacks natively.
+
+as-of join (point-in-time attribution): for each left row, the most recent
+right row of the same key with right.ts <= left.ts. Implemented as the
+union-sort-window composition — ONE shuffle on the key, no range explosion,
+no per-row Python:
+
+    left(side=1) ∪ right(side=0)
+    -> window partitionBy(key) orderBy(ts, side, order)
+       last(right value, ignorenulls) over rows unbounded-preceding..current
+    -> keep side=1
+
+This is the 100-TB-safe shape: a range-condition join (l.ts >= r.ts) would
+either cross-join within key (O(n·m) per key) or need an interval index;
+the union form is a single sort-based window over |L|+|R| rows. Skewed keys
+are bounded by the same salting/AQE story as any other key window.
+
+Tie semantics (pinned, matching DuckDB's ASOF JOIN after right-side
+(key, ts) dedup-to-max-order): right rows at ts == left.ts ARE visible
+(side 0 sorts before side 1); among right rows sharing (key, ts) the one
+with the greatest ``order_col`` wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    order_col: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """Left as-of join. ``right`` must contain (key, ts, order_col, value
+    columns); every non-(key, ts) right column is attached to each left row
+    from the most recent right row with right.ts <= left.ts (NULLs when no
+    such row — left-join semantics). ``order_col`` breaks ties among right
+    rows sharing (key, ts). Only ``backward`` is implemented (the
+    attribution direction); forward is the mirrored window."""
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+    value_cols = [c for c in right.columns if c not in (key, ts)]
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right value columns collide with left: {sorted(overlap)}")
+
+    l = left.withColumn("_side", F.lit(1)).withColumn("_ord", F.lit(None).cast("long"))
+    r = right.withColumn("_side", F.lit(0)).withColumn(
+        "_ord", F.col(order_col).cast("long")
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_ord").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        u = u.withColumn(
+            c, F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w)
+        )
+    # the matched right timestamp rides along for lag computations
+    u = u.withColumn(
+        "_asof_ts",
+        F.last(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True).over(w),
+    )
+    return u.where(F.col("_side") == 1).drop("_side", "_ord")

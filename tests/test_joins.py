@@ -1,0 +1,74 @@
+"""as-of join operator semantics (stages/joins.py): backward match,
+equal-ts visibility, duplicate-right-ts tie-break, no-match nulls, and the
+one-shuffle plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture()
+def frames(spark):
+    left = _df(
+        spark,
+        [("A", 0, 100), ("A", 2, 101), ("A", 3, 102), ("B", 6, 103), ("C", 9, 104)],
+        "k string, ts long, lid long",
+    )
+    right = _df(
+        spark,
+        [
+            ("A", 1, 10, 1.0),
+            ("A", 3, 11, 2.0),
+            ("B", 5, 20, 3.0),
+            ("B", 5, 21, 4.0),  # duplicate (k, ts): greatest order wins
+        ],
+        "k string, ts long, rid long, rv double",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark, frames):
+    from fa_spark.stages.joins import asof_join
+
+    left, right = frames
+    out = {
+        r["lid"]: (r["rid"], r["rv"], r["_asof_ts"])
+        for r in asof_join(left, right, key="k", ts="ts", order_col="rid").collect()
+    }
+    assert out[100] == (None, None, None)  # before any right row
+    assert out[101] == (10, 1.0, 1)  # strictly-prior match
+    assert out[102] == (11, 2.0, 3)  # equal ts IS visible (>= semantics)
+    assert out[103] == (21, 4.0, 5)  # duplicate right ts -> max order_col
+    assert out[104] == (None, None, None)  # key with no right rows at all
+
+
+def test_asof_preserves_left_rowcount(spark, frames):
+    from fa_spark.stages.joins import asof_join
+
+    left, right = frames
+    out = asof_join(left, right, key="k", ts="ts", order_col="rid")
+    assert out.count() == left.count()
+
+
+def test_asof_column_collision_rejected(spark, frames):
+    from fa_spark.stages.joins import asof_join
+
+    left, right = frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("rid", "lid"), "k", "ts", "lid")
+
+
+def test_asof_single_shuffle_plan(spark, frames):
+    """The union-sort-window form must plan exactly ONE exchange (on the
+    key) — the scale property that justifies it over a range join."""
+    from fa_spark.stages.joins import asof_join
+
+    left, right = frames
+    plan = asof_join(left, right, key="k", ts="ts", order_col="rid")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
