@@ -363,7 +363,14 @@ def main() -> None:
             args.worker_cores, args.pages_path, args.n_docs, args.repeat)))
         return
 
-    if args.scaling_wide:
+    results = []
+    if args.scaling:  # official gate geometry first
+        result = bench_scaling_paired(
+            args.sf_dir, rounds=args.rounds, multiplier=args.multiplier
+        )
+        write_baseline_md(result)
+        results.append(result)
+    if args.scaling_wide:  # additional wide geometry (NOT instead of --scaling)
         result = bench_scaling_paired(
             args.sf_dir, rounds=args.rounds, multiplier=args.multiplier,
             scale_n=8, scale_4n=32,
@@ -376,14 +383,11 @@ def main() -> None:
                   "VM does not. Published for transparency alongside the "
                   "official 2v8 gate (SURVEY §5.2 / round-1 VERDICT item 5)."),
         )
-    elif args.scaling:
-        result = bench_scaling_paired(
-            args.sf_dir, rounds=args.rounds, multiplier=args.multiplier
-        )
-        write_baseline_md(result)
-    else:
-        result = bench_once(args.cpus, args.sf_dir)
-    print(json.dumps(result))
+        results.append(result)
+    if not results:
+        results.append(bench_once(args.cpus, args.sf_dir))
+    for result in results:
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":

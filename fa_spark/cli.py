@@ -126,7 +126,7 @@ def _filtered_pages(spark, args):
     exts = [e for e in (args.extensions or "").split(",") if e]
     if exts:
         pages = sources.extension_filter(pages, set(exts))
-    if args.limit:
+    if args.limit is not None:  # --limit 0 is a valid (empty) cap
         pages = sources.capped(pages, args.limit)
     return pages
 
@@ -142,11 +142,22 @@ def cmd_analyze(args) -> dict:
     )
     spark = _session(f"fa-analyze-{args.run_id}", args.cores)
     pages = _filtered_pages(spark, args)
-    analysis = run_resumable(
+    run_resumable(
         spark, pages, args.output, args.run_id, committed_at,
         JobConfig(run_id=args.run_id, buckets=args.buckets),
     )
-    rows = summary(analysis).collect()
+    # summarize the just-committed PARQUET, not the returned (uncached)
+    # DataFrame — re-evaluating that would re-run the whole UDF pipeline
+    from pyspark.sql import functions as F
+
+    from fa_spark.lineage import read_analysis
+
+    if not os.path.isdir(os.path.join(args.output, "analysis")):
+        return {"analyses": 0}  # first run with an all-filtered input
+    committed = read_analysis(spark, args.output).where(
+        F.col("run_id") == args.run_id
+    )
+    rows = summary(committed).collect()
     return rows[0].asDict() if rows else {"analyses": 0}
 
 
@@ -164,8 +175,9 @@ def cmd_corpus(args) -> dict:
         near_dup_jaccard=args.near_dup_jaccard,
         job=JobConfig(run_id="corpus-cli", buckets=args.buckets),
     )
-    corpus, report = build_corpus(pages, cfg)
-    corpus.write.mode("overwrite").parquet(args.output)
+    # write happens INSIDE build_corpus while its caches are alive — a
+    # caller-side write would re-run the whole pipeline from scratch
+    _corpus, report = build_corpus(pages, cfg, output_path=args.output)
     payload = report.collect()[0].asDict()
     if args.report_json:
         with open(args.report_json, "w") as f:

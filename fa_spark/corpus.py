@@ -37,12 +37,21 @@ class CorpusConfig:
     job: JobConfig = field(default_factory=JobConfig)
 
 
-def build_corpus(pages_df: DataFrame, cfg: CorpusConfig = CorpusConfig()):
+def build_corpus(
+    pages_df: DataFrame,
+    cfg: CorpusConfig = CorpusConfig(),
+    output_path: str | None = None,
+):
     """Returns (corpus_df, report_df).
 
     corpus_df: url, text, title, lang, n_tokens_ws, n_tokens_bpe, tags, sha
     report_df: one row of funnel counters (input → extracted → lang →
                quality → exact-canonical → near-dup-free) + bytes/tokens.
+
+    ``output_path``: when given, the corpus parquet is written HERE, while
+    the analysis/signature caches are still alive — a caller-side write
+    after return would re-run the whole pipeline (UDF per join branch)
+    because this function releases every cache before returning.
     """
     analysis = analyze_pages(pages_df, cfg.job).persist()
 
@@ -83,7 +92,9 @@ def build_corpus(pages_df: DataFrame, cfg: CorpusConfig = CorpusConfig()):
     # corpus-side stats need the near-dup anti-join so they are a second
     # (and final) action.
     def _n(cond):
-        return F.sum(cond.cast("long"))
+        # coalesce: an empty increment must report 0, not NULL (same fix as
+        # pipeline.summary)
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0))
 
     funnel = analysis.agg(
         F.count("*").alias("n_input"),
@@ -95,6 +106,9 @@ def build_corpus(pages_df: DataFrame, cfg: CorpusConfig = CorpusConfig()):
         ),
     ).collect()[0]
     spark = pages_df.sparkSession
+    if output_path is not None:
+        corpus.write.mode("overwrite").parquet(output_path)
+        corpus = spark.read.parquet(output_path)  # stats read the sink back
     stats = corpus.agg(
         F.count("*").alias("n_corpus"),
         F.sum("n_tokens_ws").alias("tokens_ws"),

@@ -31,7 +31,9 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
+import re
 import shutil
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,6 +65,7 @@ def list_committed(base: str) -> set[str]:
 
 
 def write_commit_marker(base: str, run_id: str, committed_at: dt.datetime) -> None:
+    validate_run_id(run_id)
     p = _commits_path(base)
     os.makedirs(p, exist_ok=True)
     tmp = os.path.join(p, f".{run_id}.tmp")
@@ -71,17 +74,42 @@ def write_commit_marker(base: str, run_id: str, committed_at: dt.datetime) -> No
     os.rename(tmp, os.path.join(p, f"{run_id}.json"))  # atomic commit point
 
 
-def _purge_run_dirs(root: str, keep: set[str]) -> list[str]:
-    """Delete run_id=<id> partition dirs under ``root`` whose id is not in
-    ``keep``. Returns the purged ids."""
+_RUN_ID_RE = re.compile(r"^[A-Za-z0-9._\-]+$")
+
+
+def validate_run_id(run_id: str) -> str:
+    """Run ids become partition directory names AND commit-marker filenames;
+    Spark percent-escapes special characters in partition paths (':' ->
+    '%3A'), which would desynchronize the dir-name <-> committed-set
+    comparison recover()/expire_runs() rely on. Restrict to a filesystem-
+    and partition-safe alphabet up front."""
+    if not _RUN_ID_RE.match(run_id):
+        raise ValueError(
+            f"run_id {run_id!r} must match [A-Za-z0-9._-]+ (it becomes a "
+            "partition directory and a commit-marker filename)"
+        )
+    return run_id
+
+
+def _purge_run_dirs(
+    root: str, keep: set[str] | None = None, only: set[str] | None = None
+) -> list[str]:
+    """Delete run_id=<id> partition dirs under ``root``: those NOT in
+    ``keep`` (recover semantics) or those IN ``only`` (expire semantics —
+    never touches other runs, committed or in-flight). Dir names are
+    unescaped before comparison (Spark percent-escapes partition values).
+    Returns the purged ids."""
     if not os.path.isdir(root):
         return []
     purged = []
     for d in os.listdir(root):
         if not d.startswith("run_id="):
             continue
-        run_id = d.split("=", 1)[1]
-        if run_id not in keep:
+        run_id = unquote(d.split("=", 1)[1])
+        doomed = (keep is not None and run_id not in keep) or (
+            only is not None and run_id in only
+        )
+        if doomed:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
             purged.append(run_id)
     return purged
@@ -192,6 +220,11 @@ def expire_runs(
     Expired urls leave the processed set — re-submitting those pages
     re-processes them, the standard artifact-retention trade. Surviving
     runs keep exactly-once semantics (pytest: expire -> resume)."""
+    def _aware(t: dt.datetime) -> dt.datetime:
+        # normalize naive timestamps to UTC so mixed-tz markers / operator
+        # input never raise "can't compare offset-naive and offset-aware"
+        return t if t.tzinfo is not None else t.replace(tzinfo=dt.timezone.utc)
+
     commits = []
     cp = _commits_path(base)
     if not os.path.isdir(cp):
@@ -202,27 +235,30 @@ def expire_runs(
         with open(os.path.join(cp, f)) as fh:
             doc = json.load(fh)
         commits.append(
-            (dt.datetime.fromisoformat(doc["committed_at"]), doc["run_id"])
+            (_aware(dt.datetime.fromisoformat(doc["committed_at"])), doc["run_id"])
         )
     commits.sort()
     expired: list[str] = []
     if keep_last_n is not None and len(commits) > keep_last_n:
         expired.extend(r for _, r in commits[: len(commits) - keep_last_n])
     if older_than is not None:
-        expired.extend(r for t, r in commits if t < older_than)
-    expired = sorted(set(expired))
-    if not expired:
+        cutoff = _aware(older_than)
+        expired.extend(r for t, r in commits if t < cutoff)
+    expired_set = set(expired)
+    if not expired_set:
         return []
-    keep = {r for _, r in commits if r not in expired}
-    _purge_run_dirs(_analysis_path(base), keep)
-    _purge_run_dirs(_processed_path(base), keep)
-    _purge_run_dirs(_partitions_path(base), keep)
-    for r in expired:  # markers last: a crash mid-purge re-expires cleanly
+    # purge ONLY the expired runs — never "everything else": a concurrent
+    # in-flight (uncommitted) run's partial output belongs to its writer's
+    # recover(), not to this ops entry point
+    _purge_run_dirs(_analysis_path(base), only=expired_set)
+    _purge_run_dirs(_processed_path(base), only=expired_set)
+    _purge_run_dirs(_partitions_path(base), only=expired_set)
+    for r in sorted(expired_set):  # markers last: crash mid-purge re-expires
         try:
             os.remove(os.path.join(cp, f"{r}.json"))
         except FileNotFoundError:
             pass
-    return expired
+    return sorted(expired_set)
 
 
 def run_resumable(
@@ -234,10 +270,12 @@ def run_resumable(
     cfg=None,
 ) -> DataFrame:
     """One resumable increment: recover -> filter -> analyze -> write ->
-    commit. Returns the increment's analysis DataFrame (already persisted).
-    Re-running with identical input is a no-op."""
+    commit. Returns the increment's (no longer cached) analysis DataFrame —
+    re-evaluating it re-runs the pipeline; read committed results back via
+    read_analysis. Re-running with identical input is a no-op."""
     from fa_spark.pipeline import JobConfig, analyze_pages
 
+    validate_run_id(run_id)
     cfg = cfg or JobConfig(run_id=run_id)
     recover(base)
     processed = read_processed(spark, base)

@@ -1155,9 +1155,13 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
-def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> list[int]:
+def rolling_fingerprint(
+    text: str, window: int = 8, keep_mod: int = 16, cap: int = 256
+) -> list[int]:
     """Winnowing-style document fingerprint: polynomial rolling hash over
-    tokens, keep hashes ≡ 0 (mod keep_mod) — deterministic sparse signature."""
+    tokens, keep hashes ≡ 0 (mod keep_mod) — deterministic sparse signature.
+    ``cap`` bounds degenerate inputs; the dense (keep_mod=1) oracle variant
+    raises it and bounds the doc length instead."""
     toks = tokenize(text)
     if len(toks) < window:
         return [_stable64(" ".join(toks))] if toks else []
@@ -1166,7 +1170,7 @@ def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> list[
         h = _stable64(" ".join(toks[i : i + window]))
         if h % keep_mod == 0:
             out.append(h)
-    return out[:256]
+    return out[:cap]
 
 
 # ---------------------------------------------------------------------------

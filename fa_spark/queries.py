@@ -1171,10 +1171,13 @@ def q_fingerprint_near_dups(spark, sf_dir):
     (every 8-token window hash, distinct) so `shared` equals the exact
     distinct shared-8-gram count — recomputable in SQL. The sparse winnowing
     form (keep_mod=16) is the 100-TB scale path, pytest-covered."""
-    from fa_spark.stages.analyze import fingerprint_full_udf
+    from fa_spark.stages.analyze import FP_FULL_MAX_TOKENS, fingerprint_full_udf
 
     fp_cached = (
         _docs_with_mutants(spark, sf_dir)
+        # symmetric doc-length bound (SQL side bounds the same universe) so
+        # the dense fingerprint's cap never silently truncates
+        .where(F.size(tokens_expr("text")) < FP_FULL_MAX_TOKENS)
         .withColumn("fp", fingerprint_full_udf("text"))
         .where(F.size("fp") > 0)
         .persist()  # UDF would re-execute per self-join branch
@@ -1200,7 +1203,7 @@ t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM u
 g AS (SELECT doc_id, list_distinct(
         list_transform(range(1, GREATEST(LEN(toks) - 7, 0) + 1),
                        i -> array_to_string(toks[i:i+7], ' '))) AS grams
-      FROM t WHERE LEN(toks) >= 8),
+      FROM t WHERE LEN(toks) >= 8 AND LEN(toks) < 8192),
 ex AS (SELECT doc_id, UNNEST(grams) AS gram FROM g)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
 FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id

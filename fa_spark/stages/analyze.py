@@ -130,15 +130,24 @@ def _fingerprint_batch(text: pd.Series) -> pd.Series:
     )
 
 
+FP_FULL_MAX_TOKENS = 8192  # docs past this are excluded (symmetric in SQL)
+
+
 def _fingerprint_full_batch(text: pd.Series) -> pd.Series:
     """Dense variant: keep EVERY 8-token window hash (keep_mod=1), distinct.
     The shared-count between two docs then equals their shared distinct
     8-gram count — exactly recomputable in SQL (the correctness hook the
     sparse winnowing form cannot offer). The sparse form (keep_mod=16)
-    remains the 100-TB scale path."""
+    remains the 100-TB scale path. The cap matches FP_FULL_MAX_TOKENS so the
+    'shared == exact' invariant never silently truncates; the query bounds
+    its universe to that token count on BOTH engines."""
     out = []
     for t in text:
-        hs = pure.rolling_fingerprint(t, window=8, keep_mod=1) if t else []
+        hs = (
+            pure.rolling_fingerprint(t, window=8, keep_mod=1, cap=FP_FULL_MAX_TOKENS)
+            if t
+            else []
+        )
         seen: dict[int, None] = dict.fromkeys(_to_i64(h) for h in hs)
         out.append(list(seen))
     return pd.Series(out)

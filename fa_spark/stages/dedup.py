@@ -150,7 +150,7 @@ def simhash_near_dups(
     chunks = max_hamming + 1
     width = 64 // chunks
     # persist: the simhash UDF would otherwise recompute per join branch;
-    # released after the eager checkpoint below (round-1 ADVICE)
+    # registered with release_pair_caches() for explicit reclamation
     sig_cached = df.select(id_col, simhash_col).where(F.col(simhash_col) != 0).persist()
     keyed = sig_cached.withColumn(
         "chunk", F.explode(F.sequence(F.lit(0), F.lit(chunks - 1)))

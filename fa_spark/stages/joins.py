@@ -58,13 +58,20 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_ord").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE last() over a whole-row struct: per-column last(ignorenulls) would
+    # backfill a NULL column of the matched row from an OLDER right row —
+    # fabricating a row that never existed. The struct is non-null for every
+    # right row even when its members are null, so the match is row-atomic.
+    matched = F.last(
+        F.when(
+            F.col("_side") == 0,
+            F.struct(F.col(ts).alias("_asof_ts"), *[F.col(c) for c in value_cols]),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    u = u.withColumn("_m", matched)
+    out = u.where(F.col("_side") == 1)
     for c in value_cols:
-        u = u.withColumn(
-            c, F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w)
-        )
-    # the matched right timestamp rides along for lag computations
-    u = u.withColumn(
-        "_asof_ts",
-        F.last(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True).over(w),
-    )
-    return u.where(F.col("_side") == 1).drop("_side", "_ord")
+        out = out.withColumn(c, F.col("_m").getField(c))
+    out = out.withColumn("_asof_ts", F.col("_m").getField("_asof_ts"))
+    return out.drop("_side", "_ord", "_m")

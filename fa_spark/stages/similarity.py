@@ -145,9 +145,10 @@ def kmeans_centroids(
     without any global sort (the round-1 `orderBy(vec[0]).limit()` seed was a
     full-table sort at scale). The filtered rows are sorted driver-side by id
     (cheap: ≈ n/sample_mod rows) so the seed set is independent of partition
-    order; `limit(sample * 4)` is only a safety bound against a mis-sized
-    sample_mod. In production the centroids land in their own table once;
-    this is the in-job equivalent."""
+    order — UNLESS the filter passes more than `sample * 4` rows, where the
+    limit() safety bound reintroduces scan-order dependence; size sample_mod
+    ≈ n / sample to stay under it. In production the centroids land in their
+    own table once; this is the in-job equivalent."""
     import numpy as np
 
     rows = (
@@ -156,6 +157,10 @@ def kmeans_centroids(
         .limit(sample * 4)
         .collect()
     )
+    if len(rows) < k:
+        # tiny table (or unlucky hash filter): fall back to an unfiltered
+        # bounded scan — still no global sort
+        rows = vectors.select(id_col, vec_col).limit(sample * 4).collect()
     rows = sorted(rows, key=lambda r: r[0])[:sample]
     X = np.array([r[1] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)

@@ -40,7 +40,7 @@ def main() -> None:
 
     spark = SparkSession.builder.appName(f"fa-extract-{args.run_id}").getOrCreate()
     pages = spark.read.parquet(args.input)
-    analysis = run_resumable(
+    run_resumable(
         spark,
         pages,
         args.output,
@@ -48,8 +48,23 @@ def main() -> None:
         committed_at,
         JobConfig(run_id=args.run_id, buckets=args.buckets),
     )
-    counts = summary(analysis).collect()
-    print(json.dumps(counts[0].asDict() if counts else {"analyses": 0}))
+    # summarize the just-committed parquet (the returned DataFrame is no
+    # longer cached — re-evaluating it would re-run the whole UDF pipeline)
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fa_spark.lineage import read_analysis
+
+    if os.path.isdir(os.path.join(args.output, "analysis")):
+        committed = read_analysis(spark, args.output).where(
+            F.col("run_id") == args.run_id
+        )
+        counts = summary(committed).collect()
+        payload = counts[0].asDict() if counts else {"analyses": 0}
+    else:
+        payload = {"analyses": 0}
+    print(json.dumps(payload))
     spark.stop()
 
 

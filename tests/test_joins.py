@@ -47,6 +47,22 @@ def test_asof_backward_semantics(spark, frames):
     assert out[104] == (None, None, None)  # key with no right rows at all
 
 
+def test_asof_null_column_not_backfilled(spark):
+    """Regression (round-2 review): a NULL value column in the MATCHED right
+    row must stay NULL — per-column last(ignorenulls) would fabricate a row
+    by backfilling it from an older right row."""
+    from fa_spark.stages.joins import asof_join
+
+    left = _df(spark, [("D", 3, 105)], "k string, ts long, lid long")
+    right = _df(
+        spark,
+        [("D", 1, 30, 5.0), ("D", 2, 31, None)],
+        "k string, ts long, rid long, rv double",
+    )
+    row = asof_join(left, right, key="k", ts="ts", order_col="rid").collect()[0]
+    assert row["rid"] == 31 and row["rv"] is None and row["_asof_ts"] == 2
+
+
 def test_asof_preserves_left_rowcount(spark, frames):
     from fa_spark.stages.joins import asof_join
 

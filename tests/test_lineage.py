@@ -156,8 +156,41 @@ def test_expire_runs_older_than(spark, pages_df, base):
     pages = pages_df.select("url", "warc_ts", "html", "text", "lang").limit(30)
     lineage.run_resumable(spark, pages, base, "run-1", TS1)
     assert lineage.expire_runs(base, older_than=TS1) == []  # strict <
-    assert lineage.expire_runs(base, older_than=TS2) == ["run-1"]
+    # NAIVE cutoff against tz-aware markers must not raise (round-2 review)
+    assert lineage.expire_runs(base, older_than=dt.datetime(2025, 6, 2)) == [
+        "run-1"
+    ]
     assert lineage.list_committed(base) == set()
+
+
+def test_unsafe_run_id_rejected(spark, pages_df, base):
+    """run_id becomes a partition dir + marker filename; characters Spark
+    percent-escapes would desynchronize recover()/expire (round-2 review:
+    silent committed-data loss) — rejected up front."""
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang").limit(5)
+    for bad in ("2026-08-16T10:00", "a/b", "x y", "p%q"):
+        with pytest.raises(ValueError, match="run_id"):
+            lineage.run_resumable(spark, pages, base, bad, TS1)
+
+
+def test_expire_leaves_inflight_run_alone(spark, pages_df, base):
+    """expire_runs must purge ONLY expired committed runs — a concurrent
+    in-flight (uncommitted) run's partial output belongs to its own writer's
+    recover(), not to the ops entry point (round-2 review)."""
+    from fa_spark.pipeline import JobConfig, analyze_pages
+
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang")
+    lineage.run_resumable(spark, pages.limit(20), base, "old", TS1)
+    lineage.run_resumable(spark, pages.limit(40), base, "new", TS2)
+    # simulate an in-flight writer: analysis written, marker not yet
+    inflight = analyze_pages(pages.limit(60), JobConfig(run_id="inflight"))
+    inflight.write.mode("append").partitionBy("run_id", "bucket").parquet(
+        os.path.join(base, "analysis")
+    )
+    assert lineage.expire_runs(base, keep_last_n=1) == ["old"]
+    dirs = set(os.listdir(os.path.join(base, "analysis")))
+    assert "run_id=inflight" in dirs and "run_id=new" in dirs
+    assert "run_id=old" not in dirs
 
 
 def test_partition_counters(spark, pages_df, base):
