@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     def common(p):
         p.add_argument("--input", required=True, help="pages parquet/Iceberg path")
+        p.add_argument("--input-format", choices=("parquet", "binaryFile"),
+                       default=_env_default("input-format", "parquet"),
+                       help="binaryFile walks a directory tree of loose "
+                            "files into pages rows (reference: analyze a dir)")
+        p.add_argument("--path-glob", default=None,
+                       help="binaryFile only: pathGlobFilter, e.g. '*.html'")
         p.add_argument("--include", action="append", default=None,
                        help="fnmatch url glob; repeatable; must match >=1")
         p.add_argument("--exclude", action="append", default=None,
@@ -121,7 +127,10 @@ def _session(app: str, cores: int | None):
 def _filtered_pages(spark, args):
     from fa_spark import sources
 
-    pages = sources.read_pages(spark, args.input)
+    if getattr(args, "input_format", "parquet") == "binaryFile":
+        pages = sources.read_loose_files(spark, args.input, glob=args.path_glob)
+    else:
+        pages = sources.read_pages(spark, args.input)
     pages = sources.glob_filter(pages, args.include, args.exclude)
     exts = [e for e in (args.extensions or "").split(",") if e]
     if exts:

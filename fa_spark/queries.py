@@ -354,6 +354,52 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+CONVERSION_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_events_conversion_window(spark, sf_dir):
+    """Range join (time-window join — an operator Spark lacks natively,
+    composed as a 2-cell bucketed equi-join in stages/joins.py): every
+    (click, purchase) pair of the same user with the purchase inside one
+    hour after the click. Oracle = the plain SQL range predicate."""
+    from fa_spark.stages.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    out = range_join(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts",
+        CONVERSION_WINDOW_US,
+    )
+
+    def us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (us("purchase_ts") - us("click_ts")).alias("gap_us"),
+    )
+
+
+SQL_EVENTS_CONVERSION = f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND epoch_us(p.ts) < epoch_us(c.ts) + {CONVERSION_WINDOW_US}
+"""
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test assignment (80/10/10) by md5 bucket —
     the split every training-data pipeline needs: reproducible across
@@ -1402,6 +1448,7 @@ REGISTRY: dict[str, tuple] = {
     "events_json_path": (q_events_json_path, SQL_EVENTS_JSON_PATH),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "events_asof_attribution": (q_events_asof_attribution, SQL_EVENTS_ASOF),
+    "events_conversion_window": (q_events_conversion_window, SQL_EVENTS_CONVERSION),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "part_type_stats": (q_part_type_stats, SQL_PART_TYPE_STATS),
     "supplier_rank": (q_supplier_rank, SQL_SUPPLIER_RANK),

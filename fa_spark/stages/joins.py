@@ -27,6 +27,43 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_us: int,
+) -> DataFrame:
+    """Time-window (range) join: every (left, right) pair with the same key
+    and right_ts in [left_ts, left_ts + window_us). Spark has no native
+    range join; a raw `ON l.ts <= r.ts AND r.ts < l.ts + W` predicate plans
+    as a per-key cross product. Composition: bucket time into window-sized
+    cells — a qualifying right row lands in the left row's cell or the next
+    one, so the LEFT side explodes into exactly 2 probe cells and the join
+    is a plain equi-join on (key, cell) + an exact residual filter. Each
+    pair matches in exactly one cell (the right row has one cell), so no
+    dedup pass is needed. Candidates are bounded by cell co-location — the
+    shape that survives 100×."""
+    overlap = (set(right.columns) - {key}) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right columns collide with left: {sorted(overlap)}")
+
+    def us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    cell = F.floor(us(left_ts) / F.lit(window_us)).cast("long")
+    l = left.withColumn("_cell", F.explode(F.array(cell, cell + 1)))
+    r = right.withColumn(
+        "_cell", F.floor(us(right_ts) / F.lit(window_us)).cast("long")
+    )
+    return (
+        l.join(r, [key, "_cell"])
+        .where((us(right_ts) >= us(left_ts)) & (us(right_ts) < us(left_ts) + window_us))
+        .drop("_cell")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -76,6 +76,32 @@ def test_cli_include_glob_limits_input(spark, pages_path, tmp_path, capsys):
     assert 0 < payload["analyses"] < full["analyses"]
 
 
+def test_cli_binaryfile_input(spark, tmp_path, capsys):
+    """Directory-of-loose-files mode (reference `fa analyze all <dir>`):
+    binaryFile source walks the tree; mixed HTML + PDF both analyze."""
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.html").write_bytes(
+        b"<html><body><main><p>"
+        + b"loose file analysis works for html pages just fine " * 3
+        + b"</p></main></body></html>"
+    )
+    content = b"BT (loose pdf file text) Tj ET"
+    (d / "b.pdf").write_bytes(
+        b"%PDF-1.4\n4 0 obj << /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    (d / "skip.txt").write_bytes(b"excluded by glob")
+    out = str(tmp_path / "out")
+    payload = _run(capsys, [
+        "analyze", "--input", str(d), "--input-format", "binaryFile",
+        "--path-glob", "*.{html,pdf}",
+        "--output", out, "--run-id", "loose",
+        "--committed-at", "2025-06-01T00:00:00+00:00",
+    ])
+    assert payload["analyses"] == 2 and payload["successful"] == 2
+
+
 def test_cli_query(capsys, spark):
     payload = _run(capsys, [
         "query", "--name", "pricing_summary", "--sf-dir", SF0001, "--limit", "3",

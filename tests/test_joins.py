@@ -79,6 +79,50 @@ def test_asof_column_collision_rejected(spark, frames):
         asof_join(left, right.withColumnRenamed("rid", "lid"), "k", "ts", "lid")
 
 
+def test_range_join_semantics(spark):
+    """Half-open [lts, lts+W) window, cell-boundary pairs found, no
+    duplicate pairs, key isolation."""
+    from fa_spark.stages.joins import range_join
+
+    def ts(sec):
+        return f"2025-01-01 00:00:{sec:02d}"
+
+    left = _df(
+        spark,
+        [("A", 100, ts(0)), ("A", 101, ts(58)), ("B", 102, ts(0))],
+        "k string, lid long, lts string",
+    ).withColumn("lts", F.to_timestamp("lts"))
+    right = _df(
+        spark,
+        [
+            ("A", 200, ts(0)),   # == lts -> included (>=)
+            ("A", 201, ts(9)),   # inside
+            ("A", 202, ts(10)),  # == lts + W -> EXCLUDED (half-open)
+            ("A", 203, ts(59)),  # crosses the 10s cell boundary from 58
+            ("B", 204, ts(5)),   # other key
+        ],
+        "k string, rid long, rts string",
+    ).withColumn("rts", F.to_timestamp("rts"))
+    W = 10_000_000  # 10s in µs
+    pairs = {
+        (r["lid"], r["rid"])
+        for r in range_join(left, right, "k", "lts", "rts", W).collect()
+    }
+    assert pairs == {(100, 200), (100, 201), (101, 203), (102, 204)}
+    # no duplicates by construction (each right row has ONE cell)
+    rows = range_join(left, right, "k", "lts", "rts", W).collect()
+    assert len(rows) == len(pairs)
+
+
+def test_range_join_no_cartesian_plan(spark):
+    from fa_spark.stages.joins import range_join
+
+    left = _df(spark, [("A", 1, "2025-01-01 00:00:00")], "k string, lid long, lts string").withColumn("lts", F.to_timestamp("lts"))
+    right = _df(spark, [("A", 2, "2025-01-01 00:00:01")], "k string, rid long, rts string").withColumn("rts", F.to_timestamp("rts"))
+    plan = range_join(left, right, "k", "lts", "rts", 10_000_000)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_asof_single_shuffle_plan(spark, frames):
     """The union-sort-window form must plan exactly ONE exchange (on the
     key) — the scale property that justifies it over a range join."""

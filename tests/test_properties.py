@@ -26,6 +26,33 @@ def test_extract_never_raises_and_is_deterministic(data):
 
 @settings(max_examples=200, deadline=None)
 @given(BYTES)
+def test_pdf_extract_total(data):
+    """The PDF layout parser is total over arbitrary bytes forced down the
+    PDF route (magic prefix + fuzz): never raises, deterministic, bounded."""
+    blob = b"%PDF-1.4\n" + data
+    r1 = pure.extract_pdf_text(blob)
+    r2 = pure.extract_pdf_text(blob)
+    assert r1 == r2
+    assert r1.doc_type == "pdf"
+    assert r1.status in ("success", "empty")
+    assert len(r1.text) <= pure.PDF_MAX_TEXT
+
+
+@settings(max_examples=100, deadline=None)
+@given(BYTES)
+def test_pdf_stream_fuzz_total(data):
+    """Fuzz the content-stream interpreter directly: unbalanced parens,
+    stray escapes, half-open hex strings — all must terminate cleanly."""
+    blob = (
+        b"%PDF-1.4\n1 0 obj << /Length " + str(len(data)).encode()
+        + b" >>\nstream\n" + data + b"\nendstream\n%%EOF"
+    )
+    r = pure.extract_pdf_text(blob)
+    assert r.doc_type == "pdf" and isinstance(r.text, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(BYTES)
 def test_sniff_total(data):
     sn = pure.sniff_bytes(data)
     assert isinstance(sn["content_type"], str)
