@@ -1174,6 +1174,202 @@ def rolling_fingerprint(
 
 
 # ---------------------------------------------------------------------------
+# 9b. PNG codec + image features (round 2: the multimodal decode kernel,
+# pure Python + zlib — no codec libraries exist in this container, but PNG
+# needs none: inflate the IDAT stream and undo the per-scanline filters.
+# Upgrades the reference's image path (vision.py preprocessing tiers) from a
+# stub to a real decode for the one format that is self-decodable.)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_MAX_PIXELS = 1 << 20  # decode bound (CPU/memory guard for hostile input)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit, non-interlaced)
+
+
+def png_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal RGB PNG writer (filter 0 scanlines, one IDAT). Deterministic —
+    used by fixtures and the image-query synthesis UDF."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(body))
+            + typ
+            + body
+            + _struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    raw = b"".join(
+        b"\x00" + bytes(v for px in r for v in px) for r in rows
+    )
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> bytearray | None:
+    """Undo PNG scanline filters (0 none, 1 sub, 2 up, 3 average, 4 paeth)."""
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    prev_off = -1
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = raw[pos + 1 : pos + 1 + stride]
+        pos += 1 + stride
+        off = y * stride
+        if f == 0:
+            out[off : off + stride] = line
+        elif f == 1:  # sub
+            for i in range(stride):
+                left = out[off + i - ch] if i >= ch else 0
+                out[off + i] = (line[i] + left) & 0xFF
+        elif f == 2:  # up
+            for i in range(stride):
+                up = out[prev_off + i] if prev_off >= 0 else 0
+                out[off + i] = (line[i] + up) & 0xFF
+        elif f == 3:  # average
+            for i in range(stride):
+                left = out[off + i - ch] if i >= ch else 0
+                up = out[prev_off + i] if prev_off >= 0 else 0
+                out[off + i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:  # paeth
+            for i in range(stride):
+                a = out[off + i - ch] if i >= ch else 0
+                b = out[prev_off + i] if prev_off >= 0 else 0
+                c = out[prev_off + i - ch] if (prev_off >= 0 and i >= ch) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                out[off + i] = (line[i] + pr) & 0xFF
+        else:
+            return None
+        prev_off = off
+    return out
+
+
+def decode_png(data: bytes | None) -> dict | None:
+    """Real PNG decode: 8-bit gray/RGB/RGBA, non-interlaced. Returns
+    {width, height, channels, pixels(bytearray, row-major)} or None on any
+    malformed/unsupported input (caller records decode_error)."""
+    if not data or not data.startswith(_PNG_SIG):
+        return None
+    pos = 8
+    n = len(data)
+    w = h = -1
+    ch = 0
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = _struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        if typ == b"IHDR":
+            if length < 13:
+                return None
+            w, h, depth, ctype, comp, filt, inter = _struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            if (
+                depth != 8
+                or ctype not in _PNG_CHANNELS
+                or comp != 0
+                or filt != 0
+                or inter != 0
+                or w <= 0
+                or h <= 0
+                or w * h > PNG_MAX_PIXELS
+            ):
+                return None
+            ch = _PNG_CHANNELS[ctype]
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if w <= 0 or not idat:
+        return None
+    try:
+        raw = zlib.decompressobj().decompress(bytes(idat), h * (w * ch + 1))
+    except zlib.error:
+        return None
+    px = _png_unfilter(raw, w, h, ch)
+    if px is None:
+        return None
+    return {"width": w, "height": h, "channels": ch, "pixels": px}
+
+
+AHASH_GRID = 8
+
+
+def image_stats(img: dict) -> dict:
+    """Deterministic image features from decoded pixels: per-channel means,
+    luminance histogram (8 bins), and a 64-bit average-hash (aHash):
+    integer-average the luminance over an 8x8 grid, set bit i (row-major)
+    iff cell_i >= the grid mean. Integer arithmetic only — identical on
+    every platform."""
+    w, h, ch, px = img["width"], img["height"], img["channels"], img["pixels"]
+    n = w * h
+    sums = [0] * min(ch, 3)
+    lum = bytearray(n)
+    for i in range(n):
+        base = i * ch
+        if ch >= 3:
+            r, g, b = px[base], px[base + 1], px[base + 2]
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+            lum[i] = (r + g + b) // 3
+        else:
+            v = px[base]
+            sums[0] += v
+            lum[i] = v
+    hist = [0] * 8
+    for v in lum:
+        hist[v >> 5] += 1
+    # 8x8 integer average pooling with integer cell boundaries
+    cells = []
+    for cy in range(AHASH_GRID):
+        y0, y1 = cy * h // AHASH_GRID, (cy + 1) * h // AHASH_GRID
+        for cx in range(AHASH_GRID):
+            x0, x1 = cx * w // AHASH_GRID, (cx + 1) * w // AHASH_GRID
+            if y1 <= y0 or x1 <= x0:  # image smaller than the grid
+                y1e, x1e = max(y1, y0 + 1), max(x1, x0 + 1)
+                y0c, x0c = min(y0, h - 1), min(x0, w - 1)
+                cells.append(lum[min(y0c, h - 1) * w + min(x0c, w - 1)])
+                continue
+            s = 0
+            for y in range(y0, y1):
+                row = y * w
+                for x in range(x0, x1):
+                    s += lum[row + x]
+            cells.append(s // ((y1 - y0) * (x1 - x0)))
+    mean8 = sum(cells) // len(cells)
+    ahash = 0
+    for i, c in enumerate(cells):
+        if c >= mean8:
+            ahash |= 1 << i
+    return {
+        "means": [s / n for s in sums],
+        "hist": hist,
+        "ahash": ahash,
+    }
+
+
+# ---------------------------------------------------------------------------
 # 10. Text quality / language heuristics (training-data pipeline ops)
 # ---------------------------------------------------------------------------
 

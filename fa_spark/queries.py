@@ -14,8 +14,10 @@ return deterministic DataFrames; the driver records rows-only checks.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
 
 from fa_spark import pure
 from fa_spark.stages import similarity
@@ -1401,8 +1403,11 @@ _PNG_PREFIX_LEN = len(_PNG_PREFIX)
 
 
 def q_media_plumbing(spark, sf_dir):
-    """Multimodal stage envelope over synthesized PNG blobs (decode kernel is
-    a documented stub; schema/batching/partitioning are real)."""
+    """Multimodal stage envelope over synthesized PNG-prefixed blobs: the
+    header is a valid IHDR but the body is text, so the REAL decoder (round
+    2) reports decode_error — the envelope (sniff, sizes, mode resolution)
+    stays value-checked. Full decode success is covered by image_features /
+    image_ahash_dedup."""
     from fa_spark.stages.multimodal import extract_media_features
 
     docs = _spread(_t(spark, sf_dir, "documents"))
@@ -1426,7 +1431,113 @@ SQL_MEDIA_PLUMBING = f"""
 SELECT doc_id AS media_id, 'png' AS content_type,
        {_PNG_PREFIX_LEN} + LENGTH(text) AS n_bytes,
        16 AS width, 16 AS height, 768 AS target_res,
-       'stubbed' AS decode_status
+       'decode_error' AS decode_status
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# real image decode (round 2): encode -> decode -> feature round trip through
+# the pure-Python PNG codec, value-checked analytically
+# ---------------------------------------------------------------------------
+
+IMG_SIDE = 16
+_GRAD_MOD = 251  # prime < 256: mean_r == doc_id % 251 exactly
+
+
+def _gradient_png_batch(doc_id: pd.Series) -> pd.Series:
+    """Deterministic 16x16 RGB PNG per doc: r = doc_id % 251 (solid),
+    g = x*17, b = y*17 — every expected statistic is closed-form."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        rows = [
+            [(did % _GRAD_MOD, x * 17, y * 17) for x in range(IMG_SIDE)]
+            for y in range(IMG_SIDE)
+        ]
+        out.append(pure.png_encode(rows))
+    return pd.Series(out)
+
+
+def _step_png_batch(doc_id: pd.Series) -> pd.Series:
+    """Pattern-class PNG: vertical white/black step at column 2*(doc_id%8) —
+    8 distinct aHash classes, constant within a class."""
+    out = []
+    for did in doc_id:
+        k = int(did) % 8
+        rows = [
+            [(255, 255, 255) if x < 2 * k else (0, 0, 0) for x in range(IMG_SIDE)]
+            for y in range(IMG_SIDE)
+        ]
+        out.append(pure.png_encode(rows))
+    return pd.Series(out)
+
+
+gradient_png_udf = F.pandas_udf(_gradient_png_batch, BinaryType())
+step_png_udf = F.pandas_udf(_step_png_batch, BinaryType())
+
+
+def q_image_features(spark, sf_dir):
+    """REAL image decode round trip: synthesize a gradient PNG per document
+    (pandas UDF -> pure.png_encode), push it through the multimodal decode
+    stage (pure.decode_png: inflate + unfilter), and value-check the decoded
+    statistics against their closed forms."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        gradient_png_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    f = F.col("feature")
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "width",
+        "height",
+        "decode_status",
+        F.round(F.element_at(f, 1).cast("double"), 6).alias("mean_r"),
+        F.round(F.element_at(f, 2).cast("double"), 6).alias("mean_g"),
+        F.round(F.element_at(f, 3).cast("double"), 6).alias("mean_b"),
+    )
+
+
+SQL_IMAGE_FEATURES = f"""
+SELECT doc_id, {IMG_SIDE} AS width, {IMG_SIDE} AS height,
+       'decoded' AS decode_status,
+       CAST(doc_id % {_GRAD_MOD} AS DOUBLE) AS mean_r,
+       CAST(127.5 AS DOUBLE) AS mean_g,
+       CAST(127.5 AS DOUBLE) AS mean_b
+FROM documents
+"""
+
+
+def q_image_ahash_dedup(spark, sf_dir):
+    """Image near-dup dedup by perceptual hash: the decoded aHash groups
+    must EXACTLY reproduce the planted pattern classes (doc_id % 8) —
+    canonical election + dup counts over the ahash key, one shuffle."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        step_png_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe").select(
+        F.col("media_id").cast("long").alias("doc_id"), "ahash"
+    )
+    w = Window.partitionBy("ahash")
+    return (
+        feats.withColumn("dup_count", F.count("*").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+        .select("doc_id", "dup_count", "is_canonical")
+    )
+
+
+SQL_IMAGE_AHASH_DEDUP = """
+SELECT doc_id,
+       COUNT(*) OVER (PARTITION BY doc_id % 8) AS dup_count,
+       doc_id = MIN(doc_id) OVER (PARTITION BY doc_id % 8) AS is_canonical
 FROM documents
 """
 
@@ -1480,6 +1591,8 @@ REGISTRY: dict[str, tuple] = {
     "salted_source_stats": (q_salted_source_stats, SQL_SALTED_SOURCE_STATS),
     "vocab_profile": (q_vocab_profile, SQL_VOCAB_PROFILE),
     "media_plumbing": (q_media_plumbing, SQL_MEDIA_PLUMBING),
+    "image_features": (q_image_features, SQL_IMAGE_FEATURES),
+    "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
 }
 
 

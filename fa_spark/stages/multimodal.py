@@ -1,14 +1,23 @@
 """Multimodal column plumbing (images/audio/video as opaque binary).
 
-The decode/resize/frame-sample kernels need codec libraries that are not in
-this container, so the kernels are STUBS — a deterministic fake keyed on the
-content bytes, clearly marked. Everything Spark-side is real and tested:
-schema, Arrow batch shape, `mapInPandas` signature, partition behavior.
+Round 2: **PNG decode is REAL** — pure Python + zlib (pure.decode_png:
+IDAT inflate + scanline unfilter), producing per-channel means, a luminance
+histogram, and a 64-bit average-hash (perceptual fingerprint for image
+dedup). JPEG/GIF/TIFF/audio/video kernels still need codec libraries that
+are not in this container, so those remain STUBS — a deterministic fake
+keyed on the content bytes, clearly marked. Everything Spark-side is real
+and tested: schema, Arrow batch shape, `mapInPandas` signature, partition
+behavior.
+
+decode_status taxonomy:
+  decoded      real PNG decode succeeded (feature/ahash are real)
+  decode_error bytes sniffed as PNG but malformed/unsupported
+  stubbed      decodable type with no pure-Python codec (jpeg/gif/bmp/tiff)
+  skipped      not an image
 
 Design mirrors the reference's per-mode preprocessing tiers
 (/root/reference/src/core/vision.py:211-304 — describe 512² / detect 384² /
-document 768² letterboxed resize): mode picks the target shape; the stub
-records what the real kernel would have produced.
+document 768² letterboxed resize): mode picks the target shape.
 """
 
 from __future__ import annotations
@@ -36,6 +45,7 @@ MEDIA_FEATURES = T.StructType(
         T.StructField("target_res", T.IntegerType()),
         T.StructField("decode_status", T.StringType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("ahash", T.LongType()),
     ]
 )
 
@@ -43,14 +53,28 @@ FEATURE_DIM = 16
 
 
 def _fake_decode(data: bytes, target_res: int) -> list[float]:
-    """Deterministic stand-in for decode+resize+feature-extract.
-
-    REAL IMPLEMENTATION REQUIRES A CODEC (PIL/ffmpeg) — NOT IN CONTAINER.
-    The fake hashes the bytes into a fixed-dim float vector so downstream
-    plumbing (schema, similarity join, batching) is fully exercisable.
-    """
+    """Deterministic stand-in for decode+resize+feature-extract for formats
+    whose codecs are not in this container (jpeg/gif/bmp/tiff). The fake
+    hashes the bytes into a fixed-dim float vector so downstream plumbing
+    (schema, similarity join, batching) is fully exercisable."""
     h = hashlib.sha256(data + str(target_res).encode()).digest()
     return [round(((h[i] / 255.0) * 2 - 1), 6) for i in range(FEATURE_DIM)]
+
+
+def _real_png_features(img: dict) -> tuple[list[float], int]:
+    """FEATURE_DIM-float vector from a real decode: [mean_r, mean_g, mean_b,
+    width, height, 8 luminance-histogram fractions, 0-padding] + aHash."""
+    st = pure.image_stats(img)
+    n = img["width"] * img["height"]
+    means = st["means"] + [0.0] * (3 - len(st["means"]))
+    vec = [round(m, 6) for m in means]
+    vec += [float(img["width"]), float(img["height"])]
+    vec += [round(c / n, 6) for c in st["hist"]]
+    vec += [0.0] * (FEATURE_DIM - len(vec))
+    ah = st["ahash"]
+    if ah >= 1 << 63:  # fold into Spark's signed long
+        ah -= 1 << 64
+    return vec[:FEATURE_DIM], ah
 
 
 def media_features_fn(mode: str = "describe"):
@@ -66,18 +90,33 @@ def media_features_fn(mode: str = "describe"):
                 meta = pure.extract_metadata(b)
                 width = meta.get("png:width") or meta.get("jpeg:width")
                 height = meta.get("png:height") or meta.get("jpeg:height")
-                decodable = sn["content_type"] in ("png", "jpeg", "gif", "bmp", "tiff")
+                ct = sn["content_type"]
+                decodable = ct in ("png", "jpeg", "gif", "bmp", "tiff")
+                status, feature, ahash = "skipped", None, None
+                if ct == "png":
+                    img = pure.decode_png(b)
+                    if img is not None:
+                        status = "decoded"
+                        width, height = img["width"], img["height"]
+                        feature, ahash = _real_png_features(img)
+                    else:
+                        status = "decode_error"
+                        feature = _fake_decode(b, target)
+                elif decodable:
+                    status = "stubbed"
+                    feature = _fake_decode(b, target)
                 rows.append(
                     {
                         "media_id": mid,
-                        "content_type": sn["content_type"],
+                        "content_type": ct,
                         "n_bytes": len(b),
                         "sha": hashlib.sha256(b).hexdigest(),
                         "width": int(width) if width else None,
                         "height": int(height) if height else None,
                         "target_res": target,
-                        "decode_status": "stubbed" if decodable else "skipped",
-                        "feature": _fake_decode(b, target) if decodable else None,
+                        "decode_status": status,
+                        "feature": feature,
+                        "ahash": ahash,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURES.fields])

@@ -37,9 +37,11 @@ def test_media_features_schema_and_stub(spark):
 
     assert out["img1"]["content_type"] == "png"
     assert out["img1"]["width"] == 100 and out["img1"]["height"] == 50
-    assert out["img1"]["decode_status"] == "stubbed"
+    # headers-only PNG (no IDAT): the REAL decoder (round 2) rejects it
+    assert out["img1"]["decode_status"] == "decode_error"
     assert len(out["img1"]["feature"]) == FEATURE_DIM
     assert out["img1"]["target_res"] == MODE_RESOLUTION["detect"]
+    assert out["img2"]["decode_status"] == "decode_error"  # junk after IHDR
 
     assert out["doc1"]["decode_status"] == "skipped"
     assert out["doc1"]["feature"] is None
@@ -60,3 +62,40 @@ def test_media_features_partition_parallel(spark):
     out = extract_media_features(df)
     assert out.count() == 100
     assert out.select(F.countDistinct("sha")).collect()[0][0] == 1
+
+
+def test_real_png_decode_through_stage(spark):
+    """Round 2: valid PNGs decode for REAL (pure.decode_png) — means,
+    histogram fractions, and aHash come from actual pixels."""
+    from fa_spark import pure
+
+    solid = pure.png_encode([[(10, 20, 30)] * 8 for _ in range(8)])
+    grad = pure.png_encode(
+        [[(x * 17, x * 17, x * 17) for x in range(16)] for _ in range(16)]
+    )
+    df = spark.createDataFrame(
+        [("solid", solid), ("grad", grad)], "media_id string, content binary"
+    )
+    out = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    s = out["solid"]
+    assert s["decode_status"] == "decoded"
+    assert s["width"] == 8 and s["height"] == 8
+    assert [round(v, 3) for v in s["feature"][:3]] == [10.0, 20.0, 30.0]
+    assert s["ahash"] == -1  # solid image: every cell >= mean -> all 64 bits
+    g = out["grad"]
+    assert g["decode_status"] == "decoded"
+    assert abs(g["feature"][0] - 127.5) < 1e-3
+    assert g["ahash"] not in (None, -1, 0)
+
+
+def test_ahash_matches_pure_oracle(spark):
+    from fa_spark import pure
+
+    rows = [[(x * 16 % 256, y * 16 % 256, (x + y) % 256) for x in range(16)] for y in range(16)]
+    png = pure.png_encode(rows)
+    df = spark.createDataFrame([("m", png)], "media_id string, content binary")
+    got = extract_media_features(df).collect()[0]["ahash"]
+    exp = pure.image_stats(pure.decode_png(png))["ahash"]
+    if exp >= 1 << 63:
+        exp -= 1 << 64
+    assert got == exp
