@@ -1370,6 +1370,81 @@ def image_stats(img: dict) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# 9c. WAV codec + audio features (round 2: like PNG, PCM WAV needs no codec
+# library — stdlib `wave` + integer math. Audio joins images as a REAL
+# decode kernel; compressed formats (mp3/ogg/aac) stay stubbed.)
+# ---------------------------------------------------------------------------
+
+import array as _array
+import io as _io
+import wave as _wave
+
+WAV_MAX_SAMPLES = 1 << 24  # decode bound
+
+
+def wav_encode(samples: list[int], rate: int = 16000) -> bytes:
+    """Mono 16-bit PCM WAV writer (deterministic; fixtures + synthesis)."""
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(_array.array("h", samples).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes | None) -> dict | None:
+    """Real PCM WAV decode -> deterministic audio features:
+    {rate, n_channels, n_samples, duration_s, rms, peak, zero_crossings}.
+    16-bit mono/stereo PCM only (stereo is averaged to mono with integer
+    division); None on malformed/unsupported input."""
+    if not data or len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    try:
+        with _wave.open(_io.BytesIO(data), "rb") as w:
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            n = w.getnframes()
+            if width != 2 or ch not in (1, 2) or n <= 0 or n > WAV_MAX_SAMPLES:
+                return None
+            frames = w.readframes(n)
+    except (_wave.Error, EOFError):
+        return None
+    pcm = _array.array("h")
+    pcm.frombytes(frames[: n * ch * 2])
+    if ch == 2:
+        pcm = _array.array(
+            "h", [(pcm[i] + pcm[i + 1]) // 2 for i in range(0, len(pcm) - 1, 2)]
+        )
+    n = len(pcm)
+    if n == 0:
+        return None
+    sq = 0
+    peak = 0
+    zc = 0
+    prev_pos = pcm[0] >= 0
+    for v in pcm:
+        sq += v * v
+        a = v if v >= 0 else -v
+        if a > peak:
+            peak = a
+        pos = v >= 0
+        if pos != prev_pos:
+            zc += 1
+            prev_pos = pos
+    return {
+        "rate": rate,
+        "n_channels": ch,
+        "n_samples": n,
+        "duration_s": n / rate,
+        "rms": (sq / n) ** 0.5,
+        "peak": peak,
+        "zero_crossings": zc,
+    }
+
+
+# ---------------------------------------------------------------------------
 # 10. Text quality / language heuristics (training-data pipeline ops)
 # ---------------------------------------------------------------------------
 

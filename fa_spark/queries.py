@@ -1512,6 +1512,70 @@ FROM documents
 """
 
 
+WAV_N = 1024
+WAV_RATE = 16000
+WAV_PERIOD = 8  # square wave: 4 samples up, 4 down -> 255 sign transitions
+
+
+def _square_wav_batch(doc_id: pd.Series) -> pd.Series:
+    """Deterministic mono square wave per doc: amplitude
+    1000 + (doc_id % 100) * 100 — every audio statistic is closed-form
+    (|x| == A everywhere -> rms == peak == A; 255 zero crossings)."""
+    out = []
+    for did in doc_id:
+        a = 1000 + (int(did) % 100) * 100
+        samples = [
+            a if (i // (WAV_PERIOD // 2)) % 2 == 0 else -a for i in range(WAV_N)
+        ]
+        out.append(pure.wav_encode(samples, WAV_RATE))
+    return pd.Series(out)
+
+
+square_wav_udf = F.pandas_udf(_square_wav_batch, BinaryType())
+
+
+def q_audio_features(spark, sf_dir):
+    """REAL audio decode round trip (round 2): synthesize a PCM WAV per
+    document, decode it with pure.decode_wav (stdlib wave + integer math),
+    value-check rms/peak/zero-crossing-rate/duration against closed forms."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        square_wav_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    f = F.col("feature")
+
+    def fd(i):
+        return F.round(F.element_at(f, i).cast("double"), 6)
+
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "decode_status",
+        fd(1).alias("rms"),
+        fd(2).alias("peak"),
+        fd(3).alias("zcr"),
+        fd(4).alias("n_samples"),
+        fd(5).alias("sample_rate"),
+        fd(6).alias("duration_s"),
+    )
+
+
+SQL_AUDIO_FEATURES = f"""
+SELECT doc_id,
+       'decoded' AS decode_status,
+       CAST(1000 + (doc_id % 100) * 100 AS DOUBLE) AS rms,
+       CAST(1000 + (doc_id % 100) * 100 AS DOUBLE) AS peak,
+       ROUND(CAST({WAV_N // WAV_PERIOD * 2 - 1} AS DOUBLE) / {WAV_N}, 6) AS zcr,
+       CAST({WAV_N} AS DOUBLE) AS n_samples,
+       CAST({WAV_RATE} AS DOUBLE) AS sample_rate,
+       ROUND(CAST({WAV_N} AS DOUBLE) / {WAV_RATE}, 6) AS duration_s
+FROM documents
+"""
+
+
 def q_image_ahash_dedup(spark, sf_dir):
     """Image near-dup dedup by perceptual hash: the decoded aHash groups
     must EXACTLY reproduce the planted pattern classes (doc_id % 8) —
@@ -1593,6 +1657,7 @@ REGISTRY: dict[str, tuple] = {
     "media_plumbing": (q_media_plumbing, SQL_MEDIA_PLUMBING),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
 }
 
 

@@ -9,11 +9,14 @@ keyed on the content bytes, clearly marked. Everything Spark-side is real
 and tested: schema, Arrow batch shape, `mapInPandas` signature, partition
 behavior.
 
+PCM WAV decode is real too (stdlib wave + integer math — pure.decode_wav):
+rms / peak / zero-crossing-rate / duration as the audio feature vector.
+
 decode_status taxonomy:
-  decoded      real PNG decode succeeded (feature/ahash are real)
-  decode_error bytes sniffed as PNG but malformed/unsupported
+  decoded      real decode succeeded (PNG or PCM WAV; feature/ahash real)
+  decode_error bytes sniffed as a decodable-for-real type but malformed
   stubbed      decodable type with no pure-Python codec (jpeg/gif/bmp/tiff)
-  skipped      not an image
+  skipped      not a media type
 
 Design mirrors the reference's per-mode preprocessing tiers
 (/root/reference/src/core/vision.py:211-304 — describe 512² / detect 384² /
@@ -77,6 +80,21 @@ def _real_png_features(img: dict) -> tuple[list[float], int]:
     return vec[:FEATURE_DIM], ah
 
 
+def _real_wav_features(aud: dict) -> list[float]:
+    """FEATURE_DIM floats from a real PCM decode: [rms, peak, zcr,
+    n_samples, rate, duration_s, channels, 0-padding]."""
+    vec = [
+        round(aud["rms"], 6),
+        float(aud["peak"]),
+        round(aud["zero_crossings"] / aud["n_samples"], 6),
+        float(aud["n_samples"]),
+        float(aud["rate"]),
+        round(aud["duration_s"], 6),
+        float(aud["n_channels"]),
+    ]
+    return (vec + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+
 def media_features_fn(mode: str = "describe"):
     """mapInPandas generator over (media_id, content) batches."""
     target = MODE_RESOLUTION.get(mode, 512)
@@ -91,6 +109,7 @@ def media_features_fn(mode: str = "describe"):
                 width = meta.get("png:width") or meta.get("jpeg:width")
                 height = meta.get("png:height") or meta.get("jpeg:height")
                 ct = sn["content_type"]
+                is_wav = ct == "riff" and b[8:12] == b"WAVE"
                 decodable = ct in ("png", "jpeg", "gif", "bmp", "tiff")
                 status, feature, ahash = "skipped", None, None
                 if ct == "png":
@@ -99,6 +118,14 @@ def media_features_fn(mode: str = "describe"):
                         status = "decoded"
                         width, height = img["width"], img["height"]
                         feature, ahash = _real_png_features(img)
+                    else:
+                        status = "decode_error"
+                        feature = _fake_decode(b, target)
+                elif is_wav:
+                    aud = pure.decode_wav(b)
+                    if aud is not None:
+                        status = "decoded"
+                        feature = _real_wav_features(aud)
                     else:
                         status = "decode_error"
                         feature = _fake_decode(b, target)

@@ -99,3 +99,21 @@ def test_ahash_matches_pure_oracle(spark):
     if exp >= 1 << 63:
         exp -= 1 << 64
     assert got == exp
+
+
+def test_real_wav_decode_through_stage(spark):
+    """Round 2: PCM WAV decodes for real — rms/peak/zcr from actual samples;
+    malformed RIFF reports decode_error."""
+    from fa_spark import pure
+
+    tone = pure.wav_encode([2000 if (i // 4) % 2 == 0 else -2000 for i in range(512)])
+    df = spark.createDataFrame(
+        [("ok", tone), ("bad", b"RIFF\x00\x00\x00\x00WAVEjunkjunk")],
+        "media_id string, content binary",
+    )
+    out = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    ok = out["ok"]
+    assert ok["decode_status"] == "decoded"
+    assert abs(ok["feature"][0] - 2000.0) < 1e-3  # rms of a square wave == A
+    assert ok["feature"][1] == 2000.0  # peak
+    assert out["bad"]["decode_status"] == "decode_error"

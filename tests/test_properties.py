@@ -139,3 +139,11 @@ def test_clean_tags_invariants(tags):
     assert all(t == t.lower() and len(t) > 2 for t in out)
     assert all(t not in pure.GENERIC_TAGS for t in out)
     assert len(set(out)) == len(out)
+
+
+@settings(max_examples=100, deadline=None)
+@given(BYTES)
+def test_wav_decode_total(data):
+    """decode_wav is total over arbitrary RIFF-prefixed bytes."""
+    r = pure.decode_wav(b"RIFF\x24\x00\x00\x00WAVE" + data)
+    assert r is None or r["n_samples"] > 0
