@@ -1346,10 +1346,8 @@ def image_stats(img: dict) -> dict:
         y0, y1 = cy * h // AHASH_GRID, (cy + 1) * h // AHASH_GRID
         for cx in range(AHASH_GRID):
             x0, x1 = cx * w // AHASH_GRID, (cx + 1) * w // AHASH_GRID
-            if y1 <= y0 or x1 <= x0:  # image smaller than the grid
-                y1e, x1e = max(y1, y0 + 1), max(x1, x0 + 1)
-                y0c, x0c = min(y0, h - 1), min(x0, w - 1)
-                cells.append(lum[min(y0c, h - 1) * w + min(x0c, w - 1)])
+            if y1 <= y0 or x1 <= x0:  # image smaller than the grid: sample
+                cells.append(lum[min(y0, h - 1) * w + min(x0, w - 1)])
                 continue
             s = 0
             for y in range(y0, y1):
@@ -1409,10 +1407,15 @@ def decode_wav(data: bytes | None) -> dict | None:
             if width != 2 or ch not in (1, 2) or n <= 0 or n > WAV_MAX_SAMPLES:
                 return None
             frames = w.readframes(n)
-    except (_wave.Error, EOFError):
+    # wave raises bare RuntimeError on chunk sizes that exceed the remaining
+    # bytes (Chunk.skip) and struct.error-ish ValueErrors on short headers —
+    # totality over hostile bytes requires catching them all here
+    except (_wave.Error, EOFError, RuntimeError, ValueError, OSError):
         return None
+    frame_size = ch * 2
+    frames = frames[: len(frames) // frame_size * frame_size]  # truncated data chunk
     pcm = _array.array("h")
-    pcm.frombytes(frames[: n * ch * 2])
+    pcm.frombytes(frames[: n * frame_size])
     if ch == 2:
         pcm = _array.array(
             "h", [(pcm[i] + pcm[i + 1]) // 2 for i in range(0, len(pcm) - 1, 2)]

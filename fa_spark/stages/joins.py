@@ -48,6 +48,9 @@ def range_join(
     overlap = (set(right.columns) - {key}) & set(left.columns)
     if overlap:
         raise ValueError(f"right columns collide with left: {sorted(overlap)}")
+    reserved = {"_cell"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(f"inputs carry reserved working columns: {sorted(reserved)}")
 
     def us(c):
         return F.unix_micros(F.col(c).cast("timestamp"))
@@ -84,6 +87,11 @@ def asof_join(
     overlap = set(value_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"right value columns collide with left: {sorted(overlap)}")
+    reserved = {"_side", "_ord", "_m", "_asof_ts"} & (
+        set(left.columns) | set(right.columns)
+    )
+    if reserved:
+        raise ValueError(f"inputs carry reserved working columns: {sorted(reserved)}")
 
     l = left.withColumn("_side", F.lit(1)).withColumn("_ord", F.lit(None).cast("long"))
     r = right.withColumn("_side", F.lit(0)).withColumn(

@@ -147,3 +147,30 @@ def test_wav_decode_total(data):
     """decode_wav is total over arbitrary RIFF-prefixed bytes."""
     r = pure.decode_wav(b"RIFF\x24\x00\x00\x00WAVE" + data)
     assert r is None or r["n_samples"] > 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([b"LIST", b"data", b"fact", b"junk"]),
+            st.integers(min_value=0, max_value=200),  # CLAIMED size
+            st.binary(max_size=64),  # actual body (may be shorter)
+        ),
+        max_size=4,
+    )
+)
+def test_wav_chunk_soup_total(chunks):
+    """Structured fuzz: a VALID fmt chunk followed by chunks whose claimed
+    sizes lie about the available bytes — the class that crashed decode_wav
+    in round-2 review (bare RuntimeError from wave's Chunk.skip, ValueError
+    from odd-length PCM slices). Must return a result or None, never raise."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    body = b"fmt " + struct.pack("<I", 16) + fmt
+    for typ, claimed, payload in chunks:
+        body += typ + struct.pack("<I", claimed) + payload
+    blob = b"RIFF" + struct.pack("<I", len(body) + 4) + b"WAVE" + body
+    r = pure.decode_wav(blob)
+    assert r is None or r["n_samples"] > 0
