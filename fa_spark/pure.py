@@ -53,6 +53,7 @@ MAGIC_PREFIXES: tuple[tuple[bytes, str], ...] = (
     (b"OggS", "ogg"),
     (b"fLaC", "flac"),
     (b"RIFF", "riff"),
+    (b"YUV4MPEG2 ", "y4m"),
 )
 
 _HTML_HINT_RE = re.compile(
@@ -1444,6 +1445,95 @@ def decode_wav(data: bytes | None) -> dict | None:
         "rms": (sq / n) ** 0.5,
         "peak": peak,
         "zero_crossings": zc,
+    }
+
+
+# ---------------------------------------------------------------------------
+# 9d. Y4M video codec (round 2: YUV4MPEG2 is a plain-text header + raw
+# frames — real video decode + frame sampling with zero dependencies.
+# Compressed video (mp4/webm) stays stubbed.)
+# ---------------------------------------------------------------------------
+
+Y4M_MAX_FRAMES = 4096
+Y4M_MAX_PIXELS = 1 << 20
+VIDEO_SAMPLE_FRAMES = 8  # sample up to 8 frames evenly (the frame-sample op)
+
+
+def y4m_encode(frames: list[bytes], w: int, h: int, fps: int = 25) -> bytes:
+    """YUV4MPEG2 writer: each frame is a w*h luminance plane; chroma planes
+    are neutral (128). Deterministic."""
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode())
+    chroma = bytes([128]) * ((w // 2) * (h // 2))
+    for f in frames:
+        out += b"FRAME\n" + f + chroma + chroma
+    return bytes(out)
+
+
+def decode_y4m(data: bytes | None) -> dict | None:
+    """Real Y4M decode: header parse, frame iteration, per-frame luminance
+    means over up to VIDEO_SAMPLE_FRAMES evenly-sampled frames. Supports
+    C420* (default) and Cmono; None on malformed input."""
+    if not data or not data.startswith(b"YUV4MPEG2 "):
+        return None
+    eol = data.find(b"\n")
+    if eol < 0:
+        return None
+    w = h = -1
+    fps_num, fps_den = 25, 1
+    mono = False
+    for tok in data[10:eol].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                num, _, den = val.partition(b":")
+                fps_num, fps_den = int(num), int(den or b"1")
+            elif tag == b"C":
+                if val.startswith(b"mono"):
+                    mono = True
+                elif not val.startswith(b"420"):
+                    return None  # 422/444 unsupported
+        except ValueError:
+            return None
+    if w <= 0 or h <= 0 or w * h > Y4M_MAX_PIXELS or fps_den <= 0 or fps_num <= 0:
+        return None
+    y_size = w * h
+    frame_size = y_size if mono else y_size + 2 * ((w // 2) * (h // 2))
+    # first pass: frame offsets
+    offsets = []
+    pos = eol + 1
+    n = len(data)
+    while pos < n and len(offsets) < Y4M_MAX_FRAMES:
+        if data[pos : pos + 5] != b"FRAME":
+            return None  # garbage between frames
+        fe = data.find(b"\n", pos)
+        if fe < 0 or fe + 1 + frame_size > n:
+            break  # truncated trailing frame: keep what we have
+        offsets.append(fe + 1)
+        pos = fe + 1 + frame_size
+    if not offsets:
+        return None
+    n_frames = len(offsets)
+    step = max(1, n_frames // VIDEO_SAMPLE_FRAMES)
+    sampled = list(range(0, n_frames, step))[:VIDEO_SAMPLE_FRAMES]
+    means = []
+    for i in sampled:
+        off = offsets[i]
+        plane = data[off : off + y_size]
+        means.append(sum(plane) / y_size)
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": n_frames,
+        "fps": fps_num / fps_den,
+        "duration_s": n_frames * fps_den / fps_num,
+        "sampled_frames": sampled,
+        "frame_means": means,
     }
 
 

@@ -1576,6 +1576,67 @@ FROM documents
 """
 
 
+VID_SIDE = 16
+VID_FPS = 25
+
+
+def _const_frames_y4m_batch(doc_id: pd.Series) -> pd.Series:
+    """Deterministic Y4M clip per doc: 4 + doc_id%5 frames of constant
+    luminance 10*(doc_id%20) + frame_index — frame count, duration, and
+    every sampled-frame mean are closed-form."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        n = 4 + did % 5
+        base = 10 * (did % 20)
+        frames = [bytes([base + k]) * (VID_SIDE * VID_SIDE) for k in range(n)]
+        out.append(pure.y4m_encode(frames, VID_SIDE, VID_SIDE, VID_FPS))
+    return pd.Series(out)
+
+
+const_frames_y4m_udf = F.pandas_udf(_const_frames_y4m_batch, BinaryType())
+
+
+def q_video_features(spark, sf_dir):
+    """REAL video decode round trip (round 2): synthesize a Y4M clip per
+    document, decode it with pure.decode_y4m (header parse + frame
+    iteration + even frame-sampling), value-check frame count, duration,
+    and first/last sampled-frame luminance against closed forms."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        const_frames_y4m_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    f = F.col("feature")
+
+    def fd(i):
+        return F.round(F.element_at(f, i).cast("double"), 6)
+
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "decode_status",
+        "width",
+        "height",
+        fd(1).alias("n_frames"),
+        fd(5).alias("duration_s"),
+        fd(7).alias("mean_first"),  # sampled frame 0
+    )
+
+
+SQL_VIDEO_FEATURES = f"""
+SELECT doc_id,
+       'decoded' AS decode_status,
+       {VID_SIDE} AS width, {VID_SIDE} AS height,
+       CAST(4 + doc_id % 5 AS DOUBLE) AS n_frames,
+       ROUND(CAST(4 + doc_id % 5 AS DOUBLE) / {VID_FPS}, 6) AS duration_s,
+       CAST(10 * (doc_id % 20) AS DOUBLE) AS mean_first
+FROM documents
+"""
+
+
 def q_image_ahash_dedup(spark, sf_dir):
     """Image near-dup dedup by perceptual hash: the decoded aHash groups
     must EXACTLY reproduce the planted pattern classes (doc_id % 8) —
@@ -1658,6 +1719,7 @@ REGISTRY: dict[str, tuple] = {
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "video_features": (q_video_features, SQL_VIDEO_FEATURES),
 }
 
 

@@ -11,6 +11,8 @@ behavior.
 
 PCM WAV decode is real too (stdlib wave + integer math — pure.decode_wav):
 rms / peak / zero-crossing-rate / duration as the audio feature vector.
+So is Y4M video (pure.decode_y4m: YUV4MPEG2 header + raw planes — frame
+iteration, even frame-sampling, per-sampled-frame luminance means).
 
 decode_status taxonomy:
   decoded      real decode succeeded (PNG or PCM WAV; feature/ahash real)
@@ -80,6 +82,21 @@ def _real_png_features(img: dict) -> tuple[list[float], int]:
     return vec[:FEATURE_DIM], ah
 
 
+def _real_y4m_features(vid: dict) -> list[float]:
+    """FEATURE_DIM floats from a real video decode: [n_frames, width,
+    height, fps, duration_s, n_sampled, sampled-frame luminance means...]"""
+    vec = [
+        float(vid["n_frames"]),
+        float(vid["width"]),
+        float(vid["height"]),
+        round(vid["fps"], 6),
+        round(vid["duration_s"], 6),
+        float(len(vid["sampled_frames"])),
+    ]
+    vec += [round(m, 6) for m in vid["frame_means"]]
+    return (vec + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+
 def _real_wav_features(aud: dict) -> list[float]:
     """FEATURE_DIM floats from a real PCM decode: [rms, peak, zcr,
     n_samples, rate, duration_s, channels, 0-padding]."""
@@ -126,6 +143,15 @@ def media_features_fn(mode: str = "describe"):
                     if aud is not None:
                         status = "decoded"
                         feature = _real_wav_features(aud)
+                    else:
+                        status = "decode_error"
+                        feature = _fake_decode(b, target)
+                elif ct == "y4m":
+                    vid = pure.decode_y4m(b)
+                    if vid is not None:
+                        status = "decoded"
+                        width, height = vid["width"], vid["height"]
+                        feature = _real_y4m_features(vid)
                     else:
                         status = "decode_error"
                         feature = _fake_decode(b, target)

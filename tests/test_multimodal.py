@@ -117,3 +117,25 @@ def test_real_wav_decode_through_stage(spark):
     assert abs(ok["feature"][0] - 2000.0) < 1e-3  # rms of a square wave == A
     assert ok["feature"][1] == 2000.0  # peak
     assert out["bad"]["decode_status"] == "decode_error"
+
+
+def test_real_y4m_decode_through_stage(spark):
+    """Round 2: Y4M video decodes for real — frame count, frame sampling,
+    per-frame luminance means; malformed headers report decode_error."""
+    from fa_spark import pure
+
+    clip = pure.y4m_encode(
+        [bytes([k * 20]) * 64 for k in range(5)], 8, 8, fps=10
+    )
+    df = spark.createDataFrame(
+        [("ok", clip), ("bad", b"YUV4MPEG2 Wx Hy\nFRAME\n")],
+        "media_id string, content binary",
+    )
+    out = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    ok = out["ok"]
+    assert ok["decode_status"] == "decoded"
+    assert ok["content_type"] == "y4m"
+    assert ok["width"] == 8 and ok["height"] == 8
+    assert ok["feature"][0] == 5.0  # n_frames
+    assert ok["feature"][6] == 0.0 and ok["feature"][10] == 80.0  # frame means
+    assert out["bad"]["decode_status"] == "decode_error"

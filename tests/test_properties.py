@@ -174,3 +174,11 @@ def test_wav_chunk_soup_total(chunks):
     blob = b"RIFF" + struct.pack("<I", len(body) + 4) + b"WAVE" + body
     r = pure.decode_wav(blob)
     assert r is None or r["n_samples"] > 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(BYTES)
+def test_y4m_decode_total(data):
+    """decode_y4m is total over arbitrary bytes after the magic."""
+    r = pure.decode_y4m(b"YUV4MPEG2 " + data)
+    assert r is None or r["n_frames"] > 0
