@@ -1459,12 +1459,18 @@ Y4M_MAX_PIXELS = 1 << 20
 VIDEO_SAMPLE_FRAMES = 8  # sample up to 8 frames evenly (the frame-sample op)
 
 
+Y4M_MAX_FPS = 1_000_000  # bound hostile F headers (OverflowError guard)
+
+
 def y4m_encode(frames: list[bytes], w: int, h: int, fps: int = 25) -> bytes:
     """YUV4MPEG2 writer: each frame is a w*h luminance plane; chroma planes
-    are neutral (128). Deterministic."""
+    are neutral (128). Deterministic. Rejects wrong-length frames loudly —
+    a short plane would silently shift every later FRAME marker."""
     out = bytearray(f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode())
     chroma = bytes([128]) * ((w // 2) * (h // 2))
-    for f in frames:
+    for i, f in enumerate(frames):
+        if len(f) != w * h:
+            raise ValueError(f"frame {i}: {len(f)} bytes, expected {w * h}")
         out += b"FRAME\n" + f + chroma + chroma
     return bytes(out)
 
@@ -1500,7 +1506,13 @@ def decode_y4m(data: bytes | None) -> dict | None:
                     return None  # 422/444 unsupported
         except ValueError:
             return None
-    if w <= 0 or h <= 0 or w * h > Y4M_MAX_PIXELS or fps_den <= 0 or fps_num <= 0:
+    if (
+        w <= 0
+        or h <= 0
+        or w * h > Y4M_MAX_PIXELS
+        or not (0 < fps_den <= Y4M_MAX_FPS)
+        or not (0 < fps_num <= Y4M_MAX_FPS)
+    ):
         return None
     y_size = w * h
     frame_size = y_size if mono else y_size + 2 * ((w // 2) * (h // 2))
@@ -1518,9 +1530,15 @@ def decode_y4m(data: bytes | None) -> dict | None:
         pos = fe + 1 + frame_size
     if not offsets:
         return None
+    if len(offsets) == Y4M_MAX_FRAMES and data[pos : pos + 5] == b"FRAME":
+        return None  # over the frame bound: reject (matches WAV semantics)
     n_frames = len(offsets)
-    step = max(1, n_frames // VIDEO_SAMPLE_FRAMES)
-    sampled = list(range(0, n_frames, step))[:VIDEO_SAMPLE_FRAMES]
+    # EVEN sampling across the whole clip, first AND last frame included
+    k = min(VIDEO_SAMPLE_FRAMES, n_frames)
+    if k == 1:
+        sampled = [0]
+    else:
+        sampled = sorted({i * (n_frames - 1) // (k - 1) for i in range(k)})
     means = []
     for i in sampled:
         off = offsets[i]

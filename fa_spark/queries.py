@@ -34,6 +34,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _feat_d(i: int):
+    """feature[i] (float32) -> rounded double — the oracle-alignment
+    convention shared by every media query (one definition, not per-query)."""
+    return F.round(F.element_at(F.col("feature"), i).cast("double"), 6)
+
+
 def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """The sf tables are single parquet files (1-3 splits) — a Python-UDF
     stage downstream would run on 1-3 tasks. Spread to all cores. Only used
@@ -1490,15 +1496,14 @@ def q_image_features(spark, sf_dir):
         gradient_png_udf("doc_id").alias("content"),
     )
     feats = extract_media_features(media, mode="describe")
-    f = F.col("feature")
     return feats.select(
         F.col("media_id").cast("long").alias("doc_id"),
         "width",
         "height",
         "decode_status",
-        F.round(F.element_at(f, 1).cast("double"), 6).alias("mean_r"),
-        F.round(F.element_at(f, 2).cast("double"), 6).alias("mean_g"),
-        F.round(F.element_at(f, 3).cast("double"), 6).alias("mean_b"),
+        _feat_d(1).alias("mean_r"),
+        _feat_d(2).alias("mean_g"),
+        _feat_d(3).alias("mean_b"),
     )
 
 
@@ -1546,10 +1551,7 @@ def q_audio_features(spark, sf_dir):
         square_wav_udf("doc_id").alias("content"),
     )
     feats = extract_media_features(media, mode="describe")
-    f = F.col("feature")
-
-    def fd(i):
-        return F.round(F.element_at(f, i).cast("double"), 6)
+    fd = _feat_d
 
     return feats.select(
         F.col("media_id").cast("long").alias("doc_id"),
@@ -1610,10 +1612,7 @@ def q_video_features(spark, sf_dir):
         const_frames_y4m_udf("doc_id").alias("content"),
     )
     feats = extract_media_features(media, mode="describe")
-    f = F.col("feature")
-
-    def fd(i):
-        return F.round(F.element_at(f, i).cast("double"), 6)
+    fd = _feat_d
 
     return feats.select(
         F.col("media_id").cast("long").alias("doc_id"),

@@ -15,9 +15,10 @@ So is Y4M video (pure.decode_y4m: YUV4MPEG2 header + raw planes — frame
 iteration, even frame-sampling, per-sampled-frame luminance means).
 
 decode_status taxonomy:
-  decoded      real decode succeeded (PNG or PCM WAV; feature/ahash real)
+  decoded      real decode succeeded (PNG, PCM WAV, or Y4M; features real)
   decode_error bytes sniffed as a decodable-for-real type but malformed
-  stubbed      decodable type with no pure-Python codec (jpeg/gif/bmp/tiff)
+  stubbed      decodable type with no pure-Python codec (jpeg/gif/bmp/tiff,
+               compressed audio/video)
   skipped      not a media type
 
 Design mirrors the reference's per-mode preprocessing tiers
