@@ -112,6 +112,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def call(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ship_package(spark)
+            # the driver sweeps all registry queries in one session; release
+            # the PREVIOUS query's persisted signature caches here (the
+            # current query's cache must survive until the driver's action),
+            # bounding accumulation to one query's blocks (ADVICE r2)
+            from fa_spark.stages.dedup import release_pair_caches
+
+            release_pair_caches()
             return fn(spark, sf_dir)
 
         return call

@@ -117,20 +117,43 @@ HEADLINE = [
 ]
 
 
-def run_headline(spark, sf_dir: str) -> dict[str, float]:
-    from fa_spark.queries import REGISTRY
+# BENCH_r01 ran exactly these 11 (pre-pdf_extract) — the round-over-round
+# comparable subtotal is computed over this set in every artifact.
+R1_COMPARABLE = [q for q in HEADLINE if q != "pdf_extract"] + ["extraction_pipeline"]
 
-    times: dict[str, float] = {}
+
+def run_headline(
+    spark, sf_dir: str, samples: int = 3
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Best-of-N per query within ONE session (round-2 VERDICT: single-shot
+    numbers drift ±2× per-minute under host co-tenancy — min-of-3 plus median
+    makes rounds comparable). Returns ({name: min_sec}, {name: median_sec}).
+    Session warmup (_warm) runs before any timed query, so worker spawn is
+    never billed to the first query."""
+    from fa_spark.queries import REGISTRY
+    from fa_spark.stages.dedup import release_pair_caches
+
+    mins: dict[str, float] = {}
+    medians: dict[str, float] = {}
+
+    def _measure(name, thunk):
+        ts = []
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            thunk()
+            ts.append(time.perf_counter() - t0)
+            # near-dup queries persist signature caches; release between
+            # samples so each sample pays the same (cold) cost and a
+            # long-lived driver doesn't accumulate blocks (ADVICE r2)
+            release_pair_caches()
+        mins[name] = round(min(ts), 3)
+        medians[name] = round(statistics.median(ts), 3)
+
     for name in HEADLINE:
         fn = REGISTRY[name][0]
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
-    # flagship extraction pipeline end-to-end
-    t0 = time.perf_counter()
-    _force(_extraction_job(spark, sf_dir))
-    times["extraction_pipeline"] = round(time.perf_counter() - t0, 3)
-    return times
+        _measure(name, lambda: _force(fn(spark, sf_dir)))
+    _measure("extraction_pipeline", lambda: _force(_extraction_job(spark, sf_dir)))
+    return mins, medians
 
 
 def count_docs(sf_dir: str) -> int:
@@ -139,24 +162,31 @@ def count_docs(sf_dir: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
 
 
-def bench_once(cpus: int, sf_dir: str) -> dict:
+def bench_once(cpus: int, sf_dir: str, samples: int = 3) -> dict:
     spark = _session(cpus)
     try:
         _warm(spark, cpus)
-        times = run_headline(spark, sf_dir)
+        mins, medians = run_headline(spark, sf_dir, samples=samples)
     finally:
         spark.stop()
-    total = round(sum(times.values()), 3)
+    total = round(sum(mins.values()), 3)
     n_docs = count_docs(sf_dir)
     return {
-        "metric": "headline query suite wall time",
+        "metric": "headline query suite wall time (sum of per-query min-of-%d)"
+        % samples,
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": mins,
+        "queries_median": medians,
+        "total_median": round(sum(medians.values()), 3),
+        "r1_comparable_subtotal": round(
+            sum(mins[q] for q in R1_COMPARABLE if q in mins), 3
+        ),
+        "samples_per_query": samples,
         "sf": sf_dir,
         "cpus": cpus,
         "n_docs": n_docs,
-        "docs_per_sec": round(n_docs / times["extraction_pipeline"], 1),
+        "docs_per_sec": round(n_docs / mins["extraction_pipeline"], 1),
     }
 
 
@@ -352,6 +382,9 @@ def main() -> None:
                     help="also run the 8v32 geometry (published with the "
                          "single-box memory-bus caveat)")
     ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--samples", type=int, default=3,
+                    help="per-query samples in headline mode (min+median "
+                         "reported; co-tenancy noise filter)")
     ap.add_argument("--multiplier", type=int, default=None)
     ap.add_argument("--worker-cores", type=int, default=None)
     ap.add_argument("--pages-path", default=None)
@@ -385,7 +418,7 @@ def main() -> None:
         )
         results.append(result)
     if not results:
-        results.append(bench_once(args.cpus, args.sf_dir))
+        results.append(bench_once(args.cpus, args.sf_dir, samples=args.samples))
     for result in results:
         print(json.dumps(result))
 

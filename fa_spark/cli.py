@@ -204,6 +204,11 @@ def cmd_query(args) -> dict:
     spark = _session(f"fa-query-{args.name}", args.cores)
     df = REGISTRY[args.name][0](spark, args.sf_dir)
     rows = [r.asDict() for r in df.limit(args.limit).collect()]
+    # near-dup queries register persisted signature caches; release them once
+    # the action is consumed so a long-lived driver doesn't accumulate blocks
+    from fa_spark.stages.dedup import release_pair_caches
+
+    release_pair_caches()
     return {"query": args.name, "n_shown": len(rows), "rows": rows}
 
 

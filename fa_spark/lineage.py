@@ -37,6 +37,7 @@ from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from fa_spark import schema as S
 
@@ -154,8 +155,21 @@ def filter_unprocessed(pages: DataFrame, processed: DataFrame) -> DataFrame:
 
 def read_analysis(spark: SparkSession, base: str) -> DataFrame:
     """Committed analysis rows (crashed-run partitions are physically gone
-    after recover(); the run_id filter also guards a concurrent writer)."""
-    df = spark.read.parquet(_analysis_path(base))
+    after recover(); the run_id filter also guards a concurrent writer).
+
+    Explicit schema on the read: run_id is a *partition directory* and
+    validate_run_id permits numeric-looking ids ('123', '007'), which
+    partition-type inference would coerce to ints — aliasing '0123' with
+    '123' and silently weakening the committed-set filter. Same fix as
+    read_lineage/read_processed (S.LINEAGE / S.PROCESSED)."""
+    disk_schema = T.StructType(
+        list(S.ANALYSIS.fields)
+        + [
+            T.StructField("run_id", T.StringType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]
+    )
+    df = spark.read.schema(disk_schema).parquet(_analysis_path(base))
     committed = sorted(list_committed(base))
     return df.where(F.col("run_id").isin(committed)) if committed else df.limit(0)
 

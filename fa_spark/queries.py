@@ -815,9 +815,13 @@ def _synth_pdfs(spark, sf_dir):
     path is pytest-covered with real zlib streams in tests/test_pdf.py)."""
     docs = _t(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
+    # escape PDF literal-string metacharacters — without this, a '(' ')' or
+    # '\' in the document text would silently corrupt the stream and the
+    # oracle equality would hold only by fixture-vocabulary luck (ADVICE r2)
+    esc = F.regexp_replace(F.col("text"), r"([\\()])", r"\\$1")
     content = F.concat(
         F.lit("BT /F1 12 Tf 72 720 Td (doc "), did,
-        F.lit(") Tj 0 -14 Td ("), F.col("text"), F.lit(") Tj ET"),
+        F.lit(") Tj 0 -14 Td ("), esc, F.lit(") Tj ET"),
     )
     pdf = F.concat(
         F.lit(
@@ -858,7 +862,8 @@ WITH t AS (
   SELECT doc_id, TRIM(regexp_replace(text, '\s+', ' ', 'g')) AS norm
   FROM documents)
 SELECT doc_id,
-       'doc ' || doc_id || chr(10) || norm AS ext_text,
+       CASE WHEN norm = '' THEN 'doc ' || doc_id
+            ELSE 'doc ' || doc_id || chr(10) || norm END AS ext_text,
        'pdf' AS doc_type,
        'success' AS status,
        'doc ' || doc_id AS title,

@@ -77,12 +77,27 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join. ``right`` must contain (key, ts, order_col, value
     columns); every non-(key, ts) right column is attached to each left row
-    from the most recent right row with right.ts <= left.ts (NULLs when no
-    such row — left-join semantics). ``order_col`` breaks ties among right
-    rows sharing (key, ts). Only ``backward`` is implemented (the
-    attribution direction); forward is the mirrored window."""
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    from the most recent right row with right.ts <= left.ts (``backward``,
+    the attribution direction) or the earliest right row with
+    right.ts >= left.ts (``forward``, the mirrored window) — NULLs when no
+    such row (left-join semantics). ``order_col`` breaks ties among right
+    rows sharing (key, ts): the greatest order_col wins in both directions.
+    Both directions are ONE shuffle (union-sort-window); forward only flips
+    the window's ts sort to descending."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    ord_type = dict(right.dtypes).get(order_col)
+    if ord_type is None:
+        raise ValueError(f"order_col {order_col!r} not in right columns")
+    castable = ("tinyint", "smallint", "int", "bigint", "float", "double",
+                "date", "timestamp", "timestamp_ntz", "boolean")
+    if not (ord_type in castable or ord_type.startswith("decimal")):
+        # a string order_col would cast to NULL for every row, silently
+        # turning the documented greatest-order tie-break nondeterministic
+        raise ValueError(
+            f"order_col {order_col!r} has non-numeric type {ord_type}; "
+            "tie-breaking needs a type castable to long"
+        )
     value_cols = [c for c in right.columns if c not in (key, ts)]
     overlap = set(value_cols) & set(left.columns)
     if overlap:
@@ -98,9 +113,15 @@ def asof_join(
         "_ord", F.col(order_col).cast("long")
     )
     u = l.unionByName(r, allowMissingColumns=True)
+    # backward scans time ascending (last right row at/before left.ts wins);
+    # forward scans descending (last right row seen = nearest at/after
+    # left.ts). In both, side 0 sorts before side 1 at equal ts (right rows
+    # at ts == left.ts ARE visible) and greatest _ord is scanned last among
+    # (key, ts) right ties, so last() picks it.
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_ord").asc_nulls_first())
+        .orderBy(ts_order, F.col("_side").asc(), F.col("_ord").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # ONE last() over a whole-row struct: per-column last(ignorenulls) would

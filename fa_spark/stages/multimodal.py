@@ -17,8 +17,8 @@ iteration, even frame-sampling, per-sampled-frame luminance means).
 decode_status taxonomy:
   decoded      real decode succeeded (PNG, PCM WAV, or Y4M; features real)
   decode_error bytes sniffed as a decodable-for-real type but malformed
-  stubbed      decodable type with no pure-Python codec (jpeg/gif/bmp/tiff,
-               compressed audio/video)
+  stubbed      decodable media type with no pure-Python codec (gif/bmp/tiff,
+               ogg/flac, non-WAVE riff — avi etc.)
   skipped      not a media type
 
 Design mirrors the reference's per-mode preprocessing tiers
@@ -128,7 +128,12 @@ def media_features_fn(mode: str = "describe"):
                 height = meta.get("png:height") or meta.get("jpeg:height")
                 ct = sn["content_type"]
                 is_wav = ct == "riff" and b[8:12] == b"WAVE"
-                decodable = ct in ("png", "jpeg", "gif", "bmp", "tiff")
+                # stubbable media: formats we recognize but have no pure-
+                # Python codec for (incl. compressed audio and non-WAVE riff
+                # containers like avi) — keeps the docstring taxonomy honest
+                decodable = ct in (
+                    "png", "jpeg", "gif", "bmp", "tiff", "ogg", "flac", "riff"
+                )
                 status, feature, ahash = "skipped", None, None
                 if ct == "png":
                     img = pure.decode_png(b)

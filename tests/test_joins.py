@@ -47,6 +47,65 @@ def test_asof_backward_semantics(spark, frames):
     assert out[104] == (None, None, None)  # key with no right rows at all
 
 
+def test_asof_forward_semantics(spark, frames):
+    """Forward direction: earliest right row with right.ts >= left.ts;
+    equal ts visible; duplicate right ts -> greatest order_col, mirroring
+    backward."""
+    from fa_spark.stages.joins import asof_join
+
+    left, right = frames
+    out = {
+        r["lid"]: (r["rid"], r["rv"], r["_asof_ts"])
+        for r in asof_join(
+            left, right, key="k", ts="ts", order_col="rid", direction="forward"
+        ).collect()
+    }
+    assert out[100] == (10, 1.0, 1)  # next right row after ts=0
+    assert out[101] == (11, 2.0, 3)  # nearest at/after ts=2 is ts=3
+    assert out[102] == (11, 2.0, 3)  # equal ts IS visible
+    assert out[103] == (None, None, None)  # B has no right row at/after ts=6
+    assert out[104] == (None, None, None)  # key with no right rows
+
+
+def test_asof_forward_tie_break_and_rowcount(spark):
+    from fa_spark.stages.joins import asof_join
+
+    left = _df(spark, [("B", 4, 110)], "k string, ts long, lid long")
+    right = _df(
+        spark,
+        [("B", 5, 20, 3.0), ("B", 5, 21, 4.0)],
+        "k string, ts long, rid long, rv double",
+    )
+    rows = asof_join(left, right, "k", "ts", "rid", direction="forward").collect()
+    assert len(rows) == 1
+    assert rows[0]["rid"] == 21 and rows[0]["rv"] == 4.0  # max order_col wins
+
+
+def test_asof_rejects_bad_direction_and_order_type(spark, frames):
+    """Loud failure (ADVICE r2): a string order_col would cast to NULL for
+    every row and silently break the documented tie-break."""
+    from fa_spark.stages.joins import asof_join
+
+    left, right = frames
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "k", "ts", "rid", direction="nearest")
+    right_str = right.withColumn("rid", F.col("rid").cast("string"))
+    with pytest.raises(ValueError, match="non-numeric"):
+        asof_join(left, right_str, "k", "ts", "rid")
+
+
+def test_asof_forward_single_shuffle_plan(spark, frames):
+    from fa_spark.stages.joins import asof_join
+
+    left, right = frames
+    plan = (
+        asof_join(left, right, key="k", ts="ts", order_col="rid", direction="forward")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_asof_null_column_not_backfilled(spark):
     """Regression (round-2 review): a NULL value column in the MATCHED right
     row must stay NULL — per-column last(ignorenulls) would fabricate a row
