@@ -347,3 +347,107 @@ def test_fixture_generator_deterministic():
     b = gen_pages(200)
     assert a.equals(b)
     assert a.column("html")[0].as_py() == b.column("html")[0].as_py()
+
+
+# ---------------------------------------------------------------------------
+# numpy-vectorized PNG unfilter (round 3): cross-check against the scalar
+# reference for every filter type, channel count, and mixed-filter images
+# ---------------------------------------------------------------------------
+
+
+def _unfilter_scalar(raw: bytes, w: int, h: int, ch: int):
+    """Byte-for-byte scalar reference (the round-2 implementation)."""
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    prev_off = -1
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = raw[pos + 1 : pos + 1 + stride]
+        pos += 1 + stride
+        off = y * stride
+        if f == 0:
+            out[off : off + stride] = line
+        elif f == 1:
+            for i in range(stride):
+                left = out[off + i - ch] if i >= ch else 0
+                out[off + i] = (line[i] + left) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                up = out[prev_off + i] if prev_off >= 0 else 0
+                out[off + i] = (line[i] + up) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = out[off + i - ch] if i >= ch else 0
+                up = out[prev_off + i] if prev_off >= 0 else 0
+                out[off + i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = out[off + i - ch] if i >= ch else 0
+                b = out[prev_off + i] if prev_off >= 0 else 0
+                c = out[prev_off + i - ch] if (prev_off >= 0 and i >= ch) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[off + i] = (line[i] + pr) & 0xFF
+        else:
+            return None
+        prev_off = off
+    return out
+
+
+def test_png_unfilter_matches_scalar_all_filters():
+    import random
+
+    rng = random.Random(1234)
+    for ch in (1, 3, 4):
+        for w, h in ((1, 1), (3, 2), (7, 5), (16, 16)):
+            stride = w * ch
+            for trial in range(6):
+                raw = bytearray()
+                for _y in range(h):
+                    # per-row filter: sweep each type plus mixed
+                    f = trial if trial < 5 else rng.randrange(5)
+                    raw.append(f)
+                    raw += bytes(rng.randrange(256) for _ in range(stride))
+                got = pure._png_unfilter(bytes(raw), w, h, ch)
+                exp = _unfilter_scalar(bytes(raw), w, h, ch)
+                assert got == exp, (ch, w, h, trial)
+
+
+def test_png_unfilter_rejects_bad_filter_and_short_input():
+    assert pure._png_unfilter(b"\x05" + b"\x00" * 3, 1, 1, 3) is None
+    assert pure._png_unfilter(b"\x00\x00", 2, 2, 3) is None
+
+
+def test_image_stats_numpy_matches_known_values():
+    """The closed-form values the round-2 scalar kernel produced (recorded
+    before vectorizing) must be bit-identical from the numpy kernel."""
+    side = 64
+    rows = [
+        [(x % 251, (x * 17) % 256, (y * 17) % 256) for x in range(side)]
+        for y in range(side)
+    ]
+    st = pure.image_stats(pure.decode_png(pure.png_encode(rows)))
+    n = side * side
+    exp_r = sum(x % 251 for x in range(side)) * side / n
+    exp_g = sum((x * 17) % 256 for x in range(side)) * side / n
+    assert abs(st["means"][0] - exp_r) < 1e-9
+    assert abs(st["means"][1] - exp_g) < 1e-9
+    assert sum(st["hist"]) == n
+    assert 0 <= st["ahash"] < (1 << 64)
+
+
+def test_image_stats_gray_and_rgba():
+    # gray: hand-build via decode dict (decoder path covered elsewhere)
+    img = {"width": 4, "height": 2, "channels": 1,
+           "pixels": bytearray([0, 32, 64, 96, 128, 160, 192, 255])}
+    st = pure.image_stats(img)
+    assert st["means"] == [sum([0, 32, 64, 96, 128, 160, 192, 255]) / 8]
+    assert sum(st["hist"]) == 8
+    rgba = {"width": 2, "height": 1, "channels": 4,
+            "pixels": bytearray([10, 20, 30, 255, 40, 50, 60, 0])}
+    st4 = pure.image_stats(rgba)
+    assert st4["means"] == [25.0, 35.0, 45.0]  # alpha excluded from means
