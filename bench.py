@@ -112,14 +112,16 @@ HEADLINE = [
     "ann_topk",
     "minhash_near_dups",
     "extract_synth",
-    "pdf_extract",  # added round 2 (north_rule "PDF/layout parse") — totals
-                    # are NOT comparable to BENCH_r01 without subtracting it
+    "pdf_extract",  # added round 2 (north_rule "PDF/layout parse")
+    "jpeg_features",  # added round 3 (real baseline-JPEG decode kernel)
 ]
 
 
-# BENCH_r01 ran exactly these 11 (pre-pdf_extract) — the round-over-round
-# comparable subtotal is computed over this set in every artifact.
-R1_COMPARABLE = [q for q in HEADLINE if q != "pdf_extract"] + ["extraction_pipeline"]
+# BENCH_r01 ran exactly these 11 — the round-over-round comparable subtotal
+# is computed over this set in every artifact (later additions excluded).
+R1_COMPARABLE = [
+    q for q in HEADLINE if q not in ("pdf_extract", "jpeg_features")
+] + ["extraction_pipeline"]
 
 
 def run_headline(

@@ -157,19 +157,29 @@ def read_analysis(spark: SparkSession, base: str) -> DataFrame:
     """Committed analysis rows (crashed-run partitions are physically gone
     after recover(); the run_id filter also guards a concurrent writer).
 
-    Explicit schema on the read: run_id is a *partition directory* and
-    validate_run_id permits numeric-looking ids ('123', '007'), which
-    partition-type inference would coerce to ints — aliasing '0123' with
-    '123' and silently weakening the committed-set filter. Same fix as
-    read_lineage/read_processed (S.LINEAGE / S.PROCESSED)."""
-    disk_schema = T.StructType(
-        list(S.ANALYSIS.fields)
-        + [
-            T.StructField("run_id", T.StringType()),
-            T.StructField("bucket", T.IntegerType()),
+    Pinned partition-column types on the read: run_id is a *partition
+    directory* and validate_run_id permits numeric-looking ids ('123',
+    '007'), which partition-type inference would coerce to ints — aliasing
+    '0123' with '123' and silently weakening the committed-set filter (same
+    hazard read_lineage/read_processed fixed with explicit schemas). The
+    data columns keep the inferred on-disk schema — the analysis table
+    carries pipeline outputs beyond S.ANALYSIS (is_canonical, dup counts),
+    so hardcoding a column list here would silently drop them."""
+    path = _analysis_path(base)
+    inferred = spark.read.parquet(path).schema
+    pinned = T.StructType(
+        [
+            T.StructField("run_id", T.StringType())
+            if f.name == "run_id"
+            else (
+                T.StructField("bucket", T.IntegerType())
+                if f.name == "bucket"
+                else f
+            )
+            for f in inferred.fields
         ]
     )
-    df = spark.read.schema(disk_schema).parquet(_analysis_path(base))
+    df = spark.read.schema(pinned).parquet(path)
     committed = sorted(list_committed(base))
     return df.where(F.col("run_id").isin(committed)) if committed else df.limit(0)
 

@@ -1389,6 +1389,661 @@ def image_stats(img: dict) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# 9b². JPEG codec (round 3 — VERDICT item 1: the one stubbed format a real
+# CC image corpus is mostly made of; the reference's image set is jpg-first,
+# /root/reference/config.json:6, tests/test_with_real_images.py).
+#
+# Baseline DCT (SOF0) only, pure Python + numpy integer math:
+#   decoder: marker walk, DQT/DHT/SOF0/SOS/DRI, canonical Huffman decode
+#            with byte-unstuffing + restart markers, differential DC,
+#            zigzag/dequant, fixed-point integer IDCT (int64 matmul —
+#            bit-deterministic, no BLAS float path), 4:4:4 / 4:2:0 / 4:2:2
+#            chroma with replication upsampling, integer YCbCr->RGB.
+#   encoder: grayscale or RGB 4:4:4/4:2:0, edge-replication padding, the
+#            SAME fixed-point transform forward, round-half-away-from-zero
+#            quantization, and DETERMINISTICALLY GENERATED canonical Huffman
+#            tables (spec-legal custom DHT: all 12 DC symbols at 4 bits, all
+#            162 AC symbols at 8 bits) — no Annex-K constant transcription
+#            to get wrong, and the decoder is exercised on the general
+#            canonical-table build path.
+#
+# The fixed-point transform (scale 2^15 basis, one rounding shift of 30 at
+# the end) keeps total error < 0.06 LSB per sample, so DC-only blocks
+# (solid 8x8 regions) round-trip EXACTLY for every gray level when the DC
+# quant step divides the closed-form DC value — which is what makes a
+# closed-form DuckDB oracle possible (queries.q_jpeg_features).
+# ---------------------------------------------------------------------------
+
+JPEG_MAX_PIXELS = PNG_MAX_PIXELS
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """The spec zigzag scan, generated (anti-diagonals, alternating)."""
+    order = []
+    for s in range(15):
+        rows = range(s, -1, -1) if s % 2 == 0 else range(s + 1)
+        for r in rows:
+            c = s - r
+            if r < 8 and c < 8:
+                order.append((r, c))
+    return order
+
+
+_ZZ = _zigzag_order()
+_ZZ_FLAT = _np.array([r * 8 + c for r, c in _ZZ], dtype=_np.int64)
+
+# orthonormal DCT-II basis, fixed point: K[u][x] = (C(u)/2)cos((2x+1)uπ/16),
+# K is orthogonal (KKᵀ=I); forward F = K s Kᵀ, inverse s = Kᵀ F K. Scale
+# 2^15 per factor -> one (x + 2^29) >> 30 rounding shift after two int64
+# matmuls (numpy integer matmul is exact; no BLAS float nondeterminism).
+import math as _math
+
+_DCT_K = _np.array(
+    [
+        [
+            round(
+                32768
+                * ((1 / _math.sqrt(2)) if u == 0 else 1.0)
+                / 2
+                * _math.cos((2 * x + 1) * u * _math.pi / 16)
+            )
+            for x in range(8)
+        ]
+        for u in range(8)
+    ],
+    dtype=_np.int64,
+)
+
+
+def _fdct_quant(blocks: "_np.ndarray", quant: "_np.ndarray") -> "_np.ndarray":
+    """(n,8,8) level-shifted samples -> (n,64) zigzagged quantized coefs.
+    Quantization rounds half away from zero (sign-symmetric)."""
+    f = _DCT_K @ blocks @ _DCT_K.T
+    f = (f + (1 << 29)) >> 30
+    q = quant.reshape(1, 8, 8)
+    coef = _np.sign(f) * ((2 * _np.abs(f) + q) // (2 * q))
+    return coef.reshape(-1, 64)[:, _ZZ_FLAT]
+
+
+def _dequant_idct(zz: "_np.ndarray", quant: "_np.ndarray") -> "_np.ndarray":
+    """(n,64) zigzag coefs -> (n,8,8) clamped uint8 samples."""
+    blocks = _np.zeros((zz.shape[0], 64), dtype=_np.int64)
+    blocks[:, _ZZ_FLAT] = zz * quant.reshape(64)[_ZZ_FLAT]
+    blocks = blocks.reshape(-1, 8, 8)
+    s = _DCT_K.T @ blocks @ _DCT_K
+    s = ((s + (1 << 29)) >> 30) + 128
+    return _np.clip(s, 0, 255).astype(_np.uint8)
+
+
+# deterministic canonical Huffman specs (bits-per-length counts + symbol
+# order). DC: 12 category symbols, all 4 bits. AC: EOB + 160 run/size +
+# ZRL = 162 symbols, all 8 bits. All-ones codes stay unused (T.81 rule).
+_HUFF_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_HUFF_DC_VALS = list(range(12))
+_HUFF_AC_BITS = [0] * 7 + [162] + [0] * 8
+_HUFF_AC_VALS = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0]
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, per the canonical code construction."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_tables(bits: list[int], vals: list[int]):
+    """(canonical map, 256-entry fast table). The fast table resolves every
+    code of <= 8 bits from one byte-peek (covers 100% of our generated
+    tables and the hot short codes of typical encoder tables); longer codes
+    fall back to the bit-serial walk. This is the decode hot loop — the
+    bit-by-bit dict probe alone made a noisy 0.26MP image cost ~0.4 s."""
+    table = _huff_canonical(bits, vals)
+    fast: list = [None] * 256
+    for (ln, code), sym in table.items():
+        if ln <= 8:
+            base = code << (8 - ln)
+            for suffix in range(1 << (8 - ln)):
+                fast[base | suffix] = (sym, ln)
+    return table, fast
+
+
+def _huff_encoder(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) (inverse of _huff_canonical)."""
+    return {sym: (code, ln) for (ln, code), sym in _huff_canonical(bits, vals).items()}
+
+
+# default quant tables: flat 16 everywhere except DC step 8 — DC steps of 8
+# divide the closed-form solid-block DC (8·(v−128)) exactly, so solid
+# regions survive the round trip bit-exactly (the oracle lever); AC 16 is
+# coarse enough that fixed-point FDCT residue (<0.06) always quantizes to 0.
+_JPEG_QUANT_DEFAULT = _np.full((8, 8), 16, dtype=_np.int64)
+_JPEG_QUANT_DEFAULT[0, 0] = 8
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:  # pad the final partial byte with 1-bits (spec F.1.2.3)
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _jpeg_mag_cat(v: int) -> tuple[int, int]:
+    """(size category, raw bits) for a coefficient, per the spec's EXTEND."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_component_blocks(
+    bw: _BitWriter, zz: "_np.ndarray", dc_enc, ac_enc, dc_pred: int
+) -> int:
+    for blk in zz:
+        dc = int(blk[0])
+        diff = dc - dc_pred
+        dc_pred = dc
+        size, bits = _jpeg_mag_cat(diff)
+        code, ln = dc_enc[size]
+        bw.put(code, ln)
+        if size:
+            bw.put(bits, size)
+        run = 0
+        nz = _np.nonzero(blk[1:])[0]
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            size, bits = _jpeg_mag_cat(v)
+            code, ln = ac_enc[(run << 4) | size]
+            bw.put(code, ln)
+            bw.put(bits, size)
+            run = 0
+        if last < 63:
+            code, ln = ac_enc[0x00]  # EOB
+            bw.put(code, ln)
+    return dc_pred
+
+
+def _plane_to_blocks(plane: "_np.ndarray") -> "_np.ndarray":
+    """(H,W) uint8 (H,W multiples of 8) -> (n,8,8) int64 level-shifted."""
+    hh, ww = plane.shape
+    b = plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+    return b.reshape(-1, 8, 8).astype(_np.int64) - 128
+
+
+def _pad_edge(plane: "_np.ndarray", mult: int) -> "_np.ndarray":
+    hh, ww = plane.shape
+    ph = (mult - hh % mult) % mult
+    pw = (mult - ww % mult) % mult
+    if ph or pw:
+        plane = _np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def jpeg_encode(
+    rows,
+    gray: bool = False,
+    subsampling: int = 1,
+    quant: "_np.ndarray | None" = None,
+    restart: int = 0,
+) -> bytes:
+    """Minimal baseline JPEG writer. ``rows``: list of rows of (r,g,b)
+    tuples (or ints when gray=True). subsampling 1 = 4:4:4, 2 = 4:2:0
+    (chroma averaged over 2x2); ``restart`` emits DRI + RSTn every that
+    many MCUs (exercises the decoder's restart path). Deterministic —
+    fixtures + query synthesis, the jpg analogue of png_encode."""
+    q = _JPEG_QUANT_DEFAULT if quant is None else _np.asarray(quant, dtype=_np.int64)
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    if gray:
+        img = _np.array(rows, dtype=_np.int64).reshape(h, w, 1)
+    else:
+        img = _np.array(rows, dtype=_np.int64).reshape(h, w, 3)
+
+    if gray:
+        planes = [img[:, :, 0].astype(_np.uint8)]
+        samps = [(1, 1)]
+    else:
+        r = img[:, :, 0]
+        g = img[:, :, 1]
+        b = img[:, :, 2]
+        # JFIF integer YCbCr (fixed point 2^16, round-half-up)
+        y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+        cb = ((-11056 * r - 21712 * g + 32768 * b + 32768) >> 16) + 128
+        cr = ((32768 * r - 27440 * g - 5328 * b + 32768) >> 16) + 128
+        y = _np.clip(y, 0, 255).astype(_np.uint8)
+        cb = _np.clip(cb, 0, 255).astype(_np.uint8)
+        cr = _np.clip(cr, 0, 255).astype(_np.uint8)
+        if subsampling == 2:
+            cbp = _pad_edge(cb, 2).astype(_np.int64)
+            crp = _pad_edge(cr, 2).astype(_np.int64)
+            cb = (
+                (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2] + 2)
+                // 4
+            ).astype(_np.uint8)
+            cr = (
+                (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2] + 2)
+                // 4
+            ).astype(_np.uint8)
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    dc_enc = _huff_encoder(_HUFF_DC_BITS, _HUFF_DC_VALS)
+    ac_enc = _huff_encoder(_HUFF_AC_BITS, _HUFF_AC_VALS)
+
+    # headers
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]) + (len(body) + 2).to_bytes(2, "big") + body)
+
+    zz_q = q.reshape(64)[_ZZ_FLAT]
+    seg(0xDB, b"\x00" + bytes(int(v) for v in zz_q))  # DQT table 0, 8-bit
+    ncomp = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for i, (hs, vs) in enumerate(samps):
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    seg(0xC0, sof)  # SOF0 baseline
+    seg(0xC4, b"\x00" + bytes(_HUFF_DC_BITS) + bytes(_HUFF_DC_VALS))  # DC table 0
+    seg(0xC4, b"\x10" + bytes(_HUFF_AC_BITS) + bytes(_HUFF_AC_VALS))  # AC table 0
+    if restart:
+        seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])  # DC table 0 / AC table 0 for every comp
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    # entropy-coded data: MCU-interleaved
+    mcw, mch = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcw - 1) // mcw
+    mcus_y = (h + mch - 1) // mch
+    comp_blocks = []
+    for p, (hs, vs) in zip(planes, samps):
+        cw = mcus_x * hs * 8
+        chh = mcus_y * vs * 8
+        padded = _np.empty((chh, cw), dtype=_np.uint8)
+        src = _pad_edge(p, 8)
+        sh, sw = min(src.shape[0], chh), min(src.shape[1], cw)
+        padded[:sh, :sw] = src[:sh, :sw]
+        if sw < cw:
+            padded[:sh, sw:] = padded[:sh, sw - 1 : sw]
+        if sh < chh:
+            padded[sh:, :] = padded[sh - 1 : sh, :]
+        zz = _fdct_quant(_plane_to_blocks(padded), q)
+        # block index grid for MCU-order emission
+        bh, bw_ = chh // 8, cw // 8
+        comp_blocks.append((zz, bh, bw_, hs, vs))
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                bw.flush()
+                bw.out.extend(b"\xff" + bytes([0xD0 + (rst_idx % 8)]))
+                rst_idx += 1
+                preds = [0] * ncomp
+            mcu_count += 1
+            for ci, (zz, bh, bw_, hs, vs) in enumerate(comp_blocks):
+                for by in range(vs):
+                    for bx in range(hs):
+                        bi = (my * vs + by) * bw_ + (mx * hs + bx)
+                        preds[ci] = _encode_component_blocks(
+                            bw, zz[bi : bi + 1], dc_enc, ac_enc, preds[ci]
+                        )
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops cleanly at
+    any non-stuffing marker (RST/EOI) and reports its position."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None  # set when the reader runs into 0xFF Dx
+
+    def _fill(self) -> bool:
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            return False
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 >= len(d):
+                return False
+            nxt = d[p + 1]
+            if nxt == 0x00:
+                self.pos = p + 2
+            else:
+                self.marker = nxt
+                return False
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def bits(self, n: int) -> int | None:
+        while self.nbits < n:
+            if not self._fill():
+                return None
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def peek8(self) -> int | None:
+        while self.nbits < 8:
+            if not self._fill():
+                return None
+        return (self.acc >> (self.nbits - 8)) & 0xFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+    def align_and_expect_rst(self, idx: int) -> bool:
+        """Byte-align, then consume the RSTn marker (n = idx mod 8)."""
+        self.nbits = 0
+        self.acc = 0
+        d, p = self.data, self.pos
+        if self.marker is None:
+            if p + 1 < len(d) and d[p] == 0xFF:
+                self.marker = d[p + 1]
+                self.pos = p
+            else:
+                return False
+        if self.marker != 0xD0 + (idx % 8):
+            return False
+        self.pos += 2
+        self.marker = None
+        return True
+
+
+def _huff_decode(br: _BitReader, tabs) -> int | None:
+    table, fast = tabs
+    v = br.peek8()
+    if v is not None:
+        ent = fast[v]
+        if ent is not None:
+            br.skip(ent[1])
+            return ent[0]
+    code = 0
+    for ln in range(1, 17):
+        b = br.bits(1)
+        if b is None:
+            return None
+        code = (code << 1) | b
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes | None) -> dict | None:
+    """Real baseline-JPEG decode. Returns {width, height, channels,
+    pixels(bytearray row-major, 1 or 3 channels)} or None on malformed /
+    non-baseline / over-cap input (caller records decode_error). Total over
+    hostile bytes: every read is bounds-checked, pixel count capped."""
+    if not data or len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return None
+    n = len(data)
+    pos = 2
+    qts: dict[int, "_np.ndarray"] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart = 0
+    scan = None
+    while pos + 2 <= n:
+        if data[pos] != 0xFF:
+            return None
+        m = data[pos + 1]
+        if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            return None
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if seglen < 2 or pos + 2 + seglen > n:
+            return None
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq not in (0, 1) or tq > 3:
+                    return None
+                step = 128 if pq else 64
+                if i + step > len(seg):
+                    return None
+                if pq:
+                    vals = [
+                        int.from_bytes(seg[i + 2 * k : i + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                else:
+                    vals = list(seg[i : i + 64])
+                i += step
+                q = _np.zeros((8, 8), dtype=_np.int64)
+                for k, (r, c) in enumerate(_ZZ):
+                    q[r, c] = vals[k]
+                if (q <= 0).any():
+                    return None
+                qts[tq] = q
+        elif m == 0xC4:  # DHT (possibly several)
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                cnt = sum(bits)
+                i += 17
+                if i + cnt > len(seg) or tc > 1 or th > 3:
+                    return None
+                vals = list(seg[i : i + cnt])
+                i += cnt
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_tables(bits, vals)
+            if i != len(seg):
+                return None
+        elif m == 0xC0 or m == 0xC1:  # baseline / extended-sequential SOF
+            if len(seg) < 6:
+                return None
+            prec = seg[0]
+            fh = int.from_bytes(seg[1:3], "big")
+            fw = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if prec != 8 or nc not in (1, 3) or len(seg) < 6 + 3 * nc:
+                return None
+            if fw <= 0 or fh <= 0 or fw * fh > JPEG_MAX_PIXELS:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, sf, tq = seg[6 + 3 * c : 9 + 3 * c]
+                hs, vs = sf >> 4, sf & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    return None
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            frame = {"w": fw, "h": fh, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive/lossless/arithmetic: not baseline
+        elif m == 0xDD:
+            if len(seg) != 2:
+                return None
+            restart = int.from_bytes(seg, "big")
+        elif m == 0xDA:  # SOS — entropy data follows the header
+            if frame is None or len(seg) < 1:
+                return None
+            ns = seg[0]
+            if ns != len(frame["comps"]) or len(seg) < 1 + 2 * ns + 3:
+                return None
+            sel = []
+            for k in range(ns):
+                cs, tt = seg[1 + 2 * k : 3 + 2 * k]
+                sel.append({"cs": cs, "dc": tt >> 4, "ac": tt & 0x0F})
+            scan = {"sel": sel, "data_at": pos + 2 + seglen}
+            break
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        return None
+
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    for c, s in zip(comps, scan["sel"]):
+        if s["cs"] != c["id"]:
+            return None
+        if s["dc"] not in dc_tabs or s["ac"] not in ac_tabs or c["tq"] not in qts:
+            return None
+        c["dc_tab"] = dc_tabs[s["dc"]]
+        c["ac_tab"] = ac_tabs[s["ac"]]
+        c["quant"] = qts[c["tq"]]
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        c["zz"] = _np.zeros((c["bw"] * c["bh"], 64), dtype=_np.int64)
+
+    br = _BitReader(data, scan["data_at"])
+    preds = [0] * len(comps)
+    rst_idx = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                if not br.align_and_expect_rst(rst_idx):
+                    return None
+                rst_idx += 1
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["zz"][(my * c["v"] + by) * c["bw"] + mx * c["h"] + bx]
+                        sym = _huff_decode(br, c["dc_tab"])
+                        if sym is None or sym > 11:
+                            return None
+                        if sym:
+                            vb = br.bits(sym)
+                            if vb is None:
+                                return None
+                            preds[ci] += _extend(vb, sym)
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(br, c["ac_tab"])
+                            if sym is None:
+                                return None
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:  # only ZRL has size 0
+                                    return None
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                return None
+                            vb = br.bits(size)
+                            if vb is None:
+                                return None
+                            blk[k] = _extend(vb, size)
+                            k += 1
+            mcu_count += 1
+
+    # IDCT + reassemble each component plane, then upsample to full size
+    planes = []
+    for c in comps:
+        px = _dequant_idct(c["zz"], c["quant"])  # (nblocks, 8, 8)
+        bh, bwid = c["bh"], c["bw"]
+        plane = (
+            px.reshape(bh, bwid, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bwid * 8)
+        )
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1:
+            plane = _np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = _np.repeat(plane, fx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return {
+            "width": w,
+            "height": h,
+            "channels": 1,
+            "pixels": bytearray(planes[0].tobytes()),
+        }
+    y = planes[0].astype(_np.int64)
+    cb = planes[1].astype(_np.int64) - 128
+    cr = planes[2].astype(_np.int64) - 128
+    # integer YCbCr -> RGB (fixed point 2^16, round-half-up) — the inverse
+    # pair of the encoder's forward matrix
+    r = _np.clip((y * 65536 + 91881 * cr + 32768) >> 16, 0, 255)
+    g = _np.clip((y * 65536 - 22553 * cb - 46802 * cr + 32768) >> 16, 0, 255)
+    b = _np.clip((y * 65536 + 116130 * cb + 32768) >> 16, 0, 255)
+    rgb = _np.stack([r, g, b], axis=2).astype(_np.uint8)
+    return {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "pixels": bytearray(rgb.tobytes()),
+    }
+
+
+# ---------------------------------------------------------------------------
 # 9c. WAV codec + audio features (round 2: like PNG, PCM WAV needs no codec
 # library — stdlib `wave` + integer math. Audio joins images as a REAL
 # decode kernel; compressed formats (mp3/ogg/aac) stay stubbed.)

@@ -1522,6 +1522,110 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# real JPEG decode (round 3): encode -> decode -> feature round trip through
+# the pure-Python baseline JPEG codec. The fixture is a grayscale 16x16
+# image of four solid 8x8 quadrants — solid blocks are DC-only, the DC
+# quant step (8) divides the closed-form DC exactly, and the fixed-point
+# transform error is < 0.06 LSB, so the decode is BIT-EXACT and every
+# statistic (means, histogram fractions, aHash) has a closed form the
+# DuckDB oracle computes from doc_id alone. Quadrants differ, so the
+# decoder's differential-DC prediction is exercised with both signs.
+# ---------------------------------------------------------------------------
+
+# per-quadrant gray levels as functions of doc_id (distinct linear mixes)
+_JQ = (
+    ("(doc_id % 256)", lambda d: d % 256),
+    ("((doc_id * 7 + 31) % 256)", lambda d: (d * 7 + 31) % 256),
+    ("((doc_id * 13 + 97) % 256)", lambda d: (d * 13 + 97) % 256),
+    ("((doc_id * 29 + 151) % 256)", lambda d: (d * 29 + 151) % 256),
+)
+# disjoint 16-bit quadrant masks of the 8x8 aHash grid (2x2 cells/quadrant
+# row): bit i = cell (cy, cx), i = 8*cy + cx; signed-fold the q11 mask
+_JQ_MASKS = (0x0F0F0F0F, 0xF0F0F0F0, 0x0F0F0F0F00000000, 0xF0F0F0F000000000)
+
+
+def _quadrant_jpeg_batch(doc_id: pd.Series) -> pd.Series:
+    out = []
+    for did in doc_id:
+        did = int(did)
+        v = [fn(did) for _sql, fn in _JQ]
+        rows = [
+            [v[0] if x < 8 else v[1] for x in range(16)]
+            if y < 8
+            else [v[2] if x < 8 else v[3] for x in range(16)]
+            for y in range(16)
+        ]
+        out.append(pure.jpeg_encode(rows, gray=True))
+    return pd.Series(out)
+
+
+quadrant_jpeg_udf = F.pandas_udf(_quadrant_jpeg_batch, BinaryType())
+
+
+def q_jpeg_features(spark, sf_dir):
+    """REAL baseline-JPEG decode round trip (round 3 — the reference's
+    image corpus is jpg-first, /root/reference/config.json:6): synthesize a
+    quadrant JPEG per document (pandas UDF -> pure.jpeg_encode: fixed-point
+    FDCT, canonical Huffman), push it through the multimodal decode stage
+    (pure.decode_jpeg: marker walk, Huffman decode, differential DC,
+    integer IDCT), and value-check mean luminance, two histogram bins, and
+    the 64-bit aHash against their closed forms."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        quadrant_jpeg_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        "width",
+        "height",
+        _feat_d(1).alias("mean_y"),
+        _feat_d(6).alias("hist0_frac"),
+        _feat_d(13).alias("hist7_frac"),
+        "ahash",
+    )
+
+
+def _sql_jpeg_features() -> str:
+    v = [s for s, _fn in _JQ]
+    vsum = " + ".join(v)
+    # histogram bin k fraction: each solid quadrant contributes exactly 1/4
+    def bin_frac(k: int) -> str:
+        terms = " + ".join(f"CASE WHEN {x} // 32 = {k} THEN 1 ELSE 0 END" for x in v)
+        # CAST before the divide: a DECIMAL result stringifies as '0.50'
+        # and would false-mismatch the driver's '0.5' float normalization
+        return f"ROUND(CAST({terms} AS DOUBLE) / 4, 6)"
+
+    # aHash: bit-block per quadrant, set iff quadrant >= integer grid mean;
+    # the q11 mask carries bit 63, so its contribution is added signed
+    mean8 = f"(({vsum}) // 4)"
+    parts = []
+    signed_masks = [
+        m if m < (1 << 63) else m - (1 << 64) for m in _JQ_MASKS
+    ]
+    for x, m in zip(v, signed_masks):
+        parts.append(f"CASE WHEN {x} >= {mean8} THEN CAST({m} AS BIGINT) ELSE 0 END")
+    ahash = " + ".join(parts)
+    return f"""
+SELECT doc_id, 'jpeg' AS content_type, 'decoded' AS decode_status,
+       16 AS width, 16 AS height,
+       ROUND(CAST({vsum} AS DOUBLE) / 4, 6) AS mean_y,
+       {bin_frac(0)} AS hist0_frac,
+       {bin_frac(7)} AS hist7_frac,
+       {ahash} AS ahash
+FROM documents
+"""
+
+
+SQL_JPEG_FEATURES = _sql_jpeg_features()
+
+
 WAV_N = 1024
 WAV_RATE = 16000
 WAV_PERIOD = 8  # square wave: 4 samples up, 4 down -> 255 sign transitions
@@ -1721,6 +1825,7 @@ REGISTRY: dict[str, tuple] = {
     "vocab_profile": (q_vocab_profile, SQL_VOCAB_PROFILE),
     "media_plumbing": (q_media_plumbing, SQL_MEDIA_PLUMBING),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
+    "jpeg_features": (q_jpeg_features, SQL_JPEG_FEATURES),
     "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "video_features": (q_video_features, SQL_VIDEO_FEATURES),

@@ -3,11 +3,13 @@
 Round 2: **PNG decode is REAL** — pure Python + zlib (pure.decode_png:
 IDAT inflate + scanline unfilter), producing per-channel means, a luminance
 histogram, and a 64-bit average-hash (perceptual fingerprint for image
-dedup). JPEG/GIF/TIFF/audio/video kernels still need codec libraries that
-are not in this container, so those remain STUBS — a deterministic fake
-keyed on the content bytes, clearly marked. Everything Spark-side is real
-and tested: schema, Arrow batch shape, `mapInPandas` signature, partition
-behavior.
+dedup). Round 3: **baseline JPEG decode is REAL too** (pure.decode_jpeg:
+marker walk, canonical Huffman, integer IDCT, 4:4:4/4:2:0/4:2:2 chroma) —
+the format a real CC image corpus is mostly made of. GIF/BMP/TIFF and
+compressed audio/video kernels still need codec libraries that are not in
+this container, so those remain STUBS — a deterministic fake keyed on the
+content bytes, clearly marked. Everything Spark-side is real and tested:
+schema, Arrow batch shape, `mapInPandas` signature, partition behavior.
 
 PCM WAV decode is real too (stdlib wave + integer math — pure.decode_wav):
 rms / peak / zero-crossing-rate / duration as the audio feature vector.
@@ -15,8 +17,10 @@ So is Y4M video (pure.decode_y4m: YUV4MPEG2 header + raw planes — frame
 iteration, even frame-sampling, per-sampled-frame luminance means).
 
 decode_status taxonomy:
-  decoded      real decode succeeded (PNG, PCM WAV, or Y4M; features real)
+  decoded      real decode succeeded (PNG, baseline JPEG, PCM WAV, or Y4M;
+               features real)
   decode_error bytes sniffed as a decodable-for-real type but malformed
+               (incl. progressive/arithmetic JPEG — not baseline)
   stubbed      decodable media type with no pure-Python codec (gif/bmp/tiff,
                ogg/flac, non-WAVE riff — avi etc.)
   skipped      not a media type
@@ -60,16 +64,18 @@ FEATURE_DIM = 16
 
 def _fake_decode(data: bytes, target_res: int) -> list[float]:
     """Deterministic stand-in for decode+resize+feature-extract for formats
-    whose codecs are not in this container (jpeg/gif/bmp/tiff). The fake
+    whose codecs are not in this container (gif/bmp/tiff/ogg/flac). The fake
     hashes the bytes into a fixed-dim float vector so downstream plumbing
     (schema, similarity join, batching) is fully exercisable."""
     h = hashlib.sha256(data + str(target_res).encode()).digest()
     return [round(((h[i] / 255.0) * 2 - 1), 6) for i in range(FEATURE_DIM)]
 
 
-def _real_png_features(img: dict) -> tuple[list[float], int]:
-    """FEATURE_DIM-float vector from a real decode: [mean_r, mean_g, mean_b,
-    width, height, 8 luminance-histogram fractions, 0-padding] + aHash."""
+def _real_raster_features(img: dict) -> tuple[list[float], int]:
+    """FEATURE_DIM-float vector from a real raster decode (PNG or JPEG —
+    both decoders return the same {width,height,channels,pixels} dict):
+    [mean_r, mean_g, mean_b, width, height, 8 luminance-histogram
+    fractions, 0-padding] + aHash. Grayscale pads means with 0."""
     st = pure.image_stats(img)
     n = img["width"] * img["height"]
     means = st["means"] + [0.0] * (3 - len(st["means"]))
@@ -135,12 +141,16 @@ def media_features_fn(mode: str = "describe"):
                     "png", "jpeg", "gif", "bmp", "tiff", "ogg", "flac", "riff"
                 )
                 status, feature, ahash = "skipped", None, None
-                if ct == "png":
-                    img = pure.decode_png(b)
+                if ct in ("png", "jpeg", "jpeg_exif"):
+                    img = (
+                        pure.decode_png(b)
+                        if ct == "png"
+                        else pure.decode_jpeg(b)
+                    )
                     if img is not None:
                         status = "decoded"
                         width, height = img["width"], img["height"]
-                        feature, ahash = _real_png_features(img)
+                        feature, ahash = _real_raster_features(img)
                     else:
                         status = "decode_error"
                         feature = _fake_decode(b, target)
