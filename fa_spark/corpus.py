@@ -7,7 +7,8 @@ text corpus + accounting out.
           ──► language filter (detected_lang ∈ allow)
           ──► quality gate (word count, uniq ratio, alpha ratio)
           ──► exact dedup (sha canonical election)        [1 shuffle]
-          ──► near-dup drop (MinHash bands, canonical=min url) [narrow shuffles]
+          ──► near-dup CLUSTER resolution (MinHash band pairs → connected
+               components → keep cluster-min url)          [O(log n) rounds]
           ──► corpus rows + a savings/accounting report
 
 Every stage is a column predicate or an existing operator — nothing new;
@@ -24,6 +25,7 @@ from pyspark.sql import functions as F
 
 from fa_spark.pipeline import JobConfig, analyze_pages
 from fa_spark.stages.dedup import minhash_band_pairs, release_pair_caches
+from fa_spark.stages.graph import connected_components
 
 
 @dataclass(frozen=True)
@@ -46,7 +48,10 @@ def build_corpus(
 
     corpus_df: url, text, title, lang, n_tokens_ws, n_tokens_bpe, tags, sha
     report_df: one row of funnel counters (input → extracted → lang →
-               quality → exact-canonical → near-dup-free) + bytes/tokens.
+               quality → exact-canonical → near-dup-free) + transitive
+               cluster accounting (n_near_dup_clusters, n_near_dup_members;
+               invariant: n_corpus = n_exact_canonical - members + clusters)
+               + bytes/tokens.
 
     ``output_path``: when given, the corpus parquet is written HERE, while
     the analysis/signature caches are still alive — a caller-side write
@@ -68,14 +73,23 @@ def build_corpus(
         c_extracted & c_lang & c_quality & F.col("is_canonical")
     )
 
-    # near-dup drop: non-minimal side of every confident MinHash pair
+    # near-dup cluster resolution (round 3 — VERDICT r2: pair-drop kept the
+    # never-max member of a transitive chain, e.g. {1,5,9} with edges
+    # (5,9),(1,9) kept BOTH 1 and 5; connected components keep exactly one
+    # canonical per transitive cluster and give the report true cluster
+    # accounting). Vertices = paired docs only; unpaired docs are untouched.
     pairs = minhash_band_pairs(
         exact_canonical,
         id_col="url",
         bands=cfg.minhash_bands,
         min_jaccard=cfg.near_dup_jaccard,
     )
-    drop = pairs.select(F.col("id_b").alias("url")).distinct()
+    clusters = connected_components(pairs, src="id_a", dst="id_b")
+    cstats = clusters.agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.col("is_canonical").cast("long")).alias("n_clusters"),
+    ).collect()[0]
+    drop = clusters.where(~F.col("is_canonical")).select(F.col("id").alias("url"))
     corpus = exact_canonical.join(drop, "url", "left_anti").select(
         "url",
         F.col("extract.text").alias("text"),
@@ -120,13 +134,16 @@ def build_corpus(
             (
                 funnel["n_input"], funnel["n_extracted"], funnel["n_lang"],
                 funnel["n_quality"], funnel["n_exact_canonical"],
+                int(cstats["n_clusters"] or 0),
+                int(cstats["n_members"] or 0),
                 stats["n_corpus"],
                 int(stats["tokens_ws"] or 0), int(stats["tokens_bpe"] or 0),
                 int(stats["chars"] or 0),
             )
         ],
         "n_input long, n_extracted long, n_lang long, n_quality long, "
-        "n_exact_canonical long, n_corpus long, tokens_ws long, "
+        "n_exact_canonical long, n_near_dup_clusters long, "
+        "n_near_dup_members long, n_corpus long, tokens_ws long, "
         "tokens_bpe long, chars long",
     )
     analysis.unpersist()

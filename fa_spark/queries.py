@@ -1282,6 +1282,83 @@ def _cosine_sql(a: str, b: str) -> str:
     return f"ROUND({dot(a, b)} / (SQRT({dot(a, a)}) * SQRT({dot(b, b)})), 6)"
 
 
+# ---------------------------------------------------------------------------
+# near-dup CLUSTER resolution (round 3): pairs -> connected components ->
+# (doc_id, cluster_id, is_canonical). The fixture plants TRANSITIVE chains:
+# doc i's token set is the integer window [start_i, start_i + L) with stride
+# S inside groups of CC_GROUP docs (a CC_GAP gap isolates groups), so
+# adjacent docs share L-S tokens (Jaccard (L-S)/(L+S) = 5/11 ≥ τ) while
+# distance-2 docs fall below τ ((L-2S)/(L+2S) = 1/7) — a~b~c~d with a!~c.
+# Spark computes edges from the ACTUAL tokenized text (explode + equi-join
+# + exact Jaccard) and resolves clusters with the distributed min-label
+# operator; the DuckDB oracle derives the same edges from the closed-form
+# interval Jaccard and resolves clusters with a recursive CTE.
+# ---------------------------------------------------------------------------
+
+CC_L, CC_S, CC_GROUP, CC_GAP, CC_TAU = 8, 3, 4, 100, 0.3
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    from fa_spark.stages.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    start = F.col("doc_id") * CC_S + F.floor(F.col("doc_id") / CC_GROUP) * CC_GAP
+    text = F.array_join(
+        F.transform(
+            F.sequence(start, start + CC_L - 1),
+            lambda x: F.concat(F.lit("w"), x.cast("string")),
+        ),
+        " ",
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(text, " ")).alias("tok")
+    )
+    # shared-token equi-join: each token occurs in at most ceil(L/S) docs,
+    # so candidates are bounded by construction — never an all-pairs join
+    pairs = (
+        toks.alias("x")
+        .join(toks.alias("y"), "tok")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("src"), F.col("y.doc_id").alias("dst"))
+        .agg(F.count("*").alias("inter"))
+        .where(
+            F.col("inter") / (F.lit(2 * CC_L) - F.col("inter")) >= F.lit(CC_TAU)
+        )
+        .select("src", "dst")
+    )
+    cc = connected_components(pairs, src="src", dst="dst", vertices=docs)
+    return cc.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "is_canonical",
+    )
+
+
+SQL_NEAR_DUP_CLUSTERS = f"""
+WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+e AS (
+  -- closed-form token-window Jaccard: overlap o = max(0, L - S*dist),
+  -- |union| = 2L - o; the CC_GAP group gap makes cross-group overlap 0,
+  -- so only same-group pairs can reach tau
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM d a JOIN d b
+    ON a.doc_id < b.doc_id AND a.doc_id // {CC_GROUP} = b.doc_id // {CC_GROUP}
+  WHERE CAST(GREATEST(0, {CC_L} - {CC_S} * (b.doc_id - a.doc_id)) AS DOUBLE)
+        / (2 * {CC_L} - GREATEST(0, {CC_L} - {CC_S} * (b.doc_id - a.doc_id)))
+        >= {CC_TAU}
+),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+cc AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM d
+  UNION
+  SELECT s.dst AS id, cc.lbl FROM sym s JOIN cc ON cc.id = s.src
+)
+SELECT id AS doc_id, MIN(lbl) AS cluster_id,
+       (id = MIN(lbl)) AS is_canonical
+FROM cc GROUP BY id
+"""
+
+
 def q_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
@@ -1819,6 +1896,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "fingerprint_near_dups": (q_fingerprint_near_dups, SQL_FINGERPRINT_NEAR_DUPS),
+    "near_dup_clusters": (q_near_dup_clusters, SQL_NEAR_DUP_CLUSTERS),
     "lsh_topk": (q_lsh_topk, _lsh_topk_sql()),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "salted_source_stats": (q_salted_source_stats, SQL_SALTED_SOURCE_STATS),

@@ -25,6 +25,12 @@ def test_corpus_funnel(spark, pages_df, pages_path):
     assert r["n_exact_canonical"] < r["n_quality"]
     assert r["n_corpus"] >= 1
     assert r["tokens_ws"] > 0 and r["chars"] > 0
+    # transitive cluster accounting (round 3): every cluster keeps exactly
+    # its canonical member, so the drop count is members - clusters
+    assert r["n_near_dup_members"] >= r["n_near_dup_clusters"] >= 1
+    assert r["n_corpus"] == r["n_exact_canonical"] - (
+        r["n_near_dup_members"] - r["n_near_dup_clusters"]
+    )
 
     rows = corpus.collect()
     assert len(rows) == r["n_corpus"]
