@@ -759,6 +759,80 @@ WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.12
 
 
 # ---------------------------------------------------------------------------
+# eval-set decontamination (round 3): word-n-gram overlap of corpus docs vs
+# a held-out eval table. Planted contamination: every 100th doc's 12-token
+# prefix becomes an eval item (overlap 1.0 with its source doc, plus any
+# doc sharing >=50% of those grams — exact-dup fixtures match identically
+# on both sides); synthetic never-matching eval items prove the absence
+# side. Oracle = exhaustive SQL join (the SQL_MINHASH_NEAR_DUPS pattern).
+# ---------------------------------------------------------------------------
+
+DECON_N = 3
+DECON_TAU = 0.5
+DECON_EVAL_MOD = 100
+DECON_EVAL_TOKS = 12
+
+
+def q_decontamination(spark, sf_dir):
+    from fa_spark.stages.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_expr("text")
+    planted = (
+        docs.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .where(F.size(toks) >= DECON_EVAL_TOKS)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.array_join(F.slice(toks, 1, DECON_EVAL_TOKS), " ").alias("text"),
+        )
+    )
+    # never-matching items: tokens outside any document vocabulary — they
+    # must produce ZERO output rows (checked by exact row-set equality)
+    clean = docs.where(F.col("doc_id") % DECON_EVAL_MOD == 1).select(
+        (F.col("doc_id") + 1_000_000).alias("eval_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"xq{s}token"), F.col("doc_id").cast("string"))
+                for s in "abcd"
+            ],
+        ).alias("text"),
+    )
+    out = decontaminate(
+        docs,
+        planted.unionByName(clean),
+        corpus_id="doc_id",
+        eval_id="eval_id",
+        n=DECON_N,
+        min_overlap=DECON_TAU,
+    )
+    return out.select("doc_id", "eval_id", "overlap_frac")
+
+
+SQL_DECONTAMINATION = f"""
+WITH t AS (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id, list_distinct(
+    list_transform(range(1, GREATEST(LEN(toks) - {DECON_N - 1}, 0) + 1),
+                   i -> array_to_string(toks[i:i+{DECON_N - 1}], ' '))) AS grams
+  FROM t WHERE LEN(toks) >= {DECON_N}),
+ev AS (
+  SELECT doc_id AS eval_id, list_distinct(
+    list_transform(range(1, {DECON_EVAL_TOKS - DECON_N + 1} + 1),
+                   i -> array_to_string(toks[i:i+{DECON_N - 1}], ' '))) AS egrams
+  FROM t WHERE doc_id % {DECON_EVAL_MOD} = 0 AND LEN(toks) >= {DECON_EVAL_TOKS}),
+cand AS (
+  SELECT c.doc_id, e.eval_id,
+         LEN(list_filter(e.egrams, x -> list_contains(c.grams, x))) AS inter,
+         LEN(e.egrams) AS esz
+  FROM g c CROSS JOIN ev e)
+SELECT doc_id, eval_id,
+       ROUND(CAST(inter AS DOUBLE) / esz, 6) AS overlap_frac
+FROM cand WHERE ROUND(CAST(inter AS DOUBLE) / esz, 6) >= {DECON_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
 # extraction over synthesized pages — SQL-checked end-to-end (M6 analogue)
 # ---------------------------------------------------------------------------
 
@@ -1883,6 +1957,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
     "doc_lang": (q_doc_lang, _lang_sql()),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD),
+    "decontamination": (q_decontamination, SQL_DECONTAMINATION),
     "extract_synth": (q_extract_synth, SQL_EXTRACT_SYNTH),
     "pdf_extract": (q_pdf_extract, SQL_PDF_EXTRACT),
     "filename_cascade": (q_filename_cascade, SQL_FILENAME_CASCADE),

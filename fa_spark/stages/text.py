@@ -88,6 +88,45 @@ def ngram_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFra
     return df.select(id_col, F.array_distinct(grams).alias("grams"))
 
 
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    eval_id: str = "eval_id",
+    eval_text: str = "text",
+    n: int = 3,
+    min_overlap: float = 0.5,
+) -> DataFrame:
+    """Eval-set decontamination (round 3): (corpus_id, eval_id,
+    overlap_frac) for every corpus doc that contains at least
+    ``min_overlap`` of an eval item's distinct word n-grams.
+
+    The fraction is ASYMMETRIC by design — contamination means the eval
+    content appears in training data, however much other text the training
+    doc carries, so the denominator is the EVAL item's gram count.
+
+    Scale shape (100 TB corpus, ~10^5-row eval set): the corpus grams are
+    exploded once and equi-joined against the BROADCAST exploded eval grams
+    — the corpus side never shuffles, the join doubles as the filter, and
+    only matching (corpus_id, eval_id) pairs reach the aggregate. Same gram
+    machinery as jaccard_pairs (ngram_sets)."""
+    c_sets = ngram_sets(corpus, corpus_id, corpus_text, n).where(F.size("grams") > 0)
+    e_sets = ngram_sets(eval_df, eval_id, eval_text, n).where(F.size("grams") > 0)
+    c_ex = c_sets.select(F.col(corpus_id), F.explode("grams").alias("gram"))
+    e_ex = e_sets.select(F.col(eval_id), F.explode("grams").alias("gram"))
+    e_sizes = e_sets.select(F.col(eval_id), F.size("grams").alias("_esz"))
+    return (
+        c_ex.join(F.broadcast(e_ex), "gram")
+        .groupBy(corpus_id, eval_id)
+        .agg(F.count("*").alias("_inter"))
+        .join(F.broadcast(e_sizes), eval_id)
+        .withColumn("overlap_frac", F.round(F.col("_inter") / F.col("_esz"), 6))
+        .where(F.col("overlap_frac") >= min_overlap)
+        .select(corpus_id, eval_id, "overlap_frac")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
