@@ -362,6 +362,53 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def q_events_asof_forward(spark, sf_dir):
+    """FORWARD as-of join (round 3 — the mirrored direction): each click
+    gets the user's earliest at-or-after purchase (time-to-convert). Oracle
+    is DuckDB's native ASOF LEFT JOIN with the <= comparison."""
+    from fa_spark.stages.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", ts="ts", order_col="purchase_id",
+        direction="forward",
+    )
+
+    def us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))  # events ts is NTZ
+
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_id",
+        "purchase_value",
+        (us("_asof_ts") - us("ts")).alias("lead_us"),
+    )
+
+
+SQL_EVENTS_ASOF_FORWARD = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, purchase_id, purchase_value FROM (
+        SELECT user_id, ts, event_id AS purchase_id,
+               ROUND(value, 2) AS purchase_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+SELECT c.event_id, c.user_id, p.purchase_id, p.purchase_value,
+       (epoch_us(p.ts) - epoch_us(c.ts)) AS lead_us
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
 CONVERSION_WINDOW_US = 3_600_000_000  # 1 hour
 
 
@@ -1799,6 +1846,63 @@ FROM documents
 SQL_JPEG_FEATURES = _sql_jpeg_features()
 
 
+def q_detect_objects(spark, sf_dir):
+    """Detect-mode typed objects[] (reference M7 / mock_adapter.py:190-206):
+    the quadrant-JPEG fixture decodes for REAL and the detect stage emits
+    one object per quadrant as an ArrayType(StructType) column — the typed
+    shape itself is schema-asserted in tests/test_multimodal.py; HERE the
+    array is posexploded to scalar rows because the driver's value-hash
+    compares stringified cells, and nested Row vs DuckDB-struct renderings
+    differ even when values match."""
+    from fa_spark.stages.multimodal import detect_objects
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        quadrant_jpeg_udf("doc_id").alias("content"),
+    )
+    out = detect_objects(media)
+    ex = out.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "decode_status",
+        F.posexplode("objects").alias("obj_idx", "obj"),
+    )
+    return ex.select(
+        "doc_id",
+        "decode_status",
+        "obj_idx",
+        F.col("obj.label").alias("label"),
+        F.col("obj.confidence").alias("confidence"),
+        F.col("obj.bbox")[0].alias("x0"),
+        F.col("obj.bbox")[1].alias("y0"),
+        F.col("obj.bbox")[2].alias("x1"),
+        F.col("obj.bbox")[3].alias("y1"),
+    )
+
+
+def _sql_detect_objects() -> str:
+    # quadrant order is row-major: (q00, q01, q10, q11); each quadrant of
+    # the 16x16 fixture is solid, so mean luminance == the planted value
+    quads = [
+        (0, _JQ[0][0], 0, 0, 8, 8),
+        (1, _JQ[1][0], 8, 0, 16, 8),
+        (2, _JQ[2][0], 0, 8, 8, 16),
+        (3, _JQ[3][0], 8, 8, 16, 16),
+    ]
+    selects = [
+        f"""SELECT doc_id, 'decoded' AS decode_status, {i} AS obj_idx,
+       'region_' || CAST({v} // 32 AS VARCHAR) AS label,
+       ROUND(CAST({v} AS DOUBLE) / 255, 6) AS confidence,
+       {x0} AS x0, {y0} AS y0, {x1} AS x1, {y1} AS y1
+FROM documents"""
+        for i, v, x0, y0, x1, y1 in quads
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+SQL_DETECT_OBJECTS = _sql_detect_objects()
+
+
 WAV_N = 1024
 WAV_RATE = 16000
 WAV_PERIOD = 8  # square wave: 4 samples up, 4 down -> 255 sign transitions
@@ -1975,6 +2079,7 @@ REGISTRY: dict[str, tuple] = {
     "events_json_path": (q_events_json_path, SQL_EVENTS_JSON_PATH),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "events_asof_attribution": (q_events_asof_attribution, SQL_EVENTS_ASOF),
+    "events_asof_forward": (q_events_asof_forward, SQL_EVENTS_ASOF_FORWARD),
     "events_conversion_window": (q_events_conversion_window, SQL_EVENTS_CONVERSION),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "part_type_stats": (q_part_type_stats, SQL_PART_TYPE_STATS),
@@ -2011,6 +2116,7 @@ REGISTRY: dict[str, tuple] = {
     "media_plumbing": (q_media_plumbing, SQL_MEDIA_PLUMBING),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "jpeg_features": (q_jpeg_features, SQL_JPEG_FEATURES),
+    "detect_objects": (q_detect_objects, SQL_DETECT_OBJECTS),
     "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "video_features": (q_video_features, SQL_VIDEO_FEATURES),

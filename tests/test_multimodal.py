@@ -139,3 +139,39 @@ def test_real_y4m_decode_through_stage(spark):
     assert ok["feature"][0] == 5.0  # n_frames
     assert ok["feature"][6] == 0.0 and ok["feature"][10] == 80.0  # frame means
     assert out["bad"]["decode_status"] == "decode_error"
+
+
+def test_detect_objects_typed_array(spark):
+    """Round 3 (reference M7 objects[]): detect mode emits a REAL
+    ArrayType(StructType) column with per-quadrant regions derived from
+    actual decoded pixels."""
+    from pyspark.sql import types as T
+
+    from fa_spark import pure
+    from fa_spark.stages.multimodal import detect_objects
+
+    quad = [[10 if x < 8 else 200 for x in range(16)] for y in range(8)] + [
+        [255 if x < 8 else 0 for x in range(16)] for y in range(8)
+    ]
+    rows = [
+        ("jpg", pure.jpeg_encode(quad, gray=True)),
+        ("png", pure.png_encode([[(30, 30, 30)] * 8 for _ in range(8)])),
+        ("txt", b"not an image"),
+        ("bad", b"\xff\xd8\xff\xdb\x00\x04\x00\x00"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    out = detect_objects(df)
+    f = dict(zip(out.schema.names, out.schema.fields))
+    assert isinstance(f["objects"].dataType, T.ArrayType)
+    assert isinstance(f["objects"].dataType.elementType, T.StructType)
+    got = {r["media_id"]: r for r in out.collect()}
+    objs = got["jpg"]["objects"]
+    assert [o["label"] for o in objs] == [
+        "region_0", "region_6", "region_7", "region_0"
+    ]
+    assert objs[0]["bbox"] == [0, 0, 8, 8] and objs[3]["bbox"] == [8, 8, 16, 16]
+    assert objs[2]["confidence"] == 1.0  # 255/255
+    png_objs = got["png"]["objects"]
+    assert len(png_objs) == 4 and all(o["label"] == "region_0" for o in png_objs)
+    assert got["txt"]["objects"] is None and got["txt"]["decode_status"] == "skipped"
+    assert got["bad"]["decode_status"] == "decode_error"
