@@ -2044,6 +2044,104 @@ def decode_jpeg(data: bytes | None) -> dict | None:
 
 
 # ---------------------------------------------------------------------------
+# 9b³. OCR (round 3 — reference M2, the last analyzer family): the reference
+# shells out to tesseract (/root/reference/src/core/analyzer.py OCR path);
+# no OCR engine exists in this container, so the substitute is an EXACT
+# fixed-pitch bitmap-glyph matcher over images this repo's own codecs
+# decode. Everything around the glyph table is real plumbing — render,
+# PNG/JPEG round trip, ink thresholding, fixed-pitch segmentation, bit
+# matching, unknown-glyph handling — and the glyph table itself is
+# DETERMINISTICALLY GENERATED (35-bit patterns from a splitmix of the char
+# code, pairwise-distinctness asserted at import) rather than a
+# transcribed human font: recognition quality is not the point; the
+# distributed decode→text pipeline and its oracle-checkability are.
+# Scope is documented: exact matching of this font, black-on-white,
+# fixed pitch — NOT general OCR.
+# ---------------------------------------------------------------------------
+
+GLYPH_W, GLYPH_H = 5, 7
+OCR_CHARSET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def _glyph_bits(ch: str) -> int:
+    """35-bit deterministic glyph pattern for a charset char (splitmix of
+    the char code; guaranteed nonzero)."""
+    x = (ord(ch) + 1) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    bits = x & ((1 << (GLYPH_W * GLYPH_H)) - 1)
+    return bits or 1
+
+
+OCR_FONT = {ch: _glyph_bits(ch) for ch in OCR_CHARSET}
+OCR_FONT[" "] = 0  # space = blank cell
+_OCR_REVERSE = {}
+for _ch, _bits in OCR_FONT.items():
+    assert _bits not in _OCR_REVERSE, f"glyph collision: {_ch!r}"
+    _OCR_REVERSE[_bits] = _ch
+_OCR_MARGIN = 1  # blank border + inter-glyph spacing column
+
+
+def render_text_image(text: str) -> list[list[tuple[int, int, int]]]:
+    """Rows (RGB tuples, png_encode/jpeg_encode-ready) of ``text`` in the
+    fixed-pitch glyph font: black ink (0) on white (255), 1-px border,
+    1-px column between glyphs. Raises on chars outside the font."""
+    cells = []
+    for ch in text:
+        if ch not in OCR_FONT:
+            raise ValueError(f"char {ch!r} not in OCR font")
+        cells.append(OCR_FONT[ch])
+    w = _OCR_MARGIN + len(cells) * (GLYPH_W + 1)
+    h = GLYPH_H + 2 * _OCR_MARGIN
+    rows = [[(255, 255, 255)] * w for _ in range(h)]
+    for ci, bits in enumerate(cells):
+        x0 = _OCR_MARGIN + ci * (GLYPH_W + 1)
+        for gy in range(GLYPH_H):
+            for gx in range(GLYPH_W):
+                if bits >> (gy * GLYPH_W + gx) & 1:
+                    rows[_OCR_MARGIN + gy][x0 + gx] = (0, 0, 0)
+    return rows
+
+
+def ocr_image(img: dict | None) -> str | None:
+    """Exact glyph OCR over a decoded raster ({width,height,channels,
+    pixels} from decode_png/decode_jpeg). Ink threshold: luminance < 128
+    (tolerates lossy-JPEG ringing on the 0/255 fixture contrast).
+    Fixed-pitch segmentation from the known margin/pitch; a cell whose
+    pattern is not in the font reads as '?'. Returns None when the image
+    can't hold even one glyph row."""
+    if img is None:
+        return None
+    w, h, ch, px = img["width"], img["height"], img["channels"], img["pixels"]
+    if h < GLYPH_H + 2 * _OCR_MARGIN or w < _OCR_MARGIN + GLYPH_W + 1:
+        return None
+    a = _np.frombuffer(bytes(px), dtype=_np.uint8).reshape(h, w, ch)
+    if ch >= 3:
+        lum = (
+            a[:, :, 0].astype(_np.int32)
+            + a[:, :, 1].astype(_np.int32)
+            + a[:, :, 2].astype(_np.int32)
+        ) // 3
+    else:
+        lum = a[:, :, 0].astype(_np.int32)
+    ink = lum < 128
+    n_cells = (w - _OCR_MARGIN) // (GLYPH_W + 1)
+    out = []
+    for ci in range(n_cells):
+        x0 = _OCR_MARGIN + ci * (GLYPH_W + 1)
+        bits = 0
+        for gy in range(GLYPH_H):
+            for gx in range(GLYPH_W):
+                if ink[_OCR_MARGIN + gy, x0 + gx]:
+                    bits |= 1 << (gy * GLYPH_W + gx)
+        out.append(_OCR_REVERSE.get(bits, "?"))
+    return "".join(out).rstrip()
+
+
+# ---------------------------------------------------------------------------
 # 9c. WAV codec + audio features (round 2: like PNG, PCM WAV needs no codec
 # library — stdlib `wave` + integer math. Audio joins images as a REAL
 # decode kernel; compressed formats (mp3/ogg/aac) stay stubbed.)

@@ -1880,6 +1880,48 @@ def q_detect_objects(spark, sf_dir):
     )
 
 
+def _ocr_jpeg_batch(doc_id: pd.Series) -> pd.Series:
+    """Per-doc text image 'doc<id>' rendered in the glyph font and encoded
+    as a COLOR JPEG — the OCR query round-trips the LOSSY codec (ringing
+    is absorbed by the ink threshold), not just PNG."""
+    out = []
+    for did in doc_id:
+        out.append(pure.jpeg_encode(pure.render_text_image(f"doc{int(did)}")))
+    return pd.Series(out)
+
+
+ocr_jpeg_udf = F.pandas_udf(_ocr_jpeg_batch, BinaryType())
+
+
+def q_ocr_extract(spark, sf_dir):
+    """OCR (reference M2 — its analyzer shells to tesseract; here an exact
+    fixed-pitch glyph matcher over this repo's own codecs, scope documented
+    in pure.ocr_image): render 'doc<id>' per document, encode as lossy
+    JPEG, decode + read the text back through the distributed OCR stage,
+    value-checked closed-form."""
+    from fa_spark.stages.multimodal import ocr_media
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        ocr_jpeg_udf("doc_id").alias("content"),
+    )
+    out = ocr_media(media)
+    return out.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        "ocr_text",
+    )
+
+
+SQL_OCR_EXTRACT = """
+SELECT doc_id, 'jpeg' AS content_type, 'decoded' AS decode_status,
+       'doc' || CAST(doc_id AS VARCHAR) AS ocr_text
+FROM documents
+"""
+
+
 def _sql_detect_objects() -> str:
     # quadrant order is row-major: (q00, q01, q10, q11); each quadrant of
     # the 16x16 fixture is solid, so mean luminance == the planted value
@@ -2117,6 +2159,7 @@ REGISTRY: dict[str, tuple] = {
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "jpeg_features": (q_jpeg_features, SQL_JPEG_FEATURES),
     "detect_objects": (q_detect_objects, SQL_DETECT_OBJECTS),
+    "ocr_extract": (q_ocr_extract, SQL_OCR_EXTRACT),
     "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "video_features": (q_video_features, SQL_VIDEO_FEATURES),

@@ -296,6 +296,58 @@ def detect_objects(
     return src.mapInPandas(fn, OBJECTS)
 
 
+OCR = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("decode_status", T.StringType()),
+        T.StructField("ocr_text", T.StringType()),
+    ]
+)
+
+
+def ocr_media(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """OCR mode (reference M2 — its analyzer shells to tesseract): decode
+    PNG/JPEG content with this repo's own codecs and read fixed-pitch
+    glyph text (pure.ocr_image; scope documented there). Same taxonomy as
+    the other media stages; ocr_text is NULL unless a real decode succeeds
+    and the image holds at least one glyph row."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(data) if data is not None else b""
+                ct = pure.sniff_bytes(b)["content_type"]
+                status, text = "skipped", None
+                if ct in ("png", "jpeg", "jpeg_exif"):
+                    img = pure.decode_png(b) if ct == "png" else pure.decode_jpeg(b)
+                    if img is not None:
+                        status = "decoded"
+                        text = pure.ocr_image(img)
+                    else:
+                        status = "decode_error"
+                elif ct in ("gif", "bmp", "tiff"):
+                    status = "stubbed"
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "content_type": ct,
+                        "decode_status": status,
+                        "ocr_text": text,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in OCR.fields])
+
+    src = df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(content_col).alias("content"),
+    )
+    return src.mapInPandas(fn, OCR)
+
+
 def extract_media_features(
     df: DataFrame, id_col: str = "media_id", content_col: str = "content",
     mode: str = "describe",

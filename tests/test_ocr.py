@@ -1,0 +1,79 @@
+"""OCR glyph matcher (round 3, reference M2): render -> codec round trip ->
+segment -> match. Scope: exact fixed-pitch glyph font, black-on-white —
+documented in pure.ocr_image; the reference's analyzer shells to tesseract
+(/root/reference/src/core/analyzer.py), absent in this container."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from fa_spark import pure
+
+
+def _roundtrip_png(text):
+    return pure.ocr_image(pure.decode_png(pure.png_encode(pure.render_text_image(text))))
+
+
+def test_png_roundtrip_exact():
+    for text in ["doc123", "hello world", "a", "0123456789", "spark engine"]:
+        assert _roundtrip_png(text) == text.rstrip()
+
+
+def test_jpeg_roundtrip_survives_lossy_codec():
+    """The ink threshold absorbs JPEG ringing on the 0/255 contrast — OCR
+    must be exact through the LOSSY codec, color and grayscale."""
+    for text in ["doc42", "the quick brown fox", "a1b2c3"]:
+        rows = pure.render_text_image(text)
+        assert pure.ocr_image(pure.decode_jpeg(pure.jpeg_encode(rows))) == text
+        gray = [[px[0] for px in r] for r in rows]
+        assert (
+            pure.ocr_image(pure.decode_jpeg(pure.jpeg_encode(gray, gray=True)))
+            == text
+        )
+
+
+def test_fuzz_random_strings():
+    rng = random.Random(99)
+    alphabet = pure.OCR_CHARSET + " "
+    for _ in range(25):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 30)))
+        assert _roundtrip_png(text) == text.rstrip()
+
+
+def test_unknown_glyph_reads_question_mark():
+    rows = pure.render_text_image("ab")
+    rows[2][2] = (0, 0, 0) if rows[2][2] == (255, 255, 255) else (255, 255, 255)
+    got = pure.ocr_image(pure.decode_png(pure.png_encode(rows)))
+    assert got == "?b"
+
+
+def test_rejects_unrenderable_chars_and_tiny_images():
+    with pytest.raises(ValueError, match="not in OCR font"):
+        pure.render_text_image("UPPER")
+    assert pure.ocr_image(None) is None
+    tiny = pure.decode_png(pure.png_encode([[(0, 0, 0)] * 3 for _ in range(3)]))
+    assert pure.ocr_image(tiny) is None
+
+
+def test_font_pairwise_distinct():
+    bits = list(pure.OCR_FONT.values())
+    assert len(bits) == len(set(bits))
+
+
+def test_ocr_through_stage(spark):
+    from fa_spark.stages.multimodal import ocr_media
+
+    rows = [
+        ("t1", pure.jpeg_encode(pure.render_text_image("doc7"))),
+        ("t2", pure.png_encode(pure.render_text_image("png path"))),
+        ("t3", b"plain text, not an image"),
+        ("t4", b"\xff\xd8\xff\xdb\x00\x04\x00\x00"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    out = {r["media_id"]: r for r in ocr_media(df).collect()}
+    assert out["t1"]["ocr_text"] == "doc7" and out["t1"]["decode_status"] == "decoded"
+    assert out["t2"]["ocr_text"] == "png path"
+    assert out["t3"]["decode_status"] == "skipped" and out["t3"]["ocr_text"] is None
+    assert out["t4"]["decode_status"] == "decode_error"
