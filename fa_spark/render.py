@@ -58,6 +58,62 @@ def render_sample(df, k: int = 5, fmt: str = "md") -> list[str]:
     return [render_analysis(r.asDict(recursive=True), fmt) for r in rows]
 
 
+def write_text_reports(df, path: str, fmt: str = "md") -> None:
+    """Distributed text-report sink (reference S6 — raw per-file .txt via
+    safe_write, analyzer.py:497/607/689). Spark-first shape: every analysis
+    row renders to ONE line of a `text`-datasource file (inner newlines
+    escaped as literal '\\n'), written partition-parallel; the atomic
+    temp+rename the reference hand-rolls in safe_write is what Spark's
+    job-commit protocol already provides. Rendering runs in an Arrow batch
+    (mapInPandas over render_analysis — the same pure function the driver-
+    side sample renderer uses, so the two sinks can't drift)."""
+    from pyspark.sql import types as T
+
+    cols = df.columns
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                d = {c: row[c] for c in cols}
+                for k, v in list(d.items()):
+                    # Arrow hands structs to pandas as dicts and arrays as
+                    # numpy arrays; normalize to the plain-Python shapes
+                    # the driver-side renderer receives from Row.asDict()
+                    if hasattr(v, "tolist"):
+                        d[k] = v.tolist()
+                    elif hasattr(v, "asDict"):
+                        d[k] = v.asDict(recursive=True)
+                rendered = render_analysis(d, fmt)
+                out.append(rendered.replace("\\", "\\\\").replace("\n", "\\n"))
+            yield pd.DataFrame({"value": out})
+
+    reports = df.mapInPandas(fn, T.StructType([T.StructField("value", T.StringType())]))
+    reports.write.mode("overwrite").text(path)
+
+
+def read_text_reports(spark, path: str) -> list[str]:
+    """Read back and unescape reports written by write_text_reports."""
+    rows = spark.read.text(path).collect()
+    out = []
+    for r in rows:
+        s = r["value"]
+        # unescape in one pass (escaped backslash must not re-trigger \n)
+        buf = []
+        i = 0
+        while i < len(s):
+            if s[i] == "\\" and i + 1 < len(s):
+                buf.append("\n" if s[i + 1] == "n" else s[i + 1])
+                i += 2
+            else:
+                buf.append(s[i])
+                i += 1
+        out.append("".join(buf))
+    return out
+
+
 def preflight(spark) -> dict[str, str]:
     """Environment verification matrix, logged before a run (reference runs
     tool --version checks; here: library versions + the Spark confs the

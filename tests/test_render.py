@@ -49,3 +49,39 @@ def test_render_sample_and_preflight(spark, pages_df):
     pf = preflight(spark)
     assert pf["arrow_enabled"] == "true" and pf["aqe_enabled"] == "true"
     assert pf["spark"].startswith("4.")
+
+
+def test_text_report_sink_roundtrip(spark, tmp_path):
+    """S6 (round 3): the distributed text sink writes one escaped report
+    line per row; reading back reproduces the driver-side renderer byte for
+    byte (same pure function both paths)."""
+    from fa_spark.render import read_text_reports, render_analysis, write_text_reports
+
+    rows = [
+        {
+            "url": f"https://x/{i}",
+            "slug": f"s{i}",
+            "tags": ["alpha", "beta"] if i % 2 else [],
+            "extract": {
+                "title": f"t{i}",
+                "text": f"body {i}\nsecond line \\ with backslash",
+                "doc_type": "article",
+                "status": "success",
+            },
+        }
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, slug string, tags array<string>, "
+        "extract struct<title:string,text:string,doc_type:string,status:string>",
+    )
+    path = str(tmp_path / "reports")
+    write_text_reports(df, path, fmt="md")
+    got = sorted(read_text_reports(spark, path))
+    exp = sorted(
+        render_analysis(r.asDict(recursive=True), "md") for r in df.collect()
+    )
+    assert got == exp
+    assert any("## Description" in g for g in got)
+    assert any("body 3\nsecond line \\ with backslash" in g for g in got)
