@@ -1091,21 +1091,44 @@ def _mix64(x: "_np.ndarray") -> "_np.ndarray":
     return x ^ (x >> _np.uint64(31))
 
 
-def shingles(text: str, k: int = 5) -> list[int]:
-    """k-word shingles -> stable 64-bit ids (crc32 pair; no Python hash())."""
-    toks = tokenize(text)
+# positional odd multipliers for the windowed shingle combine — position
+# matters ("a b" != "b a"); generated, not transcribed
+_SHINGLE_COEF = _np.array(
+    [((i * 0x9E3779B97F4A7C15) | 1) & 0xFFFFFFFFFFFFFFFF for i in range(1, 33)],
+    dtype=_np.uint64,
+)
+
+
+def _shingle_ids(toks: list[str], k: int) -> list[int]:
+    """Stable 64-bit shingle ids from pre-split tokens, vectorized (round 3
+    — profiling showed the per-window ``" ".join`` + double-crc32 at ~25%
+    of the fused analyzer's per-doc cost): hash each DISTINCT token once
+    (memoized crc32 pair — stopwords repeat constantly), then combine every
+    k-window with positional odd multipliers + a splitmix64 finalizer in
+    one numpy pass. First-seen order preserved (the round-2 contract)."""
     if len(toks) < k:
         joined = " ".join(toks)
         return [_stable64(joined)] if joined else []
-    seen = set()
-    out = []
-    for i in range(len(toks) - k + 1):
-        s = " ".join(toks[i : i + k])
-        h = _stable64(s)
-        if h not in seen:
-            seen.add(h)
-            out.append(h)
-    return out
+    memo: dict = {}
+    th = _np.empty(len(toks), dtype=_np.uint64)
+    for i, t in enumerate(toks):
+        h = memo.get(t)
+        if h is None:
+            h = _stable64(t)
+            memo[t] = h
+        th[i] = h
+    win = _np.lib.stride_tricks.sliding_window_view(th, k)
+    with _np.errstate(over="ignore"):
+        ids = _mix64((win * _SHINGLE_COEF[:k]).sum(axis=1, dtype=_np.uint64))
+    _, first = _np.unique(ids, return_index=True)
+    first.sort()
+    return [int(ids[i]) for i in first]
+
+
+def shingles(text: str, k: int = 5) -> list[int]:
+    """k-word shingles -> stable 64-bit ids (token crc32 pair + positional
+    combine; no Python hash())."""
+    return _shingle_ids(tokenize(text), k)
 
 
 def _stable64(s: str) -> int:
@@ -2447,19 +2470,9 @@ def _quality_toks(text: str, toks: list[str]) -> dict:
 
 
 def _shingles_toks(toks: list[str], k: int = 5) -> list[int]:
-    """shingles() on pre-computed tokens (identical output)."""
-    if len(toks) < k:
-        joined = " ".join(toks)
-        return [_stable64(joined)] if joined else []
-    seen = set()
-    out = []
-    for i in range(len(toks) - k + 1):
-        s = " ".join(toks[i : i + k])
-        h = _stable64(s)
-        if h not in seen:
-            seen.add(h)
-            out.append(h)
-    return out
+    """shingles() on pre-computed tokens (identical output — both call the
+    shared vectorized _shingle_ids)."""
+    return _shingle_ids(toks, k)
 
 
 def _minhash_shingles(sh: list[int], num_hashes: int = 64) -> list[int]:
