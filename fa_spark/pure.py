@@ -339,13 +339,141 @@ def _lenient_strip(html_str: str) -> str:
     return _norm_ws(unescape(s))
 
 
-def extract_blocks(html_str: str) -> tuple[list[dict], _BlockParser]:
+# ---- fast-path tag scanner (round 3) -------------------------------------
+# html.parser spends ~45% of the fused analyzer's per-doc budget on its
+# tolerant state machine (position tracking, multi-regex tag parsing). The
+# fast path below scans a STRICT well-formed subset with one compiled regex
+# per construct and drives the SAME _BlockParser callbacks; the moment it
+# sees anything outside the subset — malformed tag, bogus comment, <!/<?
+# declarations, exotic attr quoting, truncated construct — it BAILS and the
+# document is re-parsed from scratch by the stdlib parser. Equivalence is
+# therefore by construction on the strict subset (fuzz-compared against the
+# stdlib in tests/test_properties.py) and by delegation everywhere else.
+
+_FAST_START_RE = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s\"'=<>`]+))?)*)"
+    r"\s*(/?)>"
+)
+_FAST_END_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
+_FAST_COMMENT_CLOSE = re.compile(r"--\s*>")
+# simple declaration (<!DOCTYPE html>): no quotes or '[' (internal subset /
+# quoted '>' would engage markupbase's quote-aware scan — bail for those)
+_FAST_DECL_RE = re.compile(r"<![a-zA-Z][^>'\"\[]*>")
+_FAST_ATTR_RE = re.compile(
+    r"\s+([a-zA-Z_:][-a-zA-Z0-9_:.]*)(?:\s*=\s*(\"[^\"<>]*\"|'[^'<>]*'|[^\s\"'=<>`]+))?"
+)
+_FAST_RAW_END = {
+    # (prefix the stdlib's interesting_cdata stops at, full strict close) —
+    # if the prefix site doesn't parse as a strict close, stdlib enters its
+    # messy recovery, so the fast path must bail AT that site, never skip it
+    "script": (
+        re.compile(r"</\s*script", re.IGNORECASE),
+        re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    ),
+    "style": (
+        re.compile(r"</\s*style", re.IGNORECASE),
+        re.compile(r"</\s*style\s*>", re.IGNORECASE),
+    ),
+}
+
+
+def _fast_feed(p: "_BlockParser", s: str) -> bool:
+    """Drive ``p``'s callbacks over the strict subset; False = bail (caller
+    must re-parse with a FRESH parser — state may be partially mutated)."""
+    i = 0
+    n = len(s)
+    while i < n:
+        lt = s.find("<", i)
+        if lt < 0:
+            chunk = s[i:]
+            p.handle_data(unescape(chunk) if "&" in chunk else chunk)
+            break
+        if lt > i:
+            chunk = s[i:lt]
+            p.handle_data(unescape(chunk) if "&" in chunk else chunk)
+        c = s[lt + 1] if lt + 1 < n else ""
+        if c == "/":
+            m = _FAST_END_RE.match(s, lt)
+            if not m:
+                return False
+            p.handle_endtag(m.group(1).lower())
+            i = m.end()
+        elif c.isalpha():
+            m = _FAST_START_RE.match(s, lt)
+            if not m:
+                return False
+            tag = m.group(1).lower()
+            rawattrs = m.group(2)
+            attrs = (
+                [
+                    (
+                        a.group(1).lower(),
+                        None
+                        if a.group(2) is None
+                        else unescape(
+                            a.group(2)[1:-1]
+                            if a.group(2)[0] in "\"'"
+                            else a.group(2)
+                        ),
+                    )
+                    for a in _FAST_ATTR_RE.finditer(rawattrs)
+                ]
+                if rawattrs
+                else []
+            )
+            i = m.end()
+            if m.group(3):
+                p.handle_startendtag(tag, attrs)
+                continue
+            p.handle_starttag(tag, attrs)
+            raw = _FAST_RAW_END.get(tag)
+            if raw is not None:  # CDATA content element: no entity convert
+                prefix, close = raw
+                e = prefix.search(s, i)
+                if not e:
+                    return False  # unterminated rawtext: stdlib semantics
+                full = close.match(s, e.start())
+                if not full:
+                    return False  # '</script junk' -> stdlib recovery
+                if e.start() > i:
+                    p.handle_data(s[i : e.start()])
+                p.handle_endtag(tag)
+                i = full.end()
+        elif c == "!":
+            if s.startswith("<!--", lt):
+                # stdlib closes comments on '--\s*>' (markupbase
+                # _commentclose), not just the literal '-->'
+                m = _FAST_COMMENT_CLOSE.search(s, lt + 4)
+                if not m:
+                    return False
+                i = m.end()  # comments produce no callback in _BlockParser
+                continue
+            m = _FAST_DECL_RE.match(s, lt)
+            if not m:
+                return False  # exotic declarations: stdlib's business
+            i = m.end()  # handle_decl is a no-op in _BlockParser
+        elif c in ("?", ""):
+            return False  # processing instruction / '<' at EOF
+        else:
+            # stdlib: '<' followed by anything else is literal text data
+            p.handle_data("<")
+            i = lt + 1
+    return True
+
+
+def extract_blocks(
+    html_str: str, _force_stdlib: bool = False
+) -> tuple[list[dict], _BlockParser]:
     """Parse HTML into classified text blocks.
 
     Each block: {text, tag, words, link_density, boiler, is_content}.
+    ``_force_stdlib`` exists for the fuzz equivalence test only.
     """
     p = _BlockParser()
-    p.feed(html_str)
+    if _force_stdlib or not _fast_feed(p, html_str):
+        p = _BlockParser()
+        p.feed(html_str)
     p.close()
     out = []
     for b in p.blocks:
@@ -810,12 +938,17 @@ def clean_tags(tags: list[str]) -> list[str]:
     Sort key is (-count, tag) — ties break alphabetically, matching the
     reference fixture at tests/test_filename_generation.py:56-63.
     """
+    # count RAW tokens first (C-speed Counter), then normalize/filter only
+    # the distinct keys — token lists repeat heavily, so this does the
+    # Python-level strip/lower/set-probe work u times instead of n times
+    # with identical output (round-3 profile: ~20% of the fused analyzer)
+    raw: Counter[str] = Counter(tags)
     counts: Counter[str] = Counter()
-    for t in tags:
+    for t, n in raw.items():
         t = t.strip().lower()
         if not t or len(t) <= 2 or t in GENERIC_TAGS:
             continue
-        counts[t] += 1
+        counts[t] += n
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
     return [t for t, _ in ranked[:TOP_K_TAGS]]
 

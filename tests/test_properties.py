@@ -182,3 +182,56 @@ def test_y4m_decode_total(data):
     """decode_y4m is total over arbitrary bytes after the magic."""
     r = pure.decode_y4m(b"YUV4MPEG2 " + data)
     assert r is None or r["n_frames"] > 0
+
+
+# ---------------------------------------------------------------------------
+# fast-path HTML scanner equivalence (round 3): the strict-subset scanner
+# must produce EXACTLY the stdlib parser's extraction — on the subset by
+# construction, elsewhere by bailing to the stdlib. Fuzz both regimes.
+# ---------------------------------------------------------------------------
+
+_HTML_FRAGMENTS = st.lists(
+    st.one_of(
+        st.text(alphabet="abcdefg <>&;#xX01279\"'=!/-\n\t", max_size=24),
+        st.sampled_from([
+            "<p>", "</p>", "<div class='x'>", "</div>", "<a href=\"u\">",
+            "</a>", "<br/>", "<br>", "<hr/>", "<title>", "</title>",
+            "<script>var x = '<p>hi</p>';</script>", "<script>a<b</script >",
+            "<style>p { color: red }</style>", "<nav>", "</nav>",
+            "<meta name=\"description\" content=\"d&amp;d\"/>",
+            "<meta property='og:title' content='t'>", "<!-- c -->",
+            "<!-- tricky --  > after -->", "<!doctype html>", "<?php ?>",
+            "<h1>", "</h1>", "&amp;", "&#65;", "&#x41;", "&notareal;",
+            "&amp", "a < b", "x <3 y", "<", ">", "</ div>", "<my-tag>",
+            "<div foo=bar baz>", "<div a='1' a='2'>", "<img src=x/>",
+            "<ul><li>one</li><li>two</li></ul>", "<form>", "</form>",
+            "<SCRIPT>UPPER</SCRIPT>", "<TiTlE>mixed</TiTlE>",
+            "<div", "</div", "<!--unterminated", "<script>never closed",
+        ]),
+    ),
+    max_size=30,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_HTML_FRAGMENTS)
+def test_fast_scanner_matches_stdlib_extraction(parts):
+    html = "".join(parts)
+    fast_blocks, fast_p = pure.extract_blocks(html)
+    std_blocks, std_p = pure.extract_blocks(html, _force_stdlib=True)
+    assert fast_blocks == std_blocks
+    assert "".join(fast_p.title_parts) == "".join(std_p.title_parts)
+    assert fast_p.meta == std_p.meta
+    assert fast_p.n_anchors == std_p.n_anchors
+    assert fast_p.n_form_tags == std_p.n_form_tags
+
+
+@settings(max_examples=150, deadline=None)
+@given(BYTES)
+def test_fast_scanner_matches_stdlib_on_arbitrary_bytes(data):
+    r_fast = pure.extract_main_text(data)
+    text = data.decode("utf-8", errors="replace")
+    fast_blocks, _ = pure.extract_blocks(text)
+    std_blocks, _ = pure.extract_blocks(text, _force_stdlib=True)
+    assert fast_blocks == std_blocks
+    assert r_fast == pure.extract_main_text(data)  # still deterministic
