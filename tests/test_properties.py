@@ -207,6 +207,10 @@ _HTML_FRAGMENTS = st.lists(
             "<ul><li>one</li><li>two</li></ul>", "<form>", "</form>",
             "<SCRIPT>UPPER</SCRIPT>", "<TiTlE>mixed</TiTlE>",
             "<div", "</div", "<!--unterminated", "<script>never closed",
+            # self-closing rawtext elements do NOT enter CDATA mode in the
+            # stdlib (set_cdata_mode only fires on the open-tag branch)
+            "<script/>not raw</script>", "<style/>x", "<script src=u/>",
+            "<!doctype html PUBLIC \"quoted\">", "<![CDATA[x]]>",
         ]),
     ),
     max_size=30,
