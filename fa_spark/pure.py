@@ -2200,6 +2200,441 @@ def decode_jpeg(data: bytes | None) -> dict | None:
 
 
 # ---------------------------------------------------------------------------
+# 9b²b. BMP codec (round 3): uncompressed BI_RGB DIBs are pure struct
+# parsing — no reason to leave them stubbed. 24-bit (BGR) and 32-bit
+# (BGRA, alpha dropped) inputs, bottom-up (positive height) and top-down
+# (negative height) row orders, 4-byte row padding. Same decode dict as
+# PNG/JPEG, so image_stats / aHash / detect / OCR compose for free.
+# ---------------------------------------------------------------------------
+
+
+def bmp_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal 24-bit BI_RGB bottom-up BMP writer (fixtures + synthesis)."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    stride = (w * 3 + 3) & ~3
+    img = bytearray()
+    for r in reversed(rows):  # bottom-up
+        line = bytearray()
+        for px in r:
+            line += bytes((px[2], px[1], px[0]))  # BGR
+        line += b"\x00" * (stride - len(line))
+        img += line
+    header = (
+        b"BM"
+        + (14 + 40 + len(img)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(img).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header) + bytes(img)
+
+
+def decode_bmp(data: bytes | None) -> dict | None:
+    """Real BMP decode: uncompressed 24/32-bit BI_RGB. Returns the shared
+    raster dict {width, height, channels=3, pixels} or None on malformed /
+    unsupported / over-cap input."""
+    if not data or len(data) < 54 or data[:2] != b"BM":
+        return None
+    off = int.from_bytes(data[10:14], "little")
+    hdr_size = int.from_bytes(data[14:18], "little")
+    if hdr_size < 40:
+        return None
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    planes = int.from_bytes(data[26:28], "little")
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    top_down = h < 0
+    h = abs(h)
+    if (
+        planes != 1
+        or bpp not in (24, 32)
+        or comp != 0
+        or w <= 0
+        or h == 0
+        or w * h > PNG_MAX_PIXELS
+        or off < 54
+        or off > len(data)
+    ):
+        return None
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    if off + stride * h > len(data):
+        return None
+    raw = _np.frombuffer(data, dtype=_np.uint8, count=stride * h, offset=off)
+    rows = raw.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    rgb = rows[:, :, [2, 1, 0]]  # BGR(A) -> RGB
+    return {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "pixels": bytearray(_np.ascontiguousarray(rgb).tobytes()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# 9b²c. GIF codec (round 3): GIF87a/89a with LZW implemented from the
+# public spec — variable-width codes (LSB-first), clear/end codes, 12-bit
+# table cap with reset, optional interlacing, global or local palette.
+# First frame only (animation frames beyond the first are out of scope —
+# the reference's image analysis is single-frame too). Encoder emits a
+# global-palette GIF87a with real LZW compression; roundtrip equality is
+# fuzz-tested across palette sizes and noise images that force every code
+# width transition.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, max_out: int) -> bytearray | None:
+    if not 2 <= min_code_size <= 8:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total = len(data) * 8
+    while bitpos + code_size <= total:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 4], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                return None  # first code after clear must be a literal
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        if len(out) > max_out:
+            return None
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+def _lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    cur = b""
+    for b in indices:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        # mirror of the decoder's growth: IT appends this entry right after
+        # consuming the emitted code, then widens when its table fills
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code == (1 << 12):
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_encode(
+    rows: list[list[tuple[int, int, int]]], interlace: bool = False
+) -> bytes:
+    """Minimal GIF87a writer: global palette built from the distinct colors
+    (must be ≤256), real LZW. Deterministic — fixtures + query synthesis."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    palette: dict[tuple[int, int, int], int] = {}
+    for r in rows:
+        for px in r:
+            if px not in palette:
+                palette[px] = len(palette)
+    if not palette:
+        palette[(0, 0, 0)] = 0
+    if len(palette) > 256:
+        raise ValueError("gif_encode: more than 256 distinct colors")
+    depth = max(1, (len(palette) - 1).bit_length())  # palette size = 2^depth
+    n_entries = 1 << depth
+    mcs = max(2, depth)  # LZW min code size (spec: >= 2)
+    idx_rows = [[palette[px] for px in r] for r in rows]
+    if interlace:
+        ordered = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            for y in range(start, h, step):
+                ordered.append(idx_rows[y])
+        idx_rows = ordered
+    indices = bytes(i for r in idx_rows for i in r)
+    out = bytearray(b"GIF87a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0])  # GCT present, size 2^depth
+    pal_bytes = bytearray()
+    for color, _i in sorted(palette.items(), key=lambda kv: kv[1]):
+        pal_bytes += bytes(color)
+    pal_bytes += b"\x00" * (3 * n_entries - len(pal_bytes))
+    out += pal_bytes
+    out += b"\x2c" + b"\x00" * 4  # image descriptor at (0, 0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00])
+    out += bytes([mcs])
+    lzw = _lzw_encode_gif(indices, mcs)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes | None) -> dict | None:
+    """Real GIF decode (first frame): header + palette walk, LZW, optional
+    interlace. Returns the shared raster dict or None."""
+    if not data or len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(data):
+            return None
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            return None  # no image block seen
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            return None
+        # image descriptor
+        if pos + 10 > len(data):
+            return None
+        w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+        iflags = data[pos + 9]
+        pos += 10
+        if w <= 0 or h <= 0 or w * h > PNG_MAX_PIXELS:
+            return None
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(data):
+                return None
+            pal = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None or pos >= len(data):
+            return None
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            if pos + 1 + ln > len(data):
+                return None
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        indices = _lzw_decode_gif(bytes(lzw), mcs, w * h)
+        if indices is None or len(indices) < w * h:
+            return None
+        idx = _np.frombuffer(bytes(indices[: w * h]), dtype=_np.uint8)
+        if int(idx.max(initial=0)) * 3 + 2 >= len(pal):
+            return None
+        pal_arr = _np.frombuffer(pal, dtype=_np.uint8).reshape(-1, 3)
+        rgb = pal_arr[idx].reshape(h, w, 3)
+        if iflags & 0x40:  # interlaced: invert the 4-pass row order
+            order = []
+            for start, step in _GIF_INTERLACE_PASSES:
+                order.extend(range(start, h, step))
+            inv = _np.empty(h, dtype=_np.int64)
+            inv[_np.array(order, dtype=_np.int64)] = _np.arange(h)
+            rgb = rgb[inv]
+        del sw, sh  # frame dims rule; screen dims informational
+        return {
+            "width": w,
+            "height": h,
+            "channels": 3,
+            "pixels": bytearray(_np.ascontiguousarray(rgb).tobytes()),
+        }
+    return None
+
+
+# ---------------------------------------------------------------------------
+# 9b²d. TIFF codec (round 3): baseline uncompressed TIFF 6.0 — II/MM byte
+# orders, 8-bit grayscale (photometric 1) and RGB (photometric 2), multi-
+# strip data. No compression schemes (LZW-TIFF/PackBits stay out of
+# scope); a tag walk + strip concat is pure struct parsing.
+# ---------------------------------------------------------------------------
+
+
+def tiff_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal little-endian single-strip RGB TIFF writer."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    px = bytes(v for r in rows for p in r for v in p)
+
+    def le(v, n):
+        return int(v).to_bytes(n, "little")
+
+    # layout: header(8) | IFD | bits-per-sample(6) | pixels
+    n_entries = 9
+    ifd_off = 8
+    bps_off = ifd_off + 2 + n_entries * 12 + 4
+    px_off = bps_off + 6
+
+    def entry(tag, typ, cnt, val):
+        return le(tag, 2) + le(typ, 2) + le(cnt, 4) + val
+
+    ifd = le(n_entries, 2)
+    ifd += entry(256, 4, 1, le(w, 4))  # ImageWidth
+    ifd += entry(257, 4, 1, le(h, 4))  # ImageLength
+    ifd += entry(258, 3, 3, le(bps_off, 4))  # BitsPerSample -> offset
+    ifd += entry(259, 3, 1, le(1, 2) + le(0, 2))  # Compression: none
+    ifd += entry(262, 3, 1, le(2, 2) + le(0, 2))  # Photometric: RGB
+    ifd += entry(273, 4, 1, le(px_off, 4))  # StripOffsets
+    ifd += entry(277, 3, 1, le(3, 2) + le(0, 2))  # SamplesPerPixel
+    ifd += entry(278, 4, 1, le(h, 4))  # RowsPerStrip
+    ifd += entry(279, 4, 1, le(len(px), 4))  # StripByteCounts
+    ifd += le(0, 4)  # no next IFD
+    return b"II*\x00" + le(ifd_off, 4) + ifd + le(8, 2) * 3 + px
+
+
+def decode_tiff(data: bytes | None) -> dict | None:
+    """Real baseline TIFF decode (uncompressed, 8-bit gray/RGB, II or MM).
+    Returns the shared raster dict or None."""
+    if not data or len(data) < 8:
+        return None
+    if data[:4] == b"II*\x00":
+        bo = "little"
+    elif data[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return None
+
+    def rd(off, n):
+        if off + n > len(data):
+            raise ValueError
+        return int.from_bytes(data[off : off + n], bo)
+
+    try:
+        ifd = rd(4, 4)
+        count = rd(ifd, 2)
+        if count == 0 or count > 512:
+            return None
+        tags: dict[int, tuple[int, int, int]] = {}
+        for k in range(count):
+            e = ifd + 2 + k * 12
+            tags[rd(e, 2)] = (rd(e + 2, 2), rd(e + 4, 4), e + 8)
+
+        def values(tag, default=None):
+            if tag not in tags:
+                return default
+            typ, cnt, voff = tags[tag]
+            size = {3: 2, 4: 4}.get(typ)
+            if size is None or cnt == 0 or cnt > 1 << 16:
+                raise ValueError
+            off = voff if cnt * size <= 4 else rd(voff, 4)
+            return [rd(off + i * size, size) for i in range(cnt)]
+
+        w = values(256, [0])[0]
+        h = values(257, [0])[0]
+        comp = values(259, [1])[0]
+        photo = values(262)
+        spp = values(277, [1])[0]
+        bps = values(258, [1])
+        offsets = values(273)
+        counts = values(279)
+        rps = values(278, [h])[0]
+    except ValueError:
+        return None
+    if (
+        photo is None
+        or offsets is None
+        or counts is None
+        or comp != 1
+        or photo[0] not in (1, 2)
+        or w <= 0
+        or h <= 0
+        or w * h > PNG_MAX_PIXELS
+        or (photo[0] == 1 and spp != 1)
+        or (photo[0] == 2 and spp != 3)
+        or any(b != 8 for b in bps)
+        or len(offsets) != len(counts)
+        or rps <= 0
+    ):
+        return None
+    need = w * h * spp
+    buf = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(data) or len(buf) + cnt > need:
+            return None
+        buf += data[off : off + cnt]
+    if len(buf) != need:
+        return None
+    if spp == 1:
+        return {"width": w, "height": h, "channels": 1, "pixels": buf}
+    return {"width": w, "height": h, "channels": 3, "pixels": buf}
+
+
+# ---------------------------------------------------------------------------
 # 9b³. OCR (round 3 — reference M2, the last analyzer family): the reference
 # shells out to tesseract (/root/reference/src/core/analyzer.py OCR path);
 # no OCR engine exists in this container, so the substitute is an EXACT

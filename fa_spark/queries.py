@@ -1880,6 +1880,87 @@ def q_detect_objects(spark, sf_dir):
     )
 
 
+def _quadrant_raster_batch(doc_id: pd.Series) -> pd.Series:
+    """Per-doc 16x16 four-quadrant gray image encoded as BMP / GIF / TIFF
+    by doc_id % 3 — all three are LOSSLESS, so every decoded statistic is
+    exactly the planted closed form (the jpeg_features pattern, minus the
+    DC-quantization subtlety)."""
+    encoders = (pure.bmp_encode, pure.gif_encode, pure.tiff_encode)
+    out = []
+    for did in doc_id:
+        did = int(did)
+        v = [fn(did) for _sql, fn in _JQ]
+        rows = [
+            [(v[0],) * 3 if x < 8 else (v[1],) * 3 for x in range(16)]
+            if y < 8
+            else [(v[2],) * 3 if x < 8 else (v[3],) * 3 for x in range(16)]
+            for y in range(16)
+        ]
+        out.append(encoders[did % 3](rows))
+    return pd.Series(out)
+
+
+quadrant_raster_udf = F.pandas_udf(_quadrant_raster_batch, BinaryType())
+
+
+def q_raster_features(spark, sf_dir):
+    """REAL BMP/GIF/TIFF decode round trip (round 3 — every raster format
+    a crawl can contain now has a real pure-Python codec): quadrant
+    fixtures rotate through the three lossless encoders, the multimodal
+    stage decodes them (BI_RGB struct walk / LZW+palette / TIFF tag walk),
+    and mean, histogram bins, and the 64-bit aHash check exactly against
+    their closed forms."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        quadrant_raster_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        "width",
+        "height",
+        _feat_d(1).alias("mean_r"),
+        _feat_d(6).alias("hist0_frac"),
+        _feat_d(13).alias("hist7_frac"),
+        "ahash",
+    )
+
+
+def _sql_raster_features() -> str:
+    v = [s for s, _fn in _JQ]
+    vsum = " + ".join(v)
+
+    def bin_frac(k: int) -> str:
+        terms = " + ".join(f"CASE WHEN {x} // 32 = {k} THEN 1 ELSE 0 END" for x in v)
+        return f"ROUND(CAST({terms} AS DOUBLE) / 4, 6)"
+
+    mean8 = f"(({vsum}) // 4)"
+    signed_masks = [m if m < (1 << 63) else m - (1 << 64) for m in _JQ_MASKS]
+    ahash = " + ".join(
+        f"CASE WHEN {x} >= {mean8} THEN CAST({m} AS BIGINT) ELSE 0 END"
+        for x, m in zip(v, signed_masks)
+    )
+    return f"""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'gif'
+            ELSE 'tiff' END AS content_type,
+       'decoded' AS decode_status, 16 AS width, 16 AS height,
+       ROUND(CAST({vsum} AS DOUBLE) / 4, 6) AS mean_r,
+       {bin_frac(0)} AS hist0_frac,
+       {bin_frac(7)} AS hist7_frac,
+       {ahash} AS ahash
+FROM documents
+"""
+
+
+SQL_RASTER_FEATURES = _sql_raster_features()
+
+
 def _ocr_jpeg_batch(doc_id: pd.Series) -> pd.Series:
     """Per-doc text image 'doc<id>' rendered in the glyph font and encoded
     as a COLOR JPEG — the OCR query round-trips the LOSSY codec (ringing
@@ -2160,6 +2241,7 @@ REGISTRY: dict[str, tuple] = {
     "jpeg_features": (q_jpeg_features, SQL_JPEG_FEATURES),
     "detect_objects": (q_detect_objects, SQL_DETECT_OBJECTS),
     "ocr_extract": (q_ocr_extract, SQL_OCR_EXTRACT),
+    "raster_features": (q_raster_features, SQL_RASTER_FEATURES),
     "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "video_features": (q_video_features, SQL_VIDEO_FEATURES),

@@ -1,15 +1,16 @@
 """Multimodal column plumbing (images/audio/video as opaque binary).
 
-Round 2: **PNG decode is REAL** — pure Python + zlib (pure.decode_png:
-IDAT inflate + scanline unfilter), producing per-channel means, a luminance
+Round 2 made PNG decode real (pure.decode_png: IDAT inflate + scanline
+unfilter). Round 3: **EVERY raster format decodes for real** — baseline
+JPEG (marker walk, canonical Huffman, integer IDCT, 4:4:4/4:2:0/4:2:2
+chroma — the format a real CC image corpus is mostly made of), BMP
+(uncompressed BI_RGB), GIF (LZW + palette + interlace), and baseline TIFF
+(II/MM tag walk, multi-strip) — producing per-channel means, a luminance
 histogram, and a 64-bit average-hash (perceptual fingerprint for image
-dedup). Round 3: **baseline JPEG decode is REAL too** (pure.decode_jpeg:
-marker walk, canonical Huffman, integer IDCT, 4:4:4/4:2:0/4:2:2 chroma) —
-the format a real CC image corpus is mostly made of. GIF/BMP/TIFF and
-compressed audio/video kernels still need codec libraries that are not in
-this container, so those remain STUBS — a deterministic fake keyed on the
-content bytes, clearly marked. Everything Spark-side is real and tested:
-schema, Arrow batch shape, `mapInPandas` signature, partition behavior.
+dedup). Only compressed audio (ogg/flac) and compressed-video containers
+remain STUBS — a deterministic fake keyed on the content bytes, clearly
+marked. Everything Spark-side is real and tested: schema, Arrow batch
+shape, `mapInPandas` signature, partition behavior.
 
 PCM WAV decode is real too (stdlib wave + integer math — pure.decode_wav):
 rms / peak / zero-crossing-rate / duration as the audio feature vector.
@@ -17,12 +18,12 @@ So is Y4M video (pure.decode_y4m: YUV4MPEG2 header + raw planes — frame
 iteration, even frame-sampling, per-sampled-frame luminance means).
 
 decode_status taxonomy:
-  decoded      real decode succeeded (PNG, baseline JPEG, PCM WAV, or Y4M;
+  decoded      real decode succeeded (any raster format, PCM WAV, or Y4M;
                features real)
   decode_error bytes sniffed as a decodable-for-real type but malformed
                (incl. progressive/arithmetic JPEG — not baseline)
-  stubbed      decodable media type with no pure-Python codec (gif/bmp/tiff,
-               ogg/flac, non-WAVE riff — avi etc.)
+  stubbed      decodable media type with no pure-Python codec (ogg/flac,
+               non-WAVE riff — avi etc.)
   skipped      not a media type
 
 Design mirrors the reference's per-mode preprocessing tiers
@@ -62,18 +63,36 @@ MEDIA_FEATURES = T.StructType(
 FEATURE_DIM = 16
 
 
+_RASTER_DECODERS = {
+    "png": pure.decode_png,
+    "jpeg": pure.decode_jpeg,
+    "jpeg_exif": pure.decode_jpeg,
+    "bmp": pure.decode_bmp,
+    "gif": pure.decode_gif,
+    "tiff": pure.decode_tiff,
+}
+
+
+def _decode_raster(ct: str, b: bytes):
+    """Dispatch to the real pure-Python raster codec for a sniffed type —
+    ALL raster image formats decode for real as of round 3 (PNG round 2;
+    JPEG/BMP/GIF/TIFF round 3). None = not a raster type."""
+    fn = _RASTER_DECODERS.get(ct)
+    return fn(b) if fn else None
+
+
 def _fake_decode(data: bytes, target_res: int) -> list[float]:
     """Deterministic stand-in for decode+resize+feature-extract for formats
-    whose codecs are not in this container (gif/bmp/tiff/ogg/flac). The fake
-    hashes the bytes into a fixed-dim float vector so downstream plumbing
-    (schema, similarity join, batching) is fully exercisable."""
+    whose codecs are not in this container (ogg/flac/compressed video). The
+    fake hashes the bytes into a fixed-dim float vector so downstream
+    plumbing (schema, similarity join, batching) is fully exercisable."""
     h = hashlib.sha256(data + str(target_res).encode()).digest()
     return [round(((h[i] / 255.0) * 2 - 1), 6) for i in range(FEATURE_DIM)]
 
 
 def _real_raster_features(img: dict) -> tuple[list[float], int]:
-    """FEATURE_DIM-float vector from a real raster decode (PNG or JPEG —
-    both decoders return the same {width,height,channels,pixels} dict):
+    """FEATURE_DIM-float vector from a real raster decode (every raster
+    codec returns the same {width,height,channels,pixels} dict):
     [mean_r, mean_g, mean_b, width, height, 8 luminance-histogram
     fractions, 0-padding] + aHash. Grayscale pads means with 0."""
     st = pure.image_stats(img)
@@ -135,18 +154,12 @@ def media_features_fn(mode: str = "describe"):
                 ct = sn["content_type"]
                 is_wav = ct == "riff" and b[8:12] == b"WAVE"
                 # stubbable media: formats we recognize but have no pure-
-                # Python codec for (incl. compressed audio and non-WAVE riff
+                # Python codec for (compressed audio and non-WAVE riff
                 # containers like avi) — keeps the docstring taxonomy honest
-                decodable = ct in (
-                    "png", "jpeg", "gif", "bmp", "tiff", "ogg", "flac", "riff"
-                )
+                decodable = ct in ("ogg", "flac", "riff")
                 status, feature, ahash = "skipped", None, None
-                if ct in ("png", "jpeg", "jpeg_exif"):
-                    img = (
-                        pure.decode_png(b)
-                        if ct == "png"
-                        else pure.decode_jpeg(b)
-                    )
+                if ct in _RASTER_DECODERS:
+                    img = _decode_raster(ct, b)
                     if img is not None:
                         status = "decoded"
                         width, height = img["width"], img["height"]
@@ -270,15 +283,13 @@ def detect_objects(
                 b = bytes(data) if data is not None else b""
                 ct = pure.sniff_bytes(b)["content_type"]
                 status, objects = "skipped", None
-                if ct in ("png", "jpeg", "jpeg_exif"):
-                    img = pure.decode_png(b) if ct == "png" else pure.decode_jpeg(b)
+                if ct in _RASTER_DECODERS:
+                    img = _decode_raster(ct, b)
                     if img is not None:
                         status = "decoded"
                         objects = _quadrant_objects(img)
                     else:
                         status = "decode_error"
-                elif ct in ("gif", "bmp", "tiff"):
-                    status = "stubbed"
                 rows.append(
                     {
                         "media_id": mid,
@@ -322,15 +333,13 @@ def ocr_media(
                 b = bytes(data) if data is not None else b""
                 ct = pure.sniff_bytes(b)["content_type"]
                 status, text = "skipped", None
-                if ct in ("png", "jpeg", "jpeg_exif"):
-                    img = pure.decode_png(b) if ct == "png" else pure.decode_jpeg(b)
+                if ct in _RASTER_DECODERS:
+                    img = _decode_raster(ct, b)
                     if img is not None:
                         status = "decoded"
                         text = pure.ocr_image(img)
                     else:
                         status = "decode_error"
-                elif ct in ("gif", "bmp", "tiff"):
-                    status = "stubbed"
                 rows.append(
                     {
                         "media_id": mid,
