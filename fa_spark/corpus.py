@@ -36,6 +36,12 @@ class CorpusConfig:
     min_alpha_ratio: float = 0.5
     near_dup_jaccard: float = 0.8
     minhash_bands: int = 16
+    # within-document repetition gates (Gopher-family; None = off)
+    max_top2gram_frac: float | None = None
+    max_dup10gram_frac: float | None = None
+    # eval-set decontamination (applies when build_corpus gets eval_df)
+    decon_overlap: float = 0.5
+    decon_ngram: int = 3
     job: JobConfig = field(default_factory=JobConfig)
 
 
@@ -43,6 +49,7 @@ def build_corpus(
     pages_df: DataFrame,
     cfg: CorpusConfig = CorpusConfig(),
     output_path: str | None = None,
+    eval_df: DataFrame | None = None,
 ):
     """Returns (corpus_df, report_df).
 
@@ -50,8 +57,16 @@ def build_corpus(
     report_df: one row of funnel counters (input → extracted → lang →
                quality → exact-canonical → near-dup-free) + transitive
                cluster accounting (n_near_dup_clusters, n_near_dup_members;
-               invariant: n_corpus = n_exact_canonical - members + clusters)
-               + bytes/tokens.
+               with the optional gates off: n_corpus = n_exact_canonical -
+               members + clusters) + the optional-gate counters
+               (n_repetitious, n_contaminated — drop-set sizes, which may
+               overlap each other and the near-dup drops) + bytes/tokens.
+
+    ``eval_df`` (eval_id, text): when given, docs containing ≥
+    cfg.decon_overlap of an eval item's n-grams are dropped
+    (stages/text.decontaminate). cfg.max_top2gram_frac /
+    max_dup10gram_frac enable the within-document repetition gate
+    (stages/text.repetition_metrics).
 
     ``output_path``: when given, the corpus parquet is written HERE, while
     the analysis/signature caches are still alive — a caller-side write
@@ -90,6 +105,45 @@ def build_corpus(
         F.sum(F.col("is_canonical").cast("long")).alias("n_clusters"),
     ).collect()[0]
     drop = clusters.where(~F.col("is_canonical")).select(F.col("id").alias("url"))
+
+    # round-3 quality gates, composed from the standalone operators:
+    # within-document repetition (Gopher family) and eval-set
+    # decontamination — each contributes its drop-set to the same
+    # anti-join, so the funnel stays a single pass over the analysis
+    extra_caches = []
+    n_repetitious = 0
+    if cfg.max_top2gram_frac is not None or cfg.max_dup10gram_frac is not None:
+        from fa_spark.stages.text import repetition_metrics
+
+        rep = repetition_metrics(
+            exact_canonical.select("url", F.col("extract.text").alias("text")),
+            id_col="url",
+        )
+        cond = F.lit(False)
+        if cfg.max_top2gram_frac is not None:
+            cond = cond | (F.col("top_2gram_frac") > cfg.max_top2gram_frac)
+        if cfg.max_dup10gram_frac is not None:
+            cond = cond | (F.col("dup_10gram_frac") > cfg.max_dup10gram_frac)
+        rep_drop = rep.where(cond).select("url").persist()
+        extra_caches.append(rep_drop)
+        n_repetitious = rep_drop.count()
+        drop = drop.unionByName(rep_drop)
+    n_contaminated = 0
+    if eval_df is not None:
+        from fa_spark.stages.text import decontaminate
+
+        cont = decontaminate(
+            exact_canonical.select("url", F.col("extract.text").alias("text")),
+            eval_df,
+            corpus_id="url",
+            n=cfg.decon_ngram,
+            min_overlap=cfg.decon_overlap,
+        )
+        cont_drop = cont.select("url").distinct().persist()
+        extra_caches.append(cont_drop)
+        n_contaminated = cont_drop.count()
+        drop = drop.unionByName(cont_drop)
+
     corpus = exact_canonical.join(drop, "url", "left_anti").select(
         "url",
         F.col("extract.text").alias("text"),
@@ -136,6 +190,7 @@ def build_corpus(
                 funnel["n_quality"], funnel["n_exact_canonical"],
                 int(cstats["n_clusters"] or 0),
                 int(cstats["n_members"] or 0),
+                int(n_repetitious), int(n_contaminated),
                 stats["n_corpus"],
                 int(stats["tokens_ws"] or 0), int(stats["tokens_bpe"] or 0),
                 int(stats["chars"] or 0),
@@ -143,9 +198,11 @@ def build_corpus(
         ],
         "n_input long, n_extracted long, n_lang long, n_quality long, "
         "n_exact_canonical long, n_near_dup_clusters long, "
-        "n_near_dup_members long, n_corpus long, tokens_ws long, "
-        "tokens_bpe long, chars long",
+        "n_near_dup_members long, n_repetitious long, n_contaminated long, "
+        "n_corpus long, tokens_ws long, tokens_bpe long, chars long",
     )
     analysis.unpersist()
+    for cached in extra_caches:
+        cached.unpersist()
     release_pair_caches()  # drop the near-dup pairs cache (recompute-safe)
     return corpus, report

@@ -1367,6 +1367,51 @@ FROM d LEFT JOIN v USING (source)
 """
 
 
+# ---------------------------------------------------------------------------
+# repetition metrics (round 3 — the Gopher/RefinedWeb quality-filter family
+# the dedup operators don't cover: WITHIN-document repetition). Public
+# definitions (Rae et al. 2021 "Scaling Language Models", table A1):
+#   top_2gram_frac  = chars covered by the most frequent 2-gram / joined
+#                     token chars (tie -> lexicographically smallest gram)
+#   dup_10gram_frac = 1 - distinct/total 10-gram windows (0 when <10 toks)
+# dup_10gram is pure per-row Catalyst; top_2gram uses the scale shape
+# (explode -> partial-agg groupBy -> per-doc top-1 window over gram COUNTS,
+# never the raw text) instead of an O(n²) per-row higher-order scan.
+# ---------------------------------------------------------------------------
+
+
+def q_doc_repetition(spark, sf_dir):
+    from fa_spark.stages.text import repetition_metrics
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return repetition_metrics(docs, id_col="doc_id", text_col="text")
+
+
+SQL_DOC_REPETITION = f"""
+WITH t AS (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents),
+b AS (SELECT doc_id, toks, LENGTH(array_to_string(toks, ' ')) AS joined_len,
+             CASE WHEN LEN(toks) >= 10 THEN ROUND(
+               1 - CAST(LEN(list_distinct(list_transform(
+                     range(1, LEN(toks) - 9 + 1),
+                     i -> array_to_string(toks[i:i+9], ' ')))) AS DOUBLE)
+                 / (LEN(toks) - 9), 6)
+             ELSE 0.0 END AS dup_10gram_frac
+      FROM t WHERE LEN(toks) >= 2),
+ex AS (SELECT doc_id, joined_len, dup_10gram_frac,
+              UNNEST(list_transform(range(1, LEN(toks) - 1 + 1),
+                                    i -> array_to_string(toks[i:i+1], ' '))) AS gram
+       FROM b),
+c AS (SELECT doc_id, joined_len, dup_10gram_frac, gram, COUNT(*) AS cnt
+      FROM ex GROUP BY ALL),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY cnt DESC, gram ASC) AS rn FROM c)
+SELECT doc_id, gram AS top_2gram,
+       ROUND(cnt * LENGTH(gram) / joined_len, 6) AS top_2gram_frac,
+       dup_10gram_frac
+FROM r WHERE rn = 1
+"""
+
+
 def q_fingerprint_near_dups(spark, sf_dir):
     """Rolling-hash fingerprint near-dups (MOSS-style shared-fingerprint
     equi-join — never a cross join). Registered with the DENSE fingerprint
@@ -2218,6 +2263,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_lang": (q_doc_lang, _lang_sql()),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD),
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "extract_synth": (q_extract_synth, SQL_EXTRACT_SYNTH),
     "pdf_extract": (q_pdf_extract, SQL_PDF_EXTRACT),
     "filename_cascade": (q_filename_cascade, SQL_FILENAME_CASCADE),

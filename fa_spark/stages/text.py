@@ -127,6 +127,61 @@ def decontaminate(
     )
 
 
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """WITHIN-document repetition (the Gopher/RefinedWeb filter family the
+    cross-document dedup operators don't cover; public definitions, Rae et
+    al. 2021 table A1): (id, top_2gram, top_2gram_frac, dup_10gram_frac).
+
+    top_2gram_frac = chars covered by the most frequent 2-gram / joined
+    token chars (tie -> lexicographically smallest); dup_10gram_frac =
+    1 - distinct/total 10-gram windows (0 below 10 tokens). Docs with <2
+    tokens are omitted. dup_10gram is pure per-row Catalyst; top_2gram
+    takes the scale shape — explode -> partial-agg groupBy -> per-doc
+    top-1 — rather than an O(n²) per-row higher-order scan."""
+    toks = tokens_expr(text_col)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.length(F.concat_ws(" ", toks)).alias("_jlen"),
+    ).where(F.size("_toks") >= 2)
+    g2 = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - 1),
+        lambda i: F.concat_ws(" ", F.slice("_toks", i, 2)),
+    )
+    g10 = F.when(
+        F.size("_toks") >= 10,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 9),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, 10)),
+        ),
+    )
+    per_doc = base.select(
+        id_col,
+        "_jlen",
+        F.explode(g2).alias("_gram"),
+        F.round(
+            F.coalesce(1 - F.size(F.array_distinct(g10)) / F.size(g10), F.lit(0.0)), 6
+        ).alias("dup_10gram_frac"),
+    )
+    counts = per_doc.groupBy(id_col, "_jlen", "dup_10gram_frac", "_gram").agg(
+        F.count("*").alias("_cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("_cnt").desc(), F.col("_gram").asc())
+    top = counts.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return top.select(
+        id_col,
+        F.col("_gram").alias("top_2gram"),
+        F.round(F.col("_cnt") * F.length("_gram") / F.col("_jlen"), 6).alias(
+            "top_2gram_frac"
+        ),
+        "dup_10gram_frac",
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -46,3 +46,32 @@ def test_corpus_deterministic(spark, pages_df):
     a = sorted(r["url"] for r in c1.collect())
     b = sorted(r["url"] for r in c2.collect())
     assert a == b
+
+
+def test_corpus_optional_gates(spark, pages_df):
+    """Round 3: repetition + decontamination compose into the funnel.
+    Thresholds forced low so the wiring provably bites; the metrics
+    themselves are oracle-checked via doc_repetition / decontamination."""
+    from pyspark.sql import functions as F
+
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang").limit(400)
+    base_corpus, base_report = build_corpus(pages, CorpusConfig(langs=("en", "und")))
+    base_rows = {r["url"]: r["text"] for r in base_corpus.collect()}
+    br = base_report.collect()[0]
+    assert br["n_repetitious"] == 0 and br["n_contaminated"] == 0
+
+    # eval item = 12-token prefix of one surviving corpus doc
+    victim_url, victim_text = sorted(base_rows.items())[0]
+    prefix = " ".join(victim_text.split()[:12])
+    eval_df = spark.createDataFrame([(1, prefix)], "eval_id long, text string")
+
+    cfg = CorpusConfig(
+        langs=("en", "und"), max_top2gram_frac=0.001, max_dup10gram_frac=0.001
+    )
+    corpus, report = build_corpus(pages, cfg, eval_df=eval_df)
+    r = report.collect()[0]
+    assert r["n_contaminated"] >= 1
+    assert r["n_repetitious"] >= 1  # threshold low enough to catch anything
+    urls = {row["url"] for row in corpus.collect()}
+    assert victim_url not in urls
+    assert r["n_corpus"] == len(urls) <= br["n_corpus"]
