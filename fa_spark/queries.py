@@ -1368,6 +1368,85 @@ FROM d LEFT JOIN v USING (source)
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing (round 3 — the Dolma/RefinedWeb scrub stage): plant typed
+# PII derived from doc_id into each doc's text, scrub with pure-Catalyst
+# regexp expressions, and have DuckDB apply the SAME patterns — the oracle
+# is cross-engine regex equivalence on the full scrubbed string, not a
+# synthesis replay.
+# ---------------------------------------------------------------------------
+
+
+def q_pii_scrub(spark, sf_dir):
+    from fa_spark.stages.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.lit("contact user"), did, F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".1 via +1415555"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 4, "0"),
+        F.lit(" now "), F.col("text"),
+    )
+    out = scrub_pii(docs.select("doc_id", planted.alias("text")))
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "scrubbed")
+
+
+def _sql_pii_scrub() -> str:
+    from fa_spark.stages.text import PII_RULES
+
+    planted = (
+        "'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.1 via +1415555' || "
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') || ' now ' || text"
+    )
+    scrub = planted
+    counts = []
+    for kind, pat, repl in PII_RULES:
+        counts.append(f"LEN(regexp_extract_all({planted}, '{pat}')) AS n_{kind}")
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    cols = ",\n       ".join(counts)
+    return f"SELECT doc_id,\n       {cols},\n       {scrub} AS scrubbed\nFROM documents"
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
+
+
+# ---------------------------------------------------------------------------
+# training-window chunking (round 3): fixed-token chunks with overlap,
+# pure per-row Catalyst; the oracle reproduces the slicing arithmetic
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
+
+
+def q_doc_chunks(spark, sf_dir):
+    from fa_spark.stages.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+SQL_DOC_CHUNKS = f"""
+WITH t AS (SELECT doc_id, {TOKEN_SQL} AS toks FROM documents),
+b AS (SELECT doc_id, toks,
+             GREATEST(1, CAST(CEIL((LEN(toks) - {CHUNK_OVERLAP})
+                                   / {_CHUNK_STRIDE}.0) AS INT)) AS nc
+      FROM t WHERE LEN(toks) > 0),
+e AS (SELECT doc_id, toks, UNNEST(range(0, nc)) AS k FROM b)
+SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+       LEN(toks[k * {_CHUNK_STRIDE} + 1 : k * {_CHUNK_STRIDE} + {CHUNK_TOKENS}])
+         AS n_chunk_tokens,
+       array_to_string(
+         toks[k * {_CHUNK_STRIDE} + 1 : k * {_CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')
+         AS chunk_text
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
 # repetition metrics (round 3 — the Gopher/RefinedWeb quality-filter family
 # the dedup operators don't cover: WITHIN-document repetition). Public
 # definitions (Rae et al. 2021 "Scaling Language Models", table A1):
@@ -2264,6 +2343,8 @@ REGISTRY: dict[str, tuple] = {
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD),
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "extract_synth": (q_extract_synth, SQL_EXTRACT_SYNTH),
     "pdf_extract": (q_pdf_extract, SQL_PDF_EXTRACT),
     "filename_cascade": (q_filename_cascade, SQL_FILENAME_CASCADE),

@@ -127,6 +127,72 @@ def decontaminate(
     )
 
 
+# PII patterns (the Dolma/RefinedWeb scrub family). Kept to forms whose
+# leftmost-greedy semantics agree between Java regex (Spark) and RE2
+# (DuckDB) — the oracle applies the SAME patterns in DuckDB, so the check
+# is cross-engine regex equivalence on real text, not a synthesis replay.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{10,13}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Adds ``out_col`` (text with every PII match replaced by its typed
+    placeholder, rules applied in PII_RULES order) and n_<kind> match
+    counts. Pure Catalyst regexp expressions — whole-stage codegen, no
+    Python in the hot path."""
+    out = df
+    scrubbed = F.col(text_col)
+    for kind, pat, repl in PII_RULES:
+        out = out.withColumn(kind_col(kind), F.regexp_count(text_col, F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn(out_col, scrubbed)
+
+
+def kind_col(kind: str) -> str:
+    return f"n_{kind}"
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Training-window packing: split each doc's token stream into
+    fixed-size chunks with ``overlap`` tokens of context carry-over ->
+    (id, chunk_idx, n_chunk_tokens, chunk_text). Chunk k covers tokens
+    [k*stride, k*stride + chunk_tokens) with stride = chunk_tokens -
+    overlap; n_chunks = max(1, ceil((n_toks - overlap) / stride)), so the
+    final chunk may be short and every doc yields at least one chunk.
+    Pure per-row Catalyst (sequence + posexplode) — chunking never
+    shuffles."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_expr(text_col)
+    base = df.select(F.col(id_col), toks.alias("_toks")).where(F.size("_toks") > 0)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.size("_toks") - F.lit(overlap)) / F.lit(stride))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.slice("_toks", k * stride + 1, chunk_tokens),
+    )
+    ex = base.select(id_col, F.posexplode(chunks).alias("chunk_idx", "_chunk"))
+    return ex.select(
+        id_col,
+        "chunk_idx",
+        F.size("_chunk").alias("n_chunk_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )
+
+
 def repetition_metrics(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
