@@ -1626,6 +1626,42 @@ FROM cc GROUP BY id
 """
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (round 3 — the memory lever
+    for a 10^12-vector ANN index; similarity.quantize_embeddings). The
+    rounding rule is floor(x/scale + 0.5) spelled out on BOTH engines, so
+    the full int8 vector hash-compares exactly; max_abs_err ≤ scale/2 by
+    construction."""
+    from fa_spark.stages.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "qvec",
+        F.round("max_abs_err", 6).alias("max_abs_err"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings)
+SELECT vec_id, ROUND(scale, 6) AS scale,
+       CASE WHEN scale > 0
+            THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+            ELSE list_transform(v, x -> 0) END AS qvec,
+       ROUND(CASE WHEN scale > 0
+            THEN list_max(list_transform(
+                   v, x -> abs(x - floor(x / scale + 0.5) * scale)))
+            ELSE list_max(list_transform(v, x -> abs(x))) END, 6) AS max_abs_err
+FROM s
+"""
+
+
 def q_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
@@ -2350,6 +2386,7 @@ REGISTRY: dict[str, tuple] = {
     "filename_cascade": (q_filename_cascade, SQL_FILENAME_CASCADE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "embedding_near_dups_lsh": (
         q_embedding_near_dups_lsh,

@@ -302,3 +302,33 @@ def embedding_near_dups(
         .where(F.col("cosine") >= min_cosine)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the memory lever that makes
+    a 10^12-vector ANN index fit a cluster (float32 -> int8 = 4x smaller,
+    dot products stay integer until the final rescale).
+
+    scale = max|v| / 127; q_i = floor(v_i / scale + 0.5) ∈ [-127, 127].
+    floor(x + 0.5) is written out explicitly (NOT engine round()) so Spark
+    and the DuckDB oracle share one rounding rule, not two engines' modes.
+    Output: (id, scale, qvec array<int>, max_abs_err) — the reconstruction
+    error is bounded by scale/2 by construction and asserted in tests.
+    Zero-vector rows quantize to all-zero with scale 0."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    base = df.select(F.col(id_col), v.alias("_v"), scale.alias("scale"))
+    qvec = F.when(F.col("scale") > 0, F.transform(
+        F.col("_v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
+    )).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0)))
+    out = base.withColumn("qvec", qvec)
+    err = F.array_max(
+        F.zip_with(
+            "_v", "qvec", lambda x, q: F.abs(x - q.cast("double") * F.col("scale"))
+        )
+    )
+    return out.select(id_col, "scale", "qvec", err.alias("max_abs_err"))

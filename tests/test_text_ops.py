@@ -85,3 +85,27 @@ def test_chunk_no_shuffle_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_quantize_embeddings_bounds(spark):
+    """int8 range, error bound scale/2, zero-vector degeneracy, and the
+    explicit floor(x+0.5) rule (engine round() modes never involved)."""
+    from fa_spark.stages.similarity import quantize_embeddings
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [127.0, -127.0, 63.5, -0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    r1 = out[1]
+    assert abs(r1["scale"] - 1.0 / 127) < 1e-12
+    # -0.5/scale = -63.5 -> floor(-63.5 + 0.5) = -63: the tie rounds UP
+    # (toward +inf), the documented floor(x+0.5) rule on both engines
+    assert r1["qvec"] == [127, -63, 32, 0]
+    assert all(-127 <= q <= 127 for r in out.values() for q in r["qvec"])
+    for r in out.values():
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+    r2 = out[2]
+    assert r2["scale"] == 0.0 and r2["qvec"] == [0, 0, 0, 0]
