@@ -91,6 +91,18 @@ def build_parser() -> argparse.ArgumentParser:
                     default=_env_default("min-alpha-ratio", 0.5))
     pc.add_argument("--near-dup-jaccard", type=float,
                     default=_env_default("near-dup-jaccard", 0.8))
+    pc.add_argument("--max-top2gram-frac", type=float, default=None,
+                    help="drop docs whose top-2gram char fraction exceeds "
+                         "this (Gopher repetition gate; off by default)")
+    pc.add_argument("--max-dup10gram-frac", type=float, default=None,
+                    help="drop docs whose duplicate-10gram fraction exceeds "
+                         "this (off by default)")
+    pc.add_argument("--eval-parquet", default=None,
+                    help="held-out eval table (eval_id, text) parquet; "
+                         "docs containing >= --decon-overlap of an eval "
+                         "item's n-grams are dropped")
+    pc.add_argument("--decon-overlap", type=float,
+                    default=_env_default("decon-overlap", 0.5))
     pc.add_argument("--report-json", default=None,
                     help="also write the funnel report to this path")
 
@@ -182,11 +194,17 @@ def cmd_corpus(args) -> dict:
         min_uniq_ratio=args.min_uniq_ratio,
         min_alpha_ratio=args.min_alpha_ratio,
         near_dup_jaccard=args.near_dup_jaccard,
+        max_top2gram_frac=args.max_top2gram_frac,
+        max_dup10gram_frac=args.max_dup10gram_frac,
+        decon_overlap=args.decon_overlap,
         job=JobConfig(run_id="corpus-cli", buckets=args.buckets),
+    )
+    eval_df = (
+        spark.read.parquet(args.eval_parquet) if args.eval_parquet else None
     )
     # write happens INSIDE build_corpus while its caches are alive — a
     # caller-side write would re-run the whole pipeline from scratch
-    _corpus, report = build_corpus(pages, cfg, output_path=args.output)
+    _corpus, report = build_corpus(pages, cfg, output_path=args.output, eval_df=eval_df)
     payload = report.collect()[0].asDict()
     if args.report_json:
         with open(args.report_json, "w") as f:

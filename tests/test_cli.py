@@ -131,3 +131,31 @@ def test_cli_env_layer(spark, pages_path, tmp_path, capsys, monkeypatch):
         "--langs", "en,und", "--min-words", "10",
     ])
     assert p2["n_quality"] > 0
+
+
+def test_cli_corpus_gates(spark, pages_path, tmp_path, capsys):
+    """Round 3: the repetition + decontamination gates reach the CLI
+    surface; forced-low thresholds make the counters bite."""
+    # eval table: prefix of one real page's extracted text
+    base_out = str(tmp_path / "base")
+    base = _run(capsys, [
+        "corpus", "--input", pages_path, "--output", base_out,
+        "--langs", "en,und", "--min-words", "10",
+    ])
+    row = spark.read.parquet(base_out).orderBy("url").limit(1).collect()[0]
+    prefix = " ".join(row["text"].split()[:12])
+    eval_path = str(tmp_path / "eval.parquet")
+    spark.createDataFrame([(1, prefix)], "eval_id long, text string").write.parquet(
+        eval_path
+    )
+    payload = _run(capsys, [
+        "corpus", "--input", pages_path, "--output", str(tmp_path / "gated"),
+        "--langs", "en,und", "--min-words", "10",
+        "--max-top2gram-frac", "0.001", "--max-dup10gram-frac", "0.001",
+        "--eval-parquet", eval_path,
+    ])
+    assert payload["n_contaminated"] >= 1
+    assert payload["n_repetitious"] >= 1
+    assert payload["n_corpus"] <= base["n_corpus"]
+    gated = spark.read.parquet(str(tmp_path / "gated"))
+    assert gated.where(gated.url == row["url"]).count() == 0
