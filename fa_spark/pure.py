@@ -799,7 +799,10 @@ def _parse_png_meta(data: bytes) -> dict[str, str]:
         (length,) = _struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR" and length >= 8:
+        # guard on the ACTUAL body length, not the declared chunk length —
+        # a truncated PNG declares 13 IHDR bytes but carries fewer (found
+        # by the hostile-pages pipeline test, round 3)
+        if ctype == b"IHDR" and len(body) >= 8:
             w, h = _struct.unpack(">II", body[:8])
             out["png:width"] = str(w)
             out["png:height"] = str(h)

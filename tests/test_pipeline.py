@@ -146,3 +146,53 @@ def test_quality_struct_matches_pure(analysis, source_rows):
         assert got["n_chars"] == q["n_chars"]
         assert got["n_words"] == q["n_words"]
         assert abs(got["alpha_ratio"] - q["alpha_ratio"]) < 1e-9
+
+
+def test_pipeline_total_over_hostile_pages(spark):
+    """The full fused pipeline must NEVER raise on adversarial page bytes —
+    only classify and set status (the verify-contract invariant). Media
+    blobs (valid and truncated), codec bombs, escape soups, and binary
+    noise all flow through as pages."""
+    import random
+
+    from fa_spark import pure
+    from fa_spark.pipeline import JobConfig, analyze_pages
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    png = pure.png_encode([[(1, 2, 3)] * 8 for _ in range(8)])
+    jpg = pure.jpeg_encode([[9] * 8 for _ in range(8)], gray=True)
+    gif = pure.gif_encode([[(4, 5, 6)] * 4 for _ in range(4)])
+    hostile = [
+        b"",
+        b"\x00" * 256,
+        bytes(rng.randrange(256) for _ in range(4096)),
+        png, jpg, gif, png[:20], jpg[:10], gif[:9],
+        b"%PDF-1.4\n" + bytes(rng.randrange(256) for _ in range(512)),
+        b"<html>" + b"&amp;" * 5000,
+        b"<div>" * 2000,
+        b"<script>" + b"x" * 1000,  # unterminated rawtext
+        b"\xff\xfe" + "utf16 text".encode("utf-16-le"),
+        ("word " * 5000).encode(),
+        b"<!--" + b"-" * 500,
+        b"a<b<c<d" * 300,
+    ]
+    rows = [
+        (f"https://h/{i}", b) for i, b in enumerate(hostile)
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary").select(
+        "url",
+        F.to_timestamp(F.lit("2025-01-01")).alias("warc_ts"),
+        "html",
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = analyze_pages(pages, JobConfig(run_id="hostile")).collect()
+    assert len(out) == len(hostile)
+    statuses = {r["extract"]["status"] for r in out}
+    assert statuses <= {"success", "success_lenient", "empty", "skipped"}
+    # media pages classify by magic, not as documents
+    by_url = {r["url"]: r for r in out}
+    assert by_url["https://h/3"]["sniff"]["content_type"] == "png"
+    assert by_url["https://h/4"]["sniff"]["content_type"] == "jpeg"
+    assert by_url["https://h/5"]["sniff"]["content_type"] == "gif"

@@ -239,3 +239,16 @@ def test_fast_scanner_matches_stdlib_on_arbitrary_bytes(data):
     std_blocks, _ = pure.extract_blocks(text, _force_stdlib=True)
     assert fast_blocks == std_blocks
     assert r_fast == pure.extract_main_text(data)  # still deterministic
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=0, max_value=200), BYTES)
+def test_metadata_total_over_truncated_media(cut, tail):
+    """Regression (round 3): a truncated PNG declared 13 IHDR bytes but
+    carried fewer and crashed the metadata walker. Fuzz every media prefix
+    with arbitrary tails through extract_metadata."""
+    png = pure.png_encode([[(1, 2, 3)] * 4 for _ in range(4)])
+    jpg = pure.jpeg_encode([[7] * 8 for _ in range(8)], gray=True)
+    for blob in (png, jpg):
+        m = pure.extract_metadata(blob[: cut % (len(blob) + 1)] + tail)
+        assert isinstance(m, dict)
