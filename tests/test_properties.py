@@ -252,3 +252,16 @@ def test_metadata_total_over_truncated_media(cut, tail):
     for blob in (png, jpg):
         m = pure.extract_metadata(blob[: cut % (len(blob) + 1)] + tail)
         assert isinstance(m, dict)
+
+
+@settings(max_examples=150, deadline=None)
+@given(BYTES)
+def test_analyze_document_total(data):
+    """The FUSED analyzer entry point (what every Arrow batch runs) is
+    total and deterministic over arbitrary bytes."""
+    d1 = pure.analyze_document(data)
+    d2 = pure.analyze_document(data)
+    assert d1 == d2
+    assert d1["extract"].status in ("success", "success_lenient", "empty", "skipped")
+    assert isinstance(d1["sniff"]["content_type"], str)
+    assert isinstance(d1["minhash"], list) and isinstance(d1["simhash"], int)
