@@ -1346,9 +1346,17 @@ PNG_MAX_PIXELS = 1 << 20  # decode bound (CPU/memory guard for hostile input)
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit, non-interlaced)
 
 
-def png_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
-    """Minimal RGB PNG writer (filter 0 scanlines, one IDAT). Deterministic —
-    used by fixtures and the image-query synthesis UDF."""
+def png_encode(
+    rows: list[list[tuple[int, int, int]]], filter_type: int = 0
+) -> bytes:
+    """Minimal RGB PNG writer (one IDAT). ``filter_type`` selects the
+    scanline filter for every row (0 none, 1 sub, 2 up, 3 average,
+    4 paeth — round 3: encoding the non-trivial filters means the
+    decoder's every unfilter path round-trips against real encoded
+    images, not just hand-built scanlines). Deterministic — used by
+    fixtures and the image-query synthesis UDF."""
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"filter_type must be 0-4, got {filter_type}")
     h = len(rows)
     w = len(rows[0]) if h else 0
 
@@ -1360,9 +1368,34 @@ def png_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
             + _struct.pack(">I", zlib.crc32(typ + body))
         )
 
-    raw = b"".join(
-        b"\x00" + bytes(v for px in r for v in px) for r in rows
-    )
+    arr = _np.array(rows, dtype=_np.int16).reshape(h, w * 3) if h else None
+    out_lines = []
+    prev = _np.zeros(w * 3, dtype=_np.int16)
+    for y in range(h):
+        line = arr[y]
+        if filter_type == 0:
+            f = line
+        elif filter_type == 1:  # sub: subtract left pixel, per channel
+            left = _np.concatenate([_np.zeros(3, dtype=_np.int16), line[:-3]])
+            f = line - left
+        elif filter_type == 2:  # up
+            f = line - prev
+        elif filter_type == 3:  # average
+            left = _np.concatenate([_np.zeros(3, dtype=_np.int16), line[:-3]])
+            f = line - ((left + prev) >> 1)
+        else:  # paeth (scalar predictor — encoder cost is fixture-only)
+            f = _np.empty(w * 3, dtype=_np.int16)
+            for i in range(w * 3):
+                a = int(line[i - 3]) if i >= 3 else 0
+                b = int(prev[i])
+                c = int(prev[i - 3]) if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f[i] = line[i] - pr
+        out_lines.append(bytes([filter_type]) + (f & 0xFF).astype(_np.uint8).tobytes())
+        prev = line
+    raw = b"".join(out_lines)
     ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (
         _PNG_SIG

@@ -451,3 +451,28 @@ def test_image_stats_gray_and_rgba():
             "pixels": bytearray([10, 20, 30, 255, 40, 50, 60, 0])}
     st4 = pure.image_stats(rgba)
     assert st4["means"] == [25.0, 35.0, 45.0]  # alpha excluded from means
+
+
+def test_png_all_encoder_filters_roundtrip():
+    """Round 3: the encoder can emit every scanline filter, so each
+    unfilter path round-trips against REAL encoded images (not only the
+    hand-built scanlines of the cross-check test)."""
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(13)]
+        for _ in range(9)
+    ]
+    expected = None
+    for ft in range(5):
+        img = pure.decode_png(pure.png_encode(rows, filter_type=ft))
+        assert img is not None, ft
+        got = bytes(img["pixels"])
+        if expected is None:
+            expected = got
+            flat = bytes(v for r in rows for px in r for v in px)
+            assert got == flat
+        assert got == expected, f"filter {ft} diverged"
+    with __import__("pytest").raises(ValueError, match="filter_type"):
+        pure.png_encode(rows, filter_type=7)
