@@ -476,3 +476,41 @@ def test_png_all_encoder_filters_roundtrip():
         assert got == expected, f"filter {ft} diverged"
     with __import__("pytest").raises(ValueError, match="filter_type"):
         pure.png_encode(rows, filter_type=7)
+
+
+def test_png_decode_gray_and_rgba():
+    """decode_png supports 8-bit grayscale (ctype 0) and RGBA (ctype 6);
+    hand-built images with known pixels (the encoder is RGB-only)."""
+    import struct as st
+    import zlib as zl
+
+    def png(ctype, w, h, raw):
+        sig = b"\x89PNG\r\n\x1a\n"
+
+        def chunk(typ, body):
+            return st.pack(">I", len(body)) + typ + body + st.pack(
+                ">I", zl.crc32(typ + body)
+            )
+
+        ihdr = st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zl.compress(raw)) + chunk(
+            b"IEND", b""
+        )
+
+    gray = png(0, 3, 2, b"\x00" + bytes([10, 20, 30]) + b"\x00" + bytes([40, 50, 60]))
+    img = pure.decode_png(gray)
+    assert img["channels"] == 1
+    assert bytes(img["pixels"]) == bytes([10, 20, 30, 40, 50, 60])
+    st_g = pure.image_stats(img)
+    assert st_g["means"] == [sum([10, 20, 30, 40, 50, 60]) / 6]
+
+    rgba_raw = b"\x00" + bytes([1, 2, 3, 255, 4, 5, 6, 0])
+    img4 = pure.decode_png(png(6, 2, 1, rgba_raw))
+    assert img4["channels"] == 4
+    st4 = pure.image_stats(img4)
+    assert st4["means"] == [2.5, 3.5, 4.5]  # alpha excluded
+
+    # 16-bit depth and interlaced stay unsupported -> None, not garbage
+    bad_depth = bytearray(png(0, 1, 1, b"\x00\x00"))
+    bad_depth[24] = 16
+    assert pure.decode_png(bytes(bad_depth)) is None
