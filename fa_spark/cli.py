@@ -54,10 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     def common(p):
         p.add_argument("--input", required=True, help="pages parquet/Iceberg path")
-        p.add_argument("--input-format", choices=("parquet", "binaryFile"),
+        p.add_argument("--input-format", choices=("parquet", "binaryFile", "warc"),
                        default=_env_default("input-format", "parquet"),
                        help="binaryFile walks a directory tree of loose "
-                            "files into pages rows (reference: analyze a dir)")
+                            "files into pages rows (reference: analyze a "
+                            "dir); warc reads Common-Crawl WARC[.gz] files")
         p.add_argument("--path-glob", default=None,
                        help="binaryFile only: pathGlobFilter, e.g. '*.html'")
         p.add_argument("--include", action="append", default=None,
@@ -139,8 +140,11 @@ def _session(app: str, cores: int | None):
 def _filtered_pages(spark, args):
     from fa_spark import sources
 
-    if getattr(args, "input_format", "parquet") == "binaryFile":
+    fmt = getattr(args, "input_format", "parquet")
+    if fmt == "binaryFile":
         pages = sources.read_loose_files(spark, args.input, glob=args.path_glob)
+    elif fmt == "warc":
+        pages = sources.read_warc(spark, args.input, glob=args.path_glob)
     else:
         pages = sources.read_pages(spark, args.input)
     pages = sources.glob_filter(pages, args.include, args.exclude)

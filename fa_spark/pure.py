@@ -2236,6 +2236,127 @@ def decode_jpeg(data: bytes | None) -> dict | None:
 
 
 # ---------------------------------------------------------------------------
+# 8b. WARC container (round 3 — the NATIVE Common-Crawl wire format, so a
+# user can point the engine at actual crawl output instead of a pre-built
+# pages table). WARC/1.0 per ISO 28500 (public): text header block +
+# Content-Length payload + CRLF CRLF, records optionally stored as
+# CONCATENATED PER-RECORD GZIP MEMBERS (the CC convention — a plain gzip
+# readers stops after member one; warc_iter walks members with
+# decompressobj.unused_data). 'response' payloads carry a full HTTP
+# response; the HTTP header block is stripped to the body. Total and
+# bounded over hostile bytes like every other parser here.
+# ---------------------------------------------------------------------------
+
+WARC_MAX_RECORDS = 100_000
+WARC_MAX_PAYLOAD = 64 << 20  # per-record payload cap
+
+
+def warc_encode(records: list[dict], gzip_members: bool = False) -> bytes:
+    """WARC/1.0 writer for fixtures: records = [{url, ts(iso str), payload
+    (bytes), type?('response'), http?(bool — wrap payload in a minimal HTTP
+    response like CC does)}]. ``gzip_members`` stores each record as its
+    own gzip member (the Common-Crawl layout)."""
+    out = bytearray()
+    for i, r in enumerate(records):
+        payload = r["payload"]
+        if r.get("http", True):
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+                + payload
+            )
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: " + r.get("type", "response").encode() + b"\r\n"
+            b"WARC-Record-ID: <urn:uuid:rec-" + str(i).encode() + b">\r\n"
+            b"WARC-Target-URI: " + r["url"].encode() + b"\r\n"
+            b"WARC-Date: " + r["ts"].encode() + b"\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+        )
+        rec = head + payload + b"\r\n\r\n"
+        if gzip_members:
+            import gzip as _gzip
+
+            out += _gzip.compress(rec, mtime=0)  # mtime=0: deterministic
+        else:
+            out += rec
+    return bytes(out)
+
+
+def _warc_split_members(data: bytes) -> list[bytes]:
+    """Concatenated-gzip-member aware: returns decompressed chunks, or the
+    input as one chunk when not gzip."""
+    if not data[:2] == b"\x1f\x8b":
+        return [data]
+    chunks = []
+    rest = data
+    for _ in range(WARC_MAX_RECORDS):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunks.append(d.decompress(rest, WARC_MAX_PAYLOAD))
+        except zlib.error:
+            break
+        rest = d.unused_data
+        if not rest or rest[:2] != b"\x1f\x8b":
+            break
+    return chunks
+
+
+def warc_iter(data: bytes | None) -> list[dict]:
+    """Parse WARC bytes -> [{url, ts, type, payload}] for 'response' and
+    'resource' records (the content-bearing types). Total: malformed
+    headers/lengths end the walk cleanly; HTTP response framing is
+    stripped to the body."""
+    if not data:
+        return []
+    out: list[dict] = []
+    for chunk in _warc_split_members(data):
+        pos = 0
+        n = len(chunk)
+        while pos < n and len(out) < WARC_MAX_RECORDS:
+            start = chunk.find(b"WARC/", pos)
+            if start < 0:
+                break
+            hdr_end = chunk.find(b"\r\n\r\n", start)
+            if hdr_end < 0:
+                break
+            headers: dict[str, str] = {}
+            for line in chunk[start:hdr_end].split(b"\r\n")[1:]:
+                if b":" in line:
+                    k, _, v = line.partition(b":")
+                    headers[k.strip().lower().decode("latin-1")] = (
+                        v.strip().decode("latin-1")
+                    )
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                break
+            if length < 0 or length > WARC_MAX_PAYLOAD:
+                break
+            body_start = hdr_end + 4
+            payload = chunk[body_start : body_start + length]
+            if len(payload) < length:
+                break  # truncated record: stop, keep what parsed
+            pos = body_start + length
+            rtype = headers.get("warc-type", "")
+            if rtype in ("response", "resource"):
+                if payload[:5] == b"HTTP/":
+                    he = payload.find(b"\r\n\r\n")
+                    if he >= 0:
+                        payload = payload[he + 4 :]
+                out.append(
+                    {
+                        "url": headers.get("warc-target-uri", ""),
+                        "ts": headers.get("warc-date", ""),
+                        "type": rtype,
+                        "payload": payload,
+                    }
+                )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # 9b²b. BMP codec (round 3): uncompressed BI_RGB DIBs are pure struct
 # parsing — no reason to leave them stubbed. 24-bit (BGR) and 32-bit
 # (BGRA, alpha dropped) inputs, bottom-up (positive height) and top-down

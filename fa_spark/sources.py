@@ -47,6 +47,64 @@ def read_loose_files(
     )
 
 
+def read_warc(spark: SparkSession, root: str, glob: str | None = None) -> DataFrame:
+    """WARC files (the NATIVE Common-Crawl container, plain or per-record
+    gzip members) -> pages-shaped rows. binaryFile brings each .warc[.gz]
+    to one task; pure.warc_iter (total, bounded) splits records inside a
+    mapInPandas stage — record parsing parallelizes per FILE, the unit CC
+    already shards at (~1 GB each), so a crawl dump's natural layout is
+    the partitioning. Only content-bearing records (response/resource)
+    become rows; HTTP framing is stripped to the body."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from fa_spark import pure
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.option("recursiveFileLookup", "true").load(root).select(
+        "path", "content"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import datetime as dt
+
+        for pdf in batches:
+            rows = []
+            for _path, content in zip(pdf["path"], pdf["content"]):
+                for rec in pure.warc_iter(bytes(content)):
+                    try:
+                        ts = dt.datetime.fromisoformat(
+                            rec["ts"].replace("Z", "+00:00")
+                        ).replace(tzinfo=None)
+                    except ValueError:
+                        ts = None
+                    rows.append(
+                        {
+                            "url": rec["url"],
+                            "warc_ts": ts,
+                            "html": rec["payload"],
+                            "text": "",
+                            "lang": "und",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return files.mapInPandas(fn, schema)
+
+
 def globs_to_regex(patterns: list[str]) -> str:
     """fnmatch globs -> one alternation regex (driver-side, once)."""
     return "|".join(f"(?:{fnmatch.translate(p)})" for p in patterns)

