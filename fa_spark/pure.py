@@ -2304,10 +2304,11 @@ def _warc_split_members(data: bytes) -> list[bytes]:
 
 
 def warc_iter(data: bytes | None) -> list[dict]:
-    """Parse WARC bytes -> [{url, ts, type, payload}] for 'response' and
-    'resource' records (the content-bearing types). Total: malformed
-    headers/lengths end the walk cleanly; HTTP response framing is
-    stripped to the body."""
+    """Parse WARC bytes -> [{url, ts, type, payload}] for 'response',
+    'resource', and 'conversion' records (the content-bearing types —
+    'conversion' is what Common Crawl's WET extracted-text files carry).
+    Total: malformed headers/lengths end the walk cleanly; HTTP response
+    framing is stripped to the body."""
     if not data:
         return []
     out: list[dict] = []
@@ -2340,7 +2341,7 @@ def warc_iter(data: bytes | None) -> list[dict]:
                 break  # truncated record: stop, keep what parsed
             pos = body_start + length
             rtype = headers.get("warc-type", "")
-            if rtype in ("response", "resource"):
+            if rtype in ("response", "resource", "conversion"):
                 if payload[:5] == b"HTTP/":
                     he = payload.find(b"\r\n\r\n")
                     if he >= 0:

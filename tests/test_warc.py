@@ -43,12 +43,16 @@ def test_http_framing_stripped_and_raw_resource():
             "type": "resource",
             "http": False,
         },
+        # WET extracted-text records (Common Crawl's conversion type)
+        {"url": "u2w", "ts": "2025-01-01T00:00:00Z", "payload": b"plain text",
+         "type": "conversion", "http": False},
         # non-content record types are skipped
         {"url": "u3", "ts": "2025-01-01T00:00:00Z", "payload": b"x",
          "type": "warcinfo", "http": False},
     ]
     got = pure.warc_iter(pure.warc_encode(recs))
-    assert [r["url"] for r in got] == ["u1", "u2"]
+    assert [r["url"] for r in got] == ["u1", "u2", "u2w"]
+    assert got[2]["payload"] == b"plain text"
     assert got[0]["payload"] == b"<p>body</p>"  # HTTP headers stripped
     assert got[1]["payload"] == b"raw bytes"
 
