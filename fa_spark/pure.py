@@ -850,6 +850,57 @@ def _parse_jpeg_meta(data: bytes) -> dict[str, str]:
     return out
 
 
+def _parse_gif_meta(data: bytes) -> dict[str, str]:
+    """GIF logical-screen dims + version (round 3 — exiftool reports dims
+    for every raster type, so M1 should too)."""
+    out: dict[str, str] = {}
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 10:
+        return out
+    out["gif:version"] = data[3:6].decode("latin-1")
+    out["gif:width"] = str(int.from_bytes(data[6:8], "little"))
+    out["gif:height"] = str(int.from_bytes(data[8:10], "little"))
+    return out
+
+
+def _parse_bmp_meta(data: bytes) -> dict[str, str]:
+    out: dict[str, str] = {}
+    if data[:2] != b"BM" or len(data) < 30:
+        return out
+    out["bmp:width"] = str(int.from_bytes(data[18:22], "little", signed=True))
+    out["bmp:height"] = str(
+        abs(int.from_bytes(data[22:26], "little", signed=True))
+    )
+    out["bmp:bpp"] = str(int.from_bytes(data[28:30], "little"))
+    return out
+
+
+def _parse_tiff_meta(data: bytes) -> dict[str, str]:
+    """IFD0 width/length via the same bounded tag walk decode_tiff uses."""
+    out: dict[str, str] = {}
+    if data[:4] == b"II*\x00":
+        bo = "little"
+    elif data[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return out
+    try:
+        ifd = int.from_bytes(data[4:8], bo)
+        count = int.from_bytes(data[ifd : ifd + 2], bo)
+        if not 0 < count <= 512 or ifd + 2 + count * 12 > len(data):
+            return out
+        for k in range(count):
+            e = ifd + 2 + k * 12
+            tag = int.from_bytes(data[e : e + 2], bo)
+            typ = int.from_bytes(data[e + 2 : e + 4], bo)
+            if tag in (256, 257) and typ in (3, 4):
+                size = 2 if typ == 3 else 4
+                v = int.from_bytes(data[e + 8 : e + 8 + size], bo)
+                out["tiff:width" if tag == 256 else "tiff:height"] = str(v)
+    except (ValueError, IndexError):
+        return out
+    return out
+
+
 def _parse_pdf_meta(data: bytes) -> dict[str, str]:
     out: dict[str, str] = {}
     if not data.startswith(b"%PDF-"):
@@ -871,6 +922,9 @@ def extract_metadata(data: bytes | None) -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(_parse_png_meta(data))
     out.update(_parse_jpeg_meta(data))
+    out.update(_parse_gif_meta(data))
+    out.update(_parse_bmp_meta(data))
+    out.update(_parse_tiff_meta(data))
     out.update(_parse_pdf_meta(data))
     sn = sniff_bytes(data)
     if sn["content_type"] in ("html", "text", "xml"):

@@ -149,8 +149,12 @@ def media_features_fn(mode: str = "describe"):
                 b = bytes(data) if data is not None else b""
                 sn = pure.sniff_bytes(b)
                 meta = pure.extract_metadata(b)
-                width = meta.get("png:width") or meta.get("jpeg:width")
-                height = meta.get("png:height") or meta.get("jpeg:height")
+                width = height = None
+                for fam in ("png", "jpeg", "gif", "bmp", "tiff"):
+                    if meta.get(f"{fam}:width"):
+                        width = meta.get(f"{fam}:width")
+                        height = meta.get(f"{fam}:height")
+                        break
                 ct = sn["content_type"]
                 is_wav = ct == "riff" and b[8:12] == b"WAVE"
                 # stubbable media: formats we recognize but have no pure-

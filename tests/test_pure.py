@@ -514,3 +514,21 @@ def test_png_decode_gray_and_rgba():
     bad_depth = bytearray(png(0, 1, 1, b"\x00\x00"))
     bad_depth[24] = 16
     assert pure.decode_png(bytes(bad_depth)) is None
+
+
+def test_metadata_dims_all_raster_formats():
+    """M1 parity (round 3): exiftool reports dims for every raster type —
+    the metadata walkers must too, without decoding."""
+    rows = [[(1, 2, 3)] * 7 for _ in range(5)]
+    m = pure.extract_metadata(pure.gif_encode(rows))
+    assert (m["gif:width"], m["gif:height"]) == ("7", "5")
+    assert m["gif:version"] == "87a"
+    m = pure.extract_metadata(pure.bmp_encode(rows))
+    assert (m["bmp:width"], m["bmp:height"], m["bmp:bpp"]) == ("7", "5", "24")
+    m = pure.extract_metadata(pure.tiff_encode(rows))
+    assert (m["tiff:width"], m["tiff:height"]) == ("7", "5")
+    # truncation stays total
+    for enc in (pure.gif_encode, pure.bmp_encode, pure.tiff_encode):
+        blob = enc(rows)
+        for cut in range(0, len(blob), 11):
+            pure.extract_metadata(blob[:cut])
