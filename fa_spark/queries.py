@@ -2121,6 +2121,86 @@ FROM documents
 SQL_RASTER_FEATURES = _sql_raster_features()
 
 
+# ---------------------------------------------------------------------------
+# WARC container roundtrip (round 3): documents -> WARC/1.0 gzip-member
+# bytes (the native Common-Crawl layout) -> warc_iter parse -> fields.
+# Every field the parser recovers (target URI, date, HTTP-framing-stripped
+# body) is closed-form from doc_id, so the whole container walk sits under
+# the driver's value-hash gate.
+# ---------------------------------------------------------------------------
+
+
+def _warc_blob_batch(doc_id: pd.Series) -> pd.Series:
+    out = []
+    for did in doc_id:
+        did = int(did)
+        out.append(
+            pure.warc_encode(
+                [
+                    {
+                        "url": f"https://cc.example/{did}",
+                        "ts": f"2025-02-0{did % 9 + 1}T00:00:00Z",
+                        "payload": f"<p>warc doc {did}</p>".encode(),
+                    }
+                ],
+                gzip_members=(did % 2 == 0),
+            )
+        )
+    return pd.Series(out)
+
+
+warc_blob_udf = F.pandas_udf(_warc_blob_batch, BinaryType())
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    from collections.abc import Iterator
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    blobs = docs.select("doc_id", warc_blob_udf("doc_id").alias("warc"))
+
+    schema = (
+        "doc_id long, url string, warc_date string, rec_type string, "
+        "body string, n_records int"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["warc"]):
+                recs = pure.warc_iter(bytes(blob))
+                for r in recs:
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "url": r["url"],
+                            "warc_date": r["ts"],
+                            "rec_type": r["type"],
+                            "body": r["payload"].decode("utf-8", "replace"),
+                            "n_records": len(recs),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "url", "warc_date", "rec_type", "body", "n_records"
+                ],
+            )
+
+    return blobs.mapInPandas(fn, schema)
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT doc_id,
+       'https://cc.example/' || CAST(doc_id AS VARCHAR) AS url,
+       '2025-02-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || 'T00:00:00Z'
+         AS warc_date,
+       'response' AS rec_type,
+       '<p>warc doc ' || CAST(doc_id AS VARCHAR) || '</p>' AS body,
+       1 AS n_records
+FROM documents
+"""
+
+
 def _ocr_jpeg_batch(doc_id: pd.Series) -> pd.Series:
     """Per-doc text image 'doc<id>' rendered in the glyph font and encoded
     as a COLOR JPEG — the OCR query round-trips the LOSSY codec (ringing
@@ -2406,6 +2486,7 @@ REGISTRY: dict[str, tuple] = {
     "detect_objects": (q_detect_objects, SQL_DETECT_OBJECTS),
     "ocr_extract": (q_ocr_extract, SQL_OCR_EXTRACT),
     "raster_features": (q_raster_features, SQL_RASTER_FEATURES),
+    "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "video_features": (q_video_features, SQL_VIDEO_FEATURES),
