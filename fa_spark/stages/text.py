@@ -148,13 +148,9 @@ def scrub_pii(
     out = df
     scrubbed = F.col(text_col)
     for kind, pat, repl in PII_RULES:
-        out = out.withColumn(kind_col(kind), F.regexp_count(text_col, F.lit(pat)))
+        out = out.withColumn(f"n_{kind}", F.regexp_count(text_col, F.lit(pat)))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return out.withColumn(out_col, scrubbed)
-
-
-def kind_col(kind: str) -> str:
-    return f"n_{kind}"
 
 
 def chunk_documents(
