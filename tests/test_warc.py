@@ -93,3 +93,48 @@ def test_spark_warc_source_to_pipeline(spark, tmp_path):
     assert r0["extract"]["status"] in ("success", "success_lenient")
     assert r0["extract"]["title"] == "doc 2"
     assert "warc body 2" in r0["extract"]["text"]
+
+
+def test_simulated_crawl_end_to_end(spark, tmp_path):
+    """The full Common-Crawl story in one test: a gzip-member WARC holding
+    HTML, PDF, PNG, JPEG, and junk records -> read_warc -> the fused
+    analysis pipeline -> per-type classification and extraction."""
+    from fa_spark.pipeline import JobConfig, analyze_pages
+    from fa_spark.sources import read_warc
+
+    html = (
+        b"<html><head><title>crawl page</title></head><body><main>"
+        b"<p>a real paragraph with more than eight words of body text"
+        b" for the extractor</p></main></body></html>"
+    )
+    pdf = (
+        b"%PDF-1.4\n1 0 obj << /Length 43 >>\nstream\n"
+        b"BT /F1 12 Tf 72 720 Td (pdf in a warc) Tj ET"
+        b"\nendstream\nendobj\ntrailer << >>\n%%EOF\n"
+    )
+    png = pure.png_encode([[(7, 8, 9)] * 8 for _ in range(8)])
+    jpg = pure.jpeg_encode([[50] * 8 for _ in range(8)], gray=True)
+    recs = [
+        {"url": "https://c.example/page", "ts": "2025-04-01T00:00:00Z", "payload": html},
+        {"url": "https://c.example/doc.pdf", "ts": "2025-04-01T00:00:01Z", "payload": pdf},
+        {"url": "https://c.example/img.png", "ts": "2025-04-01T00:00:02Z", "payload": png},
+        {"url": "https://c.example/img.jpg", "ts": "2025-04-01T00:00:03Z", "payload": jpg},
+        {"url": "https://c.example/junk", "ts": "2025-04-01T00:00:04Z",
+         "payload": b"\x00\x01\x02garbage\xff\xfe"},
+    ]
+    (tmp_path / "crawl.warc.gz").write_bytes(pure.warc_encode(recs, gzip_members=True))
+    pages = read_warc(spark, str(tmp_path))
+    out = {r["url"]: r for r in analyze_pages(pages, JobConfig(run_id="crawl")).collect()}
+    assert len(out) == 5
+    page = out["https://c.example/page"]
+    assert page["sniff"]["content_type"] == "html"
+    assert page["extract"]["title"] == "crawl page"
+    assert "a real paragraph" in page["extract"]["text"]
+    pdfr = out["https://c.example/doc.pdf"]
+    assert pdfr["sniff"]["content_type"] == "pdf"
+    assert pdfr["extract"]["doc_type"] == "pdf"
+    assert "pdf in a warc" in pdfr["extract"]["text"]
+    assert out["https://c.example/img.png"]["sniff"]["content_type"] == "png"
+    assert out["https://c.example/img.png"]["meta"]["png:width"] == "8"
+    assert out["https://c.example/img.jpg"]["sniff"]["content_type"] == "jpeg"
+    assert out["https://c.example/junk"]["extract"]["status"] in ("skipped", "empty")
