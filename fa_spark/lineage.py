@@ -75,6 +75,32 @@ def write_commit_marker(base: str, run_id: str, committed_at: dt.datetime) -> No
     os.rename(tmp, os.path.join(p, f"{run_id}.json"))  # atomic commit point
 
 
+def _tz_aware(t: dt.datetime) -> dt.datetime:
+    """Naive timestamps normalize to UTC — mixed-tz markers never raise."""
+    return t if t.tzinfo is not None else t.replace(tzinfo=dt.timezone.utc)
+
+
+def list_committed_as_of(base: str, as_of: dt.datetime) -> set[str]:
+    """TIME TRAVEL (round 3 — the Iceberg `AS OF TIMESTAMP` analogue on the
+    parquet stand-in): run_ids whose commit marker was written at or before
+    ``as_of``. Commit markers are the snapshot log, so a historical read is
+    just a different committed-set filter — no data is rewritten, exactly
+    like Iceberg snapshot isolation."""
+    p = _commits_path(base)
+    if not os.path.isdir(p):
+        return set()
+    cutoff = _tz_aware(as_of)
+    out = set()
+    for f in os.listdir(p):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(p, f)) as fh:
+            doc = json.load(fh)
+        if _tz_aware(dt.datetime.fromisoformat(doc["committed_at"])) <= cutoff:
+            out.add(doc["run_id"])
+    return out
+
+
 _RUN_ID_RE = re.compile(r"^[A-Za-z0-9._\-]+$")
 
 
@@ -134,10 +160,15 @@ def recover(base: str) -> list[str]:
     return rolled
 
 
-def read_processed(spark: SparkSession, base: str) -> DataFrame:
-    """The committed processed set (uncommitted appends filtered out)."""
+def read_processed(
+    spark: SparkSession, base: str, as_of: dt.datetime | None = None
+) -> DataFrame:
+    """The committed processed set (uncommitted appends filtered out);
+    ``as_of`` reads the historical snapshot (list_committed_as_of)."""
     p = _processed_path(base)
-    committed = sorted(list_committed(base))
+    committed = sorted(
+        list_committed_as_of(base, as_of) if as_of else list_committed(base)
+    )
     try:
         df = spark.read.schema(S.PROCESSED).parquet(p)
     except Exception:
@@ -153,9 +184,16 @@ def filter_unprocessed(pages: DataFrame, processed: DataFrame) -> DataFrame:
     return keyed.join(processed.select("url", "sha"), ["url", "sha"], "left_anti")
 
 
-def read_analysis(spark: SparkSession, base: str) -> DataFrame:
+def read_analysis(
+    spark: SparkSession, base: str, as_of: dt.datetime | None = None
+) -> DataFrame:
     """Committed analysis rows (crashed-run partitions are physically gone
     after recover(); the run_id filter also guards a concurrent writer).
+    ``as_of`` gives a TIME-TRAVEL read — the state as of that commit
+    timestamp (Iceberg `AS OF` analogue; snapshots are the commit markers,
+    so nothing is rewritten). Expired runs (expire_runs) are physically
+    purged and cannot be travelled to — same as Iceberg after
+    expire_snapshots.
 
     Pinned partition-column types on the read: run_id is a *partition
     directory* and validate_run_id permits numeric-looking ids ('123',
@@ -180,7 +218,9 @@ def read_analysis(spark: SparkSession, base: str) -> DataFrame:
         ]
     )
     df = spark.read.schema(pinned).parquet(path)
-    committed = sorted(list_committed(base))
+    committed = sorted(
+        list_committed_as_of(base, as_of) if as_of else list_committed(base)
+    )
     return df.where(F.col("run_id").isin(committed)) if committed else df.limit(0)
 
 

@@ -203,3 +203,35 @@ def test_partition_counters(spark, pages_df, base):
     assert all(r["committed_at"] is not None for r in rows)
     # bucket ids within configured range
     assert all(0 <= r["bucket"] < 64 for r in rows)
+
+
+def test_time_travel_read(spark, tmp_path, pages_df):
+    """Round 3 (Iceberg AS OF analogue): reading as-of an earlier commit
+    timestamp sees exactly the increments committed by then; expired runs
+    are not travellable (physically purged, like expire_snapshots)."""
+    import datetime as dt
+
+    from fa_spark.lineage import expire_runs, read_analysis, run_resumable
+
+    base = str(tmp_path / "tt")
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang")
+    t1 = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    t2 = dt.datetime(2025, 6, 2, tzinfo=dt.timezone.utc)
+    run_resumable(spark, pages.limit(40), base, "r1", t1)
+    run_resumable(spark, pages.limit(80), base, "r2", t2)
+
+    latest = read_analysis(spark, base)
+    assert set(r["run_id"] for r in latest.select("run_id").distinct().collect()) == {
+        "r1", "r2"
+    }
+    old = read_analysis(spark, base, as_of=t1)
+    assert set(r["run_id"] for r in old.select("run_id").distinct().collect()) == {"r1"}
+    assert old.count() == 40
+    # between commits: still only r1
+    mid = read_analysis(spark, base, as_of=dt.datetime(2025, 6, 1, 12, tzinfo=dt.timezone.utc))
+    assert mid.count() == 40
+    # before any commit: empty
+    assert read_analysis(spark, base, as_of=dt.datetime(2025, 5, 1, tzinfo=dt.timezone.utc)).count() == 0
+    # after expiry the old snapshot is gone for good
+    expire_runs(base, keep_last_n=1)
+    assert read_analysis(spark, base, as_of=t1).count() == 0
