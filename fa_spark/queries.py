@@ -1662,6 +1662,51 @@ FROM s
 """
 
 
+def q_quantized_topk(spark, sf_dir):
+    """Top-k over the int8-quantized vectors (similarity.quantized_topk):
+    scales cancel inside cosine, so the score is integer-dot /
+    sqrt(|qa|²·|qb|²) — order-free integer sums, no float-fold ambiguity,
+    making the whole ANN ranking SQL-replicable bit-for-bit."""
+    from fa_spark.stages.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return quantized_topk(emb, queries, k=5)
+
+
+SQL_QUANTIZED_TOPK = """
+WITH s AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings),
+q AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+  FROM s),
+p AS (
+  SELECT b.vec_id AS query_id, a.vec_id,
+         list_sum(list_transform(range(1, len(a.qv) + 1),
+                                 i -> a.qv[i] * b.qv[i])) AS idot,
+         list_sum(list_transform(a.qv, x -> x * x)) AS na2,
+         list_sum(list_transform(b.qv, x -> x * x)) AS nb2
+  FROM q a CROSS JOIN q b
+  WHERE b.vec_id < 10 AND a.vec_id != b.vec_id),
+r AS (
+  SELECT query_id, vec_id,
+         ROUND(idot / sqrt(CAST(na2 * nb2 AS DOUBLE)), 6) AS qcosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(idot / sqrt(CAST(na2 * nb2 AS DOUBLE)), 6)
+                                     DESC, vec_id ASC) AS rnk
+  FROM p)
+SELECT query_id, vec_id, qcosine, rnk FROM r WHERE rnk <= 5
+"""
+
+
 def q_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
@@ -2467,6 +2512,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "embedding_label_stats": (q_embedding_label_stats, SQL_EMBEDDING_LABEL_STATS),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "embedding_near_dups_lsh": (
         q_embedding_near_dups_lsh,

@@ -332,3 +332,50 @@ def quantize_embeddings(
         )
     )
     return out.select(id_col, "scale", "qvec", err.alias("max_abs_err"))
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k over the int8-QUANTIZED vectors (the memory-bound 100-TB
+    serving shape): per-vector symmetric scales cancel inside cosine, so
+    the score is integer_dot / sqrt(|qa|² · |qb|²) — pure integer sums
+    (order-free, no float-fold nondeterminism) plus one sqrt. Recall vs
+    the float top-k is bounded by the scale/2 per-dim quantization error;
+    the registry query measures it against brute_force_topk."""
+    qv = quantize_embeddings(vectors, id_col=id_col, vec_col=vec_col).select(
+        id_col, F.col("qvec").alias("_qa")
+    )
+    qq = quantize_embeddings(queries, id_col=qid_col, vec_col=qvec_col).select(
+        qid_col, F.col("qvec").alias("_qb")
+    )
+    joined = qv.crossJoin(F.broadcast(qq)).where(F.col(id_col) != F.col(qid_col))
+    idot = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    inorm2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a.cast("long") * a.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = joined.select(
+        qid_col,
+        id_col,
+        F.round(
+            idot / F.sqrt((inorm2("_qa") * inorm2("_qb")).cast("double")), 6
+        ).alias("qcosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("qcosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(qid_col, id_col, "qcosine", "rnk")
+    )

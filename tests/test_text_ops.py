@@ -109,3 +109,26 @@ def test_quantize_embeddings_bounds(spark):
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
     r2 = out[2]
     assert r2["scale"] == 0.0 and r2["qvec"] == [0, 0, 0, 0]
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    """int8 quantized ranking must recover nearly all of the exact float
+    top-k (quantization error is scale/2 per dim) — measure recall@5 on
+    the real embeddings table."""
+    from fa_spark.stages.similarity import brute_force_topk, quantized_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["vec_id"])
+        for r in quantized_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall
