@@ -50,6 +50,13 @@ def default_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter join pruning (Spark 3.3+): the probe side of
+        # a selective join (lineage anti-join, decontamination, near-dup
+        # joins back to the corpus) gets a bloom filter built from the
+        # build side, pruning rows BEFORE the shuffle — at 10^12 docs the
+        # anti-join's probe side is the whole corpus, so this is the
+        # difference between shuffling everything and shuffling survivors
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", "8g")
