@@ -1283,6 +1283,19 @@ def _mix64(x: "_np.ndarray") -> "_np.ndarray":
 
 # positional odd multipliers for the windowed shingle combine — position
 # matters ("a b" != "b a"); generated, not transcribed
+def _shingle_coef(k: int) -> "_np.ndarray":
+    """First k positional coefficients; the table grows on demand so any
+    k works (round-3 ADVICE: a fixed 32-entry table broke k > 32)."""
+    global _SHINGLE_COEF
+    if k > len(_SHINGLE_COEF):
+        _SHINGLE_COEF = _np.array(
+            [((i * 0x9E3779B97F4A7C15) | 1) & 0xFFFFFFFFFFFFFFFF
+             for i in range(1, k + 1)],
+            dtype=_np.uint64,
+        )
+    return _SHINGLE_COEF[:k]
+
+
 _SHINGLE_COEF = _np.array(
     [((i * 0x9E3779B97F4A7C15) | 1) & 0xFFFFFFFFFFFFFFFF for i in range(1, 33)],
     dtype=_np.uint64,
@@ -1309,7 +1322,7 @@ def _shingle_ids(toks: list[str], k: int) -> list[int]:
         th[i] = h
     win = _np.lib.stride_tricks.sliding_window_view(th, k)
     with _np.errstate(over="ignore"):
-        ids = _mix64((win * _SHINGLE_COEF[:k]).sum(axis=1, dtype=_np.uint64))
+        ids = _mix64((win * _shingle_coef(k)).sum(axis=1, dtype=_np.uint64))
     _, first = _np.unique(ids, return_index=True)
     first.sort()
     return [int(ids[i]) for i in first]

@@ -653,13 +653,13 @@ def q_doc_exact_dedup(spark, sf_dir):
     two-phase partial-agg groupBy + join back (stages.dedup.dedup_stats)
     instead of a window over the key — a degenerate hot class (empty docs,
     error pages) no longer lands in one task; same values, skew-safe plan."""
-    from fa_spark.stages.dedup import dedup_stats
+    from fa_spark.stages.dedup import dedup_stats, join_stats
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.col("text")).alias("grp")
     )
     stats = dedup_stats(docs, "grp", "doc_id")
-    return docs.join(stats, "grp").select(
+    return join_stats(docs, stats, "grp").select(
         "doc_id",
         "grp",
         (F.col("doc_id") == F.col("_first")).alias("is_canonical"),
@@ -679,13 +679,13 @@ SELECT doc_id, grp, (rn = 1) AS is_canonical, dup_count FROM (
 def q_doc_prefix_dedup(spark, sf_dir):
     """Fingerprint dedup: md5 of the first-10-token prefix as group key.
     Skew-safe two-phase election (see q_doc_exact_dedup)."""
-    from fa_spark.stages.dedup import dedup_stats
+    from fa_spark.stages.dedup import dedup_stats, join_stats
 
     docs = _t(spark, sf_dir, "documents")
     key = F.md5(F.concat_ws(" ", F.slice(tokens_expr("text"), 1, 10)))
     keyed = docs.select("doc_id", key.alias("key"))
     stats = dedup_stats(keyed, "key", "doc_id")
-    return keyed.join(stats, "key").select(
+    return join_stats(keyed, stats, "key").select(
         "doc_id",
         "key",
         (F.col("doc_id") == F.col("_first")).alias("is_canonical"),
@@ -1242,13 +1242,19 @@ def _exact_jaccard(pairs, universe, n: int, min_jaccard: float):
         .union(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    cand_docs = universe.join(F.broadcast(ids), "doc_id", "left_semi")
+    # same reasoning: no mandatory broadcast of the candidate-id set —
+    # AQE broadcasts it when it is actually small
+    cand_docs = universe.join(ids, "doc_id", "left_semi")
     sets = ngram_sets(cand_docs, "doc_id", "text", n=n)
     ga = sets.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
     gb = sets.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
+    # no broadcast hint on `pairs` (round-3 VERDICT #4): the candidate
+    # relation is unbounded at corpus scale — a mandatory driver-side
+    # broadcast would OOM the driver on a spammy crawl; AQE already picks
+    # broadcast-hash when the post-banding pair count is actually small
     return (
-        F.broadcast(pairs).join(ga, "id_a")
+        pairs.join(ga, "id_a")
         .join(gb, "id_b")
         .withColumn(
             "jaccard",
@@ -1629,9 +1635,13 @@ FROM cc GROUP BY id
 def q_embedding_quantize(spark, sf_dir):
     """Per-vector symmetric int8 quantization (round 3 — the memory lever
     for a 10^12-vector ANN index; similarity.quantize_embeddings). The
-    rounding rule is floor(x/scale + 0.5) spelled out on BOTH engines, so
-    the full int8 vector hash-compares exactly; max_abs_err ≤ scale/2 by
-    construction."""
+    rounding rule is floor(x/scale + 0.5) spelled out on BOTH engines.
+
+    Round 4 (VERDICT #1): the official driver canonicalizer pandas-sorts
+    result cells and cannot hash an array<int> column, so the full int8
+    vector is emitted as an md5 over its comma-joined rendering (still a
+    bit-exact check of EVERY element — int→string is unambiguous on both
+    engines) plus scalar probes (dim count, first/last element)."""
     from fa_spark.stages.similarity import quantize_embeddings
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1639,7 +1649,12 @@ def q_embedding_quantize(spark, sf_dir):
     return out.select(
         "vec_id",
         F.round("scale", 6).alias("scale"),
-        "qvec",
+        F.size("qvec").alias("qdim"),
+        F.element_at("qvec", 1).alias("q_first"),
+        F.element_at("qvec", -1).alias("q_last"),
+        F.md5(F.concat_ws(",", F.col("qvec").cast("array<string>"))).alias(
+            "qvec_digest"
+        ),
         F.round("max_abs_err", 6).alias("max_abs_err"),
     )
 
@@ -1649,16 +1664,23 @@ WITH s AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
            AS scale
-  FROM embeddings)
+  FROM embeddings),
+q AS (
+  SELECT vec_id, scale, v,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+              ELSE list_transform(v, x -> 0) END AS qvec
+  FROM s)
 SELECT vec_id, ROUND(scale, 6) AS scale,
-       CASE WHEN scale > 0
-            THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
-            ELSE list_transform(v, x -> 0) END AS qvec,
+       len(qvec) AS qdim,
+       qvec[1] AS q_first,
+       qvec[-1] AS q_last,
+       md5(array_to_string(qvec, ',')) AS qvec_digest,
        ROUND(CASE WHEN scale > 0
             THEN list_max(list_transform(
                    v, x -> abs(x - floor(x / scale + 0.5) * scale)))
             ELSE list_max(list_transform(v, x -> abs(x))) END, 6) AS max_abs_err
-FROM s
+FROM q
 """
 
 
@@ -2450,12 +2472,12 @@ def q_image_ahash_dedup(spark, sf_dir):
     # persist: both election sides consume the decode UDF — without the
     # cache the image decode would run twice (the minhash-banding lesson);
     # registered for release_pair_caches() reclamation.
-    from fa_spark.stages.dedup import _PAIR_CACHES, dedup_stats
+    from fa_spark.stages.dedup import _PAIR_CACHES, dedup_stats, join_stats
 
     feats = feats.persist()
     _PAIR_CACHES.append(feats)
     stats = dedup_stats(feats, "ahash", "doc_id")
-    return feats.join(stats, "ahash").select(
+    return join_stats(feats, stats, "ahash").select(
         "doc_id",
         "dup_count",
         (F.col("doc_id") == F.col("_first")).alias("is_canonical"),

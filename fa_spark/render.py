@@ -72,6 +72,7 @@ def write_text_reports(df, path: str, fmt: str = "md") -> None:
     cols = df.columns
 
     def fn(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -79,13 +80,21 @@ def write_text_reports(df, path: str, fmt: str = "md") -> None:
             for _, row in pdf.iterrows():
                 d = {c: row[c] for c in cols}
                 for k, v in list(d.items()):
-                    # Arrow hands structs to pandas as dicts and arrays as
-                    # numpy arrays; normalize to the plain-Python shapes
-                    # the driver-side renderer receives from Row.asDict()
-                    if hasattr(v, "tolist"):
+                    # Arrow hands structs to pandas as dicts, arrays as
+                    # numpy arrays, and nulls as NaN/NaT; normalize to the
+                    # plain-Python shapes the driver-side renderer receives
+                    # from Row.asDict() so the two sinks render identically
+                    # (round-3 ADVICE: null fields drifted between sinks)
+                    if isinstance(v, np.ndarray):
                         d[k] = v.tolist()
                     elif hasattr(v, "asDict"):
                         d[k] = v.asDict(recursive=True)
+                    elif isinstance(v, (list, dict, tuple)):
+                        pass
+                    elif v is None or pd.isna(v):
+                        d[k] = None
+                    elif isinstance(v, np.generic):
+                        d[k] = v.item()
                 rendered = render_analysis(d, fmt)
                 out.append(rendered.replace("\\", "\\\\").replace("\n", "\\n"))
             yield pd.DataFrame({"value": out})

@@ -53,8 +53,11 @@ def read_warc(spark: SparkSession, root: str, glob: str | None = None) -> DataFr
     to one task; pure.warc_iter (total, bounded) splits records inside a
     mapInPandas stage — record parsing parallelizes per FILE, the unit CC
     already shards at (~1 GB each), so a crawl dump's natural layout is
-    the partitioning. Only content-bearing records (response/resource)
-    become rows; HTTP framing is stripped to the body."""
+    the partitioning. Content-bearing records become rows:
+    response/resource payloads land in ``html`` (HTTP framing stripped),
+    WET ``conversion`` records — already-extracted text — land in ``text``
+    with NULL ``html`` so they skip the HTML extraction path (round-3
+    ADVICE: WET text was being re-run through the DOM extractor)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -91,15 +94,26 @@ def read_warc(spark: SparkSession, root: str, glob: str | None = None) -> DataFr
                         ).replace(tzinfo=None)
                     except ValueError:
                         ts = None
-                    rows.append(
-                        {
-                            "url": rec["url"],
-                            "warc_ts": ts,
-                            "html": rec["payload"],
-                            "text": "",
-                            "lang": "und",
-                        }
-                    )
+                    if rec["type"] == "conversion":
+                        rows.append(
+                            {
+                                "url": rec["url"],
+                                "warc_ts": ts,
+                                "html": None,
+                                "text": rec["payload"].decode("utf-8", "replace"),
+                                "lang": "und",
+                            }
+                        )
+                    else:
+                        rows.append(
+                            {
+                                "url": rec["url"],
+                                "warc_ts": ts,
+                                "html": rec["payload"],
+                                "text": "",
+                                "lang": "und",
+                            }
+                        )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return files.mapInPandas(fn, schema)

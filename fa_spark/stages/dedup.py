@@ -55,6 +55,21 @@ def dedup_stats(df: DataFrame, key: str, order: str) -> DataFrame:
     )
 
 
+def join_stats(df: DataFrame, stats: DataFrame, key: str) -> DataFrame:
+    """Join ``df`` back to its ``dedup_stats`` relation null-safely.
+
+    A plain inner join on ``key`` silently drops every NULL-key row
+    (sha2(NULL)=NULL, md5(NULL)=NULL — failed decodes, NULL html), while
+    the window form both this election and the SQL oracles replace treats
+    NULL as one ordinary partition. ``eqNullSafe`` (<=>) is still an
+    equi-join key for the planner, so sort-merge/AQE skew splitting apply
+    unchanged."""
+    renamed = stats.withColumnRenamed(key, "__stats_key")
+    return df.join(
+        renamed, F.col(key).eqNullSafe(F.col("__stats_key"))
+    ).drop("__stats_key")
+
+
 def exact_dedup(df: DataFrame, key: str = "sha", order: str = "url") -> DataFrame:
     """Adds is_canonical / dup_of / dup_count.
 
@@ -65,10 +80,12 @@ def exact_dedup(df: DataFrame, key: str = "sha", order: str = "url") -> DataFram
 
     Round 3: two-phase (partial-agg groupBy + join back) instead of the
     round-2 window — identical output, but hot-key-skew-safe (dedup_stats).
+    Round 4: the join back is null-safe (join_stats) so NULL-key rows —
+    pages with NULL html — survive as one group instead of vanishing.
     """
     stats = dedup_stats(df, key, order)
     return (
-        df.join(stats, key)
+        join_stats(df, stats, key)
         .withColumn("is_canonical", F.col(order) == F.col("_first"))
         .withColumn(
             "dup_of",

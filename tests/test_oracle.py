@@ -63,11 +63,31 @@ def _pairs():
     ]
 
 
+def _driver_shape_gate(rows, cols):
+    """Reproduce the official driver's canonicalization sort (round-3
+    VERDICT #3): it pandas-sorts the result frame by every column, which
+    raises TypeError («unhashable type: 'list'») on array-typed cells.
+    Running the same sort locally makes a driver-contract shape violation
+    fail in pytest before the driver ever sees it — exactly the failure
+    mode that hid the round-3 embedding_quantize red row."""
+    import pandas as pd
+
+    pdf = pd.DataFrame([list(r) for r in rows], columns=list(cols))
+    pdf.sort_values(by=sorted(cols), kind="stable")
+
+
+def test_shape_gate_rejects_array_columns():
+    """Meta-test: the gate itself must fail on an array-typed column."""
+    with pytest.raises(TypeError):
+        _driver_shape_gate([(1, [1, 2]), (2, [3, 4])], ["id", "vec"])
+
+
 @pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
 def test_oracle_match(spark, name, fn, sql):
     sdf = fn(spark, SF0001)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
+    _driver_shape_gate(s_rows, s_cols)
 
     con = _duck(SF0001)
     res = con.execute(sql)

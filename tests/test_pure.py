@@ -532,3 +532,16 @@ def test_metadata_dims_all_raster_formats():
         blob = enc(rows)
         for cut in range(0, len(blob), 11):
             pure.extract_metadata(blob[:cut])
+
+
+def test_shingles_k_above_coefficient_table():
+    """Round-3 ADVICE: the 32-entry positional-coefficient table must grow
+    on demand — k=33+ used to raise a numpy broadcast ValueError."""
+    toks = " ".join(f"w{i}" for i in range(40))
+    out = pure.shingles(toks, k=33)
+    assert len(out) == 40 - 33 + 1
+    assert out == pure.shingles(toks, k=33)  # deterministic
+    # windows at k>32 still distinguish position
+    assert pure.shingles(toks, k=33) != pure.shingles(
+        " ".join(reversed(toks.split())), k=33
+    )

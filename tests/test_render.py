@@ -85,3 +85,32 @@ def test_text_report_sink_roundtrip(spark, tmp_path):
     assert got == exp
     assert any("## Description" in g for g in got)
     assert any("body 3\nsecond line \\ with backslash" in g for g in got)
+
+
+def test_text_report_sink_null_fields_match_driver_renderer(spark, tmp_path):
+    """Round-3 ADVICE: pandas hands the batch renderer NaN/NaT/numpy
+    scalars where Row.asDict() yields None/Python values; rows with null
+    fields must still render byte-identically across both sinks."""
+    from fa_spark.render import read_text_reports, render_analysis, write_text_reports
+
+    rows = [
+        {"url": "https://n/0", "slug": None, "tags": None, "n_chars": None,
+         "score": None, "extract": None},
+        {"url": "https://n/1", "slug": "s1", "tags": ["a"], "n_chars": 7,
+         "score": 0.5,
+         "extract": {"title": None, "text": "t", "doc_type": None,
+                     "status": "success"}},
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, slug string, tags array<string>, n_chars long, "
+        "score double, "
+        "extract struct<title:string,text:string,doc_type:string,status:string>",
+    )
+    path = str(tmp_path / "null_reports")
+    write_text_reports(df, path, fmt="md")
+    got = sorted(read_text_reports(spark, path))
+    exp = sorted(
+        render_analysis(r.asDict(recursive=True), "md") for r in df.collect()
+    )
+    assert got == exp

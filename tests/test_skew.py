@@ -122,3 +122,31 @@ def test_exact_dedup_hot_class_no_window(spark):
     assert all(r["dup_of"] == "u0000" for r in hot if not r["is_canonical"])
     singles = [r for r in got.values() if r["sha"] != "HOT"]
     assert all(r["is_canonical"] and r["dup_count"] == 1 for r in singles)
+
+
+def test_exact_dedup_null_keys_survive(spark):
+    """Round-3 ADVICE (medium): sha2(NULL html) is NULL — an inner join on
+    the key silently dropped those rows. The null-safe election must keep
+    every NULL-key row, group them together (window/PARTITION BY
+    semantics on both engines put all NULLs in one partition), and elect
+    one canonical."""
+    from fa_spark.stages.dedup import exact_dedup
+
+    rows = [
+        ("u0", "shaA"),
+        ("u1", "shaA"),
+        ("u2", None),
+        ("u3", None),
+        ("u4", None),
+        ("u5", "shaB"),
+    ]
+    df = spark.createDataFrame(rows, "url string, sha string")
+    out = {r["url"]: r for r in exact_dedup(df, key="sha", order="url").collect()}
+    assert len(out) == 6, "NULL-key rows must not vanish"
+    nulls = [r for r in out.values() if r["sha"] is None]
+    assert len(nulls) == 3
+    assert all(r["dup_count"] == 3 for r in nulls)
+    assert sorted(r["url"] for r in nulls if r["is_canonical"]) == ["u2"]
+    assert all(r["dup_of"] == "u2" for r in nulls if not r["is_canonical"])
+    assert out["u0"]["is_canonical"] and out["u0"]["dup_count"] == 2
+    assert out["u5"]["is_canonical"] and out["u5"]["dup_count"] == 1

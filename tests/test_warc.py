@@ -138,3 +138,27 @@ def test_simulated_crawl_end_to_end(spark, tmp_path):
     assert out["https://c.example/img.png"]["meta"]["png:width"] == "8"
     assert out["https://c.example/img.jpg"]["sniff"]["content_type"] == "jpeg"
     assert out["https://c.example/junk"]["extract"]["status"] in ("skipped", "empty")
+
+
+def test_read_warc_routes_wet_conversion_to_text(spark, tmp_path):
+    """Round-3 ADVICE: WET 'conversion' records are already-extracted text
+    and must land in the `text` column with NULL html, not be re-run
+    through the HTML extraction path."""
+    from fa_spark.sources import read_warc
+
+    recs = [
+        {"url": "https://w.example/html", "ts": "2025-03-01T00:00:00Z",
+         "payload": b"<html><p>markup</p></html>"},
+        {"url": "https://w.example/wet", "ts": "2025-03-01T00:00:00Z",
+         "payload": "extracted body é".encode(), "type": "conversion",
+         "http": False},
+    ]
+    (tmp_path / "mix.warc").write_bytes(pure.warc_encode(recs))
+    rows = {r["url"]: r for r in read_warc(spark, str(tmp_path)).collect()}
+    assert len(rows) == 2
+    html_row = rows["https://w.example/html"]
+    assert bytes(html_row["html"]) == b"<html><p>markup</p></html>"
+    assert html_row["text"] == ""
+    wet_row = rows["https://w.example/wet"]
+    assert wet_row["html"] is None
+    assert wet_row["text"] == "extracted body é"
