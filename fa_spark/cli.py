@@ -117,6 +117,18 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--output", required=True, help="analysis base dir")
     pe.add_argument("--keep-last-n", type=int, default=None)
     pe.add_argument("--older-than", default=None, help="ISO timestamp")
+
+    pv = sub.add_parser(
+        "validate",
+        help="post-hoc schema validation of a foreign analysis parquet "
+             "(reference `fa validate schema`)",
+    )
+    pv.add_argument("--input", required=True, help="analysis parquet path")
+    pv.add_argument("--strict", action="store_true",
+                    help="warnings also fail validation")
+    pv.add_argument("--violations-out", default=None,
+                    help="write the per-row violation report parquet here")
+    pv.add_argument("--cores", type=int, default=None)
     return ap
 
 
@@ -234,6 +246,25 @@ def cmd_query(args) -> dict:
     return {"query": args.name, "n_shown": len(rows), "rows": rows}
 
 
+def cmd_validate(args) -> dict:
+    from fa_spark.stages.validate import validate_analysis, validation_summary
+
+    spark = _session("fa-validate", args.cores)
+    df = spark.read.parquet(args.input)
+    report = validate_analysis(df, strict=args.strict)
+    if args.violations_out:
+        # one pass serves both outputs: persist the report, write the
+        # per-row parquet, then aggregate the file verdict from the cache
+        report = report.persist()
+        report.write.mode("overwrite").parquet(args.violations_out)
+    payload = validation_summary(report).collect()[0].asDict()
+    if args.violations_out:
+        report.unpersist()
+    payload["file"] = args.input
+    payload["strict"] = args.strict
+    return payload
+
+
 def cmd_expire(args) -> dict:
     from fa_spark.lineage import expire_runs
 
@@ -249,6 +280,7 @@ def main(argv: list[str] | None = None) -> None:
         "corpus": cmd_corpus,
         "query": cmd_query,
         "expire": cmd_expire,
+        "validate": cmd_validate,
     }[args.cmd](args)
     print(json.dumps(out, default=str))
 

@@ -190,6 +190,8 @@ def with_analysis(pages_df):
             F.col("a.n_tokens_bpe").alias("n_tokens_bpe"),
             F.col("a.tags").alias("tags"),
             F.col("a.slug").alias("slug"),
-            F.length("html").alias("html_bytes"),
+            # cast: length() is int, the declared schema (S.ANALYSIS)
+            # says bigint — found by the round-4 validate_analysis stage
+            F.length("html").cast("long").alias("html_bytes"),
         )
     )
