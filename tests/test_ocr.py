@@ -77,3 +77,47 @@ def test_ocr_through_stage(spark):
     assert out["t2"]["ocr_text"] == "png path"
     assert out["t3"]["decode_status"] == "skipped" and out["t3"]["ocr_text"] is None
     assert out["t4"]["decode_status"] == "decode_error"
+
+
+def test_multi_scale_roundtrip():
+    """Round 4 (VERDICT #6): the matcher must read its font rendered at
+    any pixel scale — PNG exact and through the lossy JPEG codec."""
+    for s in (1, 2, 3, 4):
+        rows = pure.render_text_image("doc42 scale", scale=s)
+        assert (
+            pure.ocr_image(pure.decode_png(pure.png_encode(rows)))
+            == "doc42 scale"
+        )
+    for s in (2, 3):
+        rows = pure.render_text_image("doc7", scale=s)
+        assert pure.ocr_image(pure.decode_jpeg(pure.jpeg_encode(rows))) == "doc7"
+
+
+def test_threshold_invariance_gray_on_gray():
+    rows = pure.render_text_image("gray ink", scale=2, ink=90, paper=180)
+    assert pure.ocr_image(pure.decode_png(pure.png_encode(rows))) == "gray ink"
+    # and through JPEG at the fixture contrast the registry query uses
+    rows = pure.render_text_image("doc3", scale=2, ink=64, paper=224)
+    assert pure.ocr_image(pure.decode_jpeg(pure.jpeg_encode(rows))) == "doc3"
+
+
+def test_parameterized_font():
+    """Any glyph table works — recognition is not hardwired to OCR_FONT."""
+    alt = {"x": 0b10101_01010_10101_01010_10101_01010_10101, " ": 0}
+    # render with the alt glyph by hand: reuse render via monkey table
+    rows = [[(255, 255, 255)] * 13 for _ in range(9)]
+    for gy in range(7):
+        for gx in range(5):
+            if alt["x"] >> (gy * 5 + gx) & 1:
+                rows[1 + gy][1 + gx] = (0, 0, 0)
+    img = pure.decode_png(pure.png_encode(rows))
+    assert pure.ocr_image(img, font=alt) == "x"
+    assert pure.ocr_image(img) == "?"  # built-in font doesn't know it
+
+
+def test_hamming_tolerance_opt_in():
+    rows = pure.render_text_image("ab")
+    rows[2][2] = (0, 0, 0) if rows[2][2] == (255, 255, 255) else (255, 255, 255)
+    img = pure.decode_png(pure.png_encode(rows))
+    assert pure.ocr_image(img) == "?b"  # default stays exact
+    assert pure.ocr_image(img, max_hamming=3) == "ab"
