@@ -2559,6 +2559,57 @@ FROM documents
 """
 
 
+DUP_PASSAGE_W = 25  # window for the ExactSubstr query (docs avg ~54 tokens)
+
+
+def q_duplicate_passages(spark, sf_dir):
+    """Exact-substring duplicate-passage spans (round 4 — Lee et al. 2021
+    ExactSubstr, the passage-level dedup layer below whole-doc/near-dup):
+    over documents ∪ mutants every 25-token window occurring >= 2 times
+    flags its positions; per-doc flagged windows merge into maximal
+    (span_start, span_end) token spans. The mutant construction plants
+    exact shared passages, so the span set is deterministic and the SQL
+    oracle recomputes it from scratch (window functions gaps-and-islands
+    vs the Spark per-doc fold — two independent merge implementations)."""
+    from fa_spark.stages.text import duplicate_passages
+
+    docs = _docs_with_mutants(spark, sf_dir, spread=False)
+    return duplicate_passages(
+        docs, id_col="doc_id", text_col="text", window=DUP_PASSAGE_W
+    )
+
+
+SQL_DUPLICATE_PASSAGES = f"""
+WITH u AS ({SQL_MUTANT_UNIVERSE}),
+t AS (SELECT doc_id, {TOKEN_SQL} AS toks FROM u),
+w AS (
+  SELECT doc_id,
+         UNNEST(list_transform(
+           range(1, len(toks) - {DUP_PASSAGE_W} + 2),
+           i -> struct_pack(
+             p := CAST(i - 1 AS INT),
+             gram := array_to_string(
+               toks[CAST(i AS INT):CAST(i + {DUP_PASSAGE_W} - 1 AS INT)], ' ')
+           ))) AS rec
+  FROM t WHERE len(toks) >= {DUP_PASSAGE_W}),
+f0 AS (SELECT doc_id, rec.p AS p, rec.gram AS gram FROM w),
+hot AS (SELECT gram FROM f0 GROUP BY gram HAVING COUNT(*) >= 2),
+f AS (SELECT doc_id, p FROM f0 WHERE gram IN (SELECT gram FROM hot)),
+l AS (SELECT doc_id, p,
+             LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS q
+      FROM f),
+i2 AS (SELECT doc_id, p,
+              SUM(CASE WHEN p - q > {DUP_PASSAGE_W} THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) AS isl
+       FROM l)
+SELECT doc_id,
+       CAST(MIN(p) AS INT) AS span_start,
+       CAST(MAX(p) + {DUP_PASSAGE_W} AS INT) AS span_end
+FROM i2 GROUP BY doc_id, isl
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2591,6 +2642,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
     "doc_lang": (q_doc_lang, _lang_sql()),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD),
+    "duplicate_passages": (q_duplicate_passages, SQL_DUPLICATE_PASSAGES),
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),

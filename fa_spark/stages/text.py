@@ -282,3 +282,122 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def duplicate_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    min_count: int = 2,
+    stride: int = 1,
+) -> DataFrame:
+    """Exact-substring duplicate-passage spans — the ExactSubstr dedup of
+    Lee et al. 2021 (arXiv:2107.06499, public method), the cross-document
+    passage-level layer the whole-doc and near-dup operators don't cover:
+    boilerplate licenses, syndicated paragraphs, repeated templates.
+
+    Every ``window``-token rolling window whose content occurs >=
+    ``min_count`` times across the corpus flags its start position;
+    per-doc, overlapping-or-adjacent flagged windows merge into maximal
+    spans (gaps-and-islands). Returns (id, span_start, span_end) in token
+    coordinates, end exclusive.
+
+    Scale shape (100 TB): the exploded relation is (id, position,
+    xxhash64 of the window text) — the window STRING itself never
+    shuffles, only its 64-bit hash; the occurrence count is a partial-agg
+    groupBy on that hash; flagged hashes come back via a left-semi join
+    AQE can broadcast. Span merging is a per-doc fold over the sorted
+    flagged positions (F.aggregate — no window function, no second
+    shuffle past the groupBy). ``stride`` > 1 trades recall for an
+    s-fold cut of the exploded relation (documented, default exact).
+    Hash collisions can over-flag at ~2^-64 per window pair — at 10^12
+    windows that is a handful of spurious 50-token drops, accepted and
+    noted here rather than silently."""
+    toks = tokens_expr(text_col)
+    base = df.select(F.col(id_col), toks.alias("_toks")).where(
+        F.size("_toks") >= window
+    )
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.size("_toks") - window + 1, F.lit(stride)
+                ),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_toks", i, window))),
+            )
+        ).alias("_k", "_h"),
+    ).select(id_col, (F.col("_k") * stride).cast("int").alias("p"), "_h")
+    hot = (
+        wins.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+    )
+    flagged = wins.join(hot.select("_h"), "_h", "left_semi")
+    merged = flagged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("p")).alias("_ps")
+    )
+    w = F.lit(window)
+    spans = F.aggregate(
+        "_ps",
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, p: F.when(
+            F.size(acc) == 0,
+            F.array(F.struct(p.alias("s"), (p + w).cast("int").alias("e"))),
+        ).otherwise(
+            F.when(
+                p <= F.element_at(acc, -1)["e"],
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            (p + w).cast("int").alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.struct(p.alias("s"), (p + w).cast("int").alias("e"))
+                    ),
+                )
+            )
+        ),
+    )
+    return merged.select(F.col(id_col), F.explode(spans).alias("_sp")).select(
+        id_col,
+        F.col("_sp.s").alias("span_start"),
+        F.col("_sp.e").alias("span_end"),
+    )
+
+
+def strip_duplicate_passages(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the flagged spans from each doc's token stream -> (id,
+    clean_text, n_dropped_tokens). Docs with no spans pass through
+    unchanged (left join). One join + per-row array ops — the heavy
+    global work already happened in duplicate_passages."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = tokens_expr(text_col)
+    joined = df.select(F.col(id_col), toks.alias("_toks")).join(sp, id_col, "left")
+    covered = lambda i: F.exists(  # noqa: E731 — 0-based token i in any span
+        "_spans",
+        lambda s: (i - 1 >= s["span_start"]) & (i - 1 < s["span_end"]),
+    )
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.filter("_toks", lambda t, i: ~covered(i + 1))
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("_toks") - F.size(kept)).alias("n_dropped_tokens"),
+    )

@@ -132,3 +132,62 @@ def test_quantized_topk_recall_vs_float(spark):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_duplicate_passages_spans_and_merge(spark):
+    """ExactSubstr spans (round 4): planted shared passage -> exact merged
+    span per doc; within-doc repetition also flags; unrelated doc clean."""
+    from fa_spark.stages.text import duplicate_passages, strip_duplicate_passages
+
+    shared = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, "one two three " + shared + " four"),
+        (3, "totally unrelated text with many different words here indeed"),
+        (4, shared + " " + shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = duplicate_passages(df, window=10)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in spans.collect()
+    }
+    assert got == {(1, 2, 32), (2, 3, 33), (4, 0, 60)}
+    # no Python stage, no cartesian product in the plan
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    clean = {
+        r["doc_id"]: r for r in strip_duplicate_passages(df, spans).collect()
+    }
+    assert clean[1]["clean_text"] == "alpha beta gamma delta"
+    assert clean[1]["n_dropped_tokens"] == 30
+    assert clean[2]["clean_text"] == "one two three four"
+    assert clean[3]["n_dropped_tokens"] == 0
+    assert "unrelated" in clean[3]["clean_text"]
+    assert clean[4]["clean_text"] == "" and clean[4]["n_dropped_tokens"] == 60
+
+
+def test_duplicate_passages_stride_and_min_count(spark):
+    from fa_spark.stages.text import duplicate_passages
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    rows = [
+        (1, shared + " filler one"),
+        (2, shared + " filler two"),
+        (3, shared + " filler three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # min_count above the multiplicity -> nothing flags
+    assert duplicate_passages(df, window=10, min_count=4).count() == 0
+    # stride 2 still finds the planted passage (coarser span edges allowed)
+    s2 = {r["doc_id"] for r in duplicate_passages(df, window=10, stride=2).collect()}
+    assert s2 == {1, 2, 3}
+
+
+def test_duplicate_passages_short_docs_excluded(spark):
+    from fa_spark.stages.text import duplicate_passages
+
+    rows = [(1, "same short text"), (2, "same short text")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # both docs are shorter than the window -> no windows, no spans
+    assert duplicate_passages(df, window=10).count() == 0
