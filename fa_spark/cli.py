@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "item's n-grams are dropped")
     pc.add_argument("--decon-overlap", type=float,
                     default=_env_default("decon-overlap", 0.5))
+    pc.add_argument("--strip-dup-passages", type=int, default=None,
+                    metavar="WINDOW",
+                    help="remove >=WINDOW-token passages duplicated across "
+                         "the corpus (ExactSubstr; off by default)")
+    pc.add_argument("--dup-passage-min-count", type=int,
+                    default=_env_default("dup-passage-min-count", 2))
     pc.add_argument("--report-json", default=None,
                     help="also write the funnel report to this path")
 
@@ -212,6 +218,8 @@ def cmd_corpus(args) -> dict:
         near_dup_jaccard=args.near_dup_jaccard,
         max_top2gram_frac=args.max_top2gram_frac,
         max_dup10gram_frac=args.max_dup10gram_frac,
+        dup_passage_window=args.strip_dup_passages,
+        dup_passage_min_count=args.dup_passage_min_count,
         decon_overlap=args.decon_overlap,
         job=JobConfig(run_id="corpus-cli", buckets=args.buckets),
     )

