@@ -1312,17 +1312,19 @@ def _shingle_ids(toks: list[str], k: int) -> list[int]:
     if len(toks) < k:
         joined = " ".join(toks)
         return [_stable64(joined)] if joined else []
-    memo: dict = {}
     th = _np.empty(len(toks), dtype=_np.uint64)
     for i, t in enumerate(toks):
-        h = memo.get(t)
-        if h is None:
-            h = _stable64(t)
-            memo[t] = h
-        th[i] = h
-    win = _np.lib.stride_tricks.sliding_window_view(th, k)
+        th[i] = _stable64(t)  # global memo — vocab repeats across docs
+    # windowed positional combine as k strided-slice FMAs (round 4 —
+    # sliding_window_view's as_strided + errstate machinery cost ~70 µs
+    # per call, dominating on web-page-sized token lists)
+    coef = _shingle_coef(k)
+    n_win = len(toks) - k + 1
     with _np.errstate(over="ignore"):
-        ids = _mix64((win * _shingle_coef(k)).sum(axis=1, dtype=_np.uint64))
+        acc = th[:n_win] * coef[0]
+        for j in range(1, k):
+            acc += th[j : n_win + j] * coef[j]
+        ids = _mix64(acc)
     _, first = _np.unique(ids, return_index=True)
     first.sort()
     return [int(ids[i]) for i in first]
@@ -1334,9 +1336,24 @@ def shingles(text: str, k: int = 5) -> list[int]:
     return _shingle_ids(tokenize(text), k)
 
 
+# Cross-document token-hash memo (round 4 — profiling showed _stable64 at
+# ~7% of the fused analyzer: natural-language vocabulary repeats across
+# every doc a worker sees, so a per-doc memo rehashes the same stopwords
+# thousands of times per batch). Bounded so a pathological corpus (random
+# strings) cannot grow it past ~26 MB per worker; at the cap the function
+# silently degrades to uncached hashing.
+_STABLE64_CACHE: dict = {}
+_STABLE64_CACHE_MAX = 1 << 18
+
+
 def _stable64(s: str) -> int:
-    b = s.encode("utf-8")
-    return (zlib.crc32(b) << 32) | zlib.crc32(b[::-1] + b"\x01")
+    h = _STABLE64_CACHE.get(s)
+    if h is None:
+        b = s.encode("utf-8")
+        h = (zlib.crc32(b) << 32) | zlib.crc32(b[::-1] + b"\x01")
+        if len(_STABLE64_CACHE) < _STABLE64_CACHE_MAX:
+            _STABLE64_CACHE[s] = h
+    return h
 
 
 def minhash_signature(text: str, num_hashes: int = 64, k: int = 5) -> list[int]:
