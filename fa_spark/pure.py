@@ -3808,6 +3808,43 @@ def _simhash_toks(toks: list[str]) -> int:
     return out
 
 
+def _simhash_toks_batch(toks_list: list[list[str]]) -> list[int]:
+    """Batched _simhash_toks over many docs (round 4 — profiling put the
+    per-doc numpy setup at ~11% of the fused analyzer; one flat array +
+    64 reduceat segment-sums replaces thousands of tiny matrices).
+    Bit-identical: per bit b the old sum((2*bit-1)*w) equals 2*S_b - T
+    with S_b = sum of weights whose hash has bit b set, T = total weight
+    — same integers, same (v > 0) rule."""
+    n = len(toks_list)
+    sim = [0] * n
+    hs: list[int] = []
+    ws: list[int] = []
+    starts: list[int] = []
+    idx: list[int] = []
+    for i, toks in enumerate(toks_list):
+        counts = Counter(toks)
+        if not counts:
+            continue
+        starts.append(len(hs))
+        idx.append(i)
+        for t, w in counts.items():
+            hs.append(_stable64(t))
+            ws.append(w)
+    if not starts:
+        return sim
+    H = _np.array(hs, dtype=_np.uint64)
+    W = _np.array(ws, dtype=_np.int64)
+    st = _np.array(starts, dtype=_np.intp)
+    T = _np.add.reduceat(W, st)
+    acc = _np.zeros(len(st), dtype=_np.uint64)
+    for b in range(64):
+        Sb = _np.add.reduceat(W * ((H >> _np.uint64(b)) & _np.uint64(1)).astype(_np.int64), st)
+        acc |= ((2 * Sb - T) > 0).astype(_np.uint64) << _np.uint64(b)
+    for j, i in enumerate(idx):
+        sim[i] = int(acc[j])
+    return sim
+
+
 def _metadata_from_parse(
     data: bytes, ct: str, charset: str | None, parser, title: str
 ) -> dict[str, str]:
@@ -3834,11 +3871,17 @@ def _metadata_from_parse(
     return out
 
 
-def analyze_document(data: bytes | None, minhash_k: int = 64) -> dict:
+def analyze_document(
+    data: bytes | None, minhash_k: int = 64, skip_simhash: bool = False
+) -> dict:
     """ONE pass per document: decode once, parse the DOM once, tokenize the
     extracted text once; every analyzer consumes the shared intermediates.
     Field-for-field identical to calling the individual functions (pinned by
-    tests/test_pure.py::test_fused_equals_individual)."""
+    tests/test_pure.py::test_fused_equals_individual).
+
+    ``skip_simhash``: the batch caller computes simhash for the WHOLE
+    Arrow batch in one reduceat pass (_simhash_toks_batch, round 4) — the
+    returned "simhash" is 0 and "toks" carries what it needs."""
     b = data if data is not None else b""
     sn = sniff_bytes(b)
     ct = sn["content_type"]
@@ -3891,7 +3934,7 @@ def analyze_document(data: bytes | None, minhash_k: int = 64) -> dict:
         "minhash": _minhash_shingles(_shingles_toks(toks), minhash_k)
         if text
         else [0] * 0,
-        "simhash": _simhash_toks(toks) if text else 0,
+        "simhash": 0 if skip_simhash else (_simhash_toks(toks) if text else 0),
         "tags": clean_tags(toks),
         "slug": page_slug(ex.title, text),
         "token_count": token_count(text),

@@ -63,9 +63,13 @@ def analyze_batch(html: pd.Series) -> pd.DataFrame:
     to the individual pure functions; the two-parse/four-tokenize version
     measured ~40% slower)."""
     out: dict[str, list] = {f: [] for f in _ANALYSIS_FIELDS}
+    # simhash is deferred and computed for the whole batch in one reduceat
+    # pass (pure._simhash_toks_batch) — bit-identical, ~4x cheaper than
+    # per-doc numpy setup
+    sim_toks: list[list] = []
     for data in html:
         b = bytes(data) if data is not None else b""
-        d = pure.analyze_document(b, MINHASH_K)
+        d = pure.analyze_document(b, MINHASH_K, skip_simhash=True)
         sn = d["sniff"]
         out["sniff"].append(
             {
@@ -91,7 +95,7 @@ def analyze_batch(html: pd.Series) -> pd.DataFrame:
         )
         text = ex.text
         out["sigs"].append(pure.scan_text(text, _COMPILED_SIGS) if text else [])
-        out["simhash"].append(_to_i64(d["simhash"]))
+        sim_toks.append(d["toks"] if text else [])
         out["minhash"].append([_to_i64(h) for h in d["minhash"]])
         out["quality"].append(d["quality"])
         out["detected_lang"].append(d["detected_lang"])
@@ -102,6 +106,7 @@ def analyze_batch(html: pd.Series) -> pd.DataFrame:
         # a per-row op, so it lives here, not behind a groupBy shuffle
         out["tags"].append(d["tags"][:10])
         out["slug"].append(d["slug"])
+    out["simhash"] = [_to_i64(s) for s in pure._simhash_toks_batch(sim_toks)]
     return pd.DataFrame(out)
 
 

@@ -545,3 +545,18 @@ def test_shingles_k_above_coefficient_table():
     assert pure.shingles(toks, k=33) != pure.shingles(
         " ".join(reversed(toks.split())), k=33
     )
+
+
+def test_simhash_batch_matches_per_doc():
+    """Round 4: the batched reduceat simhash must be bit-identical to the
+    per-doc form for every doc shape incl. empty docs interleaved."""
+    import random
+
+    rng = random.Random(17)
+    cases = [[]] + [
+        [f"w{rng.randrange(50)}" for _ in range(rng.randrange(0, 150))]
+        for _ in range(400)
+    ] + [[]]
+    assert pure._simhash_toks_batch(cases) == [
+        pure._simhash_toks(t) for t in cases
+    ]
