@@ -1302,16 +1302,17 @@ _SHINGLE_COEF = _np.array(
 )
 
 
-def _shingle_ids(toks: list[str], k: int) -> list[int]:
-    """Stable 64-bit shingle ids from pre-split tokens, vectorized (round 3
-    — profiling showed the per-window ``" ".join`` + double-crc32 at ~25%
-    of the fused analyzer's per-doc cost): hash each DISTINCT token once
-    (memoized crc32 pair — stopwords repeat constantly), then combine every
-    k-window with positional odd multipliers + a splitmix64 finalizer in
-    one numpy pass. First-seen order preserved (the round-2 contract)."""
+def _shingle_windows(toks: list[str], k: int) -> "_np.ndarray":
+    """Raw per-window shingle hashes (uint64 array, duplicates KEPT, window
+    order): the minhash consumer takes a per-seed min, which is invariant
+    to duplicates and order, so it skips _shingle_ids' dedup/first-seen
+    pass entirely (round 4 — np.unique + the int-list conversion were ~6%
+    of the fused analyzer)."""
     if len(toks) < k:
         joined = " ".join(toks)
-        return [_stable64(joined)] if joined else []
+        if not joined:
+            return _np.empty(0, dtype=_np.uint64)
+        return _np.array([_stable64(joined)], dtype=_np.uint64)
     th = _np.empty(len(toks), dtype=_np.uint64)
     for i, t in enumerate(toks):
         th[i] = _stable64(t)  # global memo — vocab repeats across docs
@@ -1324,7 +1325,19 @@ def _shingle_ids(toks: list[str], k: int) -> list[int]:
         acc = th[:n_win] * coef[0]
         for j in range(1, k):
             acc += th[j : n_win + j] * coef[j]
-        ids = _mix64(acc)
+        return _mix64(acc)
+
+
+def _shingle_ids(toks: list[str], k: int) -> list[int]:
+    """Stable 64-bit shingle ids from pre-split tokens, vectorized (round 3
+    — profiling showed the per-window ``" ".join`` + double-crc32 at ~25%
+    of the fused analyzer's per-doc cost): hash each DISTINCT token once
+    (memoized crc32 pair — stopwords repeat constantly), then combine every
+    k-window with positional odd multipliers + a splitmix64 finalizer in
+    one numpy pass. First-seen order preserved (the round-2 contract)."""
+    ids = _shingle_windows(toks, k)
+    if ids.size == 0:
+        return []
     _, first = _np.unique(ids, return_index=True)
     first.sort()
     return [int(ids[i]) for i in first]
@@ -3784,10 +3797,13 @@ def _shingles_toks(toks: list[str], k: int = 5) -> list[int]:
     return _shingle_ids(toks, k)
 
 
-def _minhash_shingles(sh: list[int], num_hashes: int = 64) -> list[int]:
-    if not sh:
+def _minhash_shingles(sh, num_hashes: int = 64) -> list[int]:
+    """Accepts a list of ids OR the raw _shingle_windows uint64 array —
+    the per-seed min is invariant to duplicates and order, so both forms
+    give bit-identical signatures."""
+    if len(sh) == 0:
         return [0] * num_hashes
-    x = _np.array(sh, dtype=_np.uint64)
+    x = sh if isinstance(sh, _np.ndarray) else _np.array(sh, dtype=_np.uint64)
     with _np.errstate(over="ignore"):
         m = _mix64(x[None, :] ^ _MINHASH_SEEDS[:num_hashes, None])
     return [int(v) for v in m.min(axis=1)]
@@ -3931,7 +3947,7 @@ def analyze_document(
         "toks": toks,
         "quality": _quality_toks(text, toks),
         "detected_lang": _detect_lang_toks(toks),
-        "minhash": _minhash_shingles(_shingles_toks(toks), minhash_k)
+        "minhash": _minhash_shingles(_shingle_windows(toks, 5), minhash_k)
         if text
         else [0] * 0,
         "simhash": 0 if skip_simhash else (_simhash_toks(toks) if text else 0),

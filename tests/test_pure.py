@@ -560,3 +560,16 @@ def test_simhash_batch_matches_per_doc():
     assert pure._simhash_toks_batch(cases) == [
         pure._simhash_toks(t) for t in cases
     ]
+
+
+def test_minhash_raw_windows_match_deduped_ids():
+    """Round 4: the minhash fast path consumes raw window hashes
+    (duplicates kept); per-seed min must equal the deduped-id form."""
+    import random
+
+    rng = random.Random(23)
+    for _ in range(60):
+        toks = [f"w{rng.randrange(12)}" for _ in range(rng.randrange(0, 80))]
+        raw = pure._minhash_shingles(pure._shingle_windows(toks, 5))
+        ded = pure._minhash_shingles(pure._shingle_ids(toks, 5))
+        assert raw == ded
