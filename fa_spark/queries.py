@@ -2559,6 +2559,58 @@ FROM documents
 """
 
 
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (round 4 — stages/urls.normalize_url_expr,
+    pure Catalyst): two messy variants per doc (scheme/host case, default
+    port, www, trailing slash, shuffled + tracking-polluted params,
+    fragment) must normalize to the SAME closed-form canonical, and the
+    skew-safe group count proves the collapse. The oracle constructs the
+    expected canonical analytically — an independent statement of what
+    the normalizer must output, not a SQL re-implementation of it."""
+    from fa_spark.stages.dedup import dedup_stats, join_stats
+    from fa_spark.stages.urls import normalize_urls
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 7).cast("string")
+    m = (F.col("doc_id") % 3).cast("string")
+    v0 = docs.select(
+        "doc_id",
+        F.lit(0).alias("variant"),
+        F.concat(
+            F.lit("HTTP://WWW.Site"), h, F.lit(".COM:80/page/"), d,
+            F.lit("/?utm_source=feed&b=2&a="), m, F.lit("#frag"),
+        ).alias("url"),
+    )
+    v1 = docs.select(
+        "doc_id",
+        F.lit(1).alias("variant"),
+        F.concat(
+            F.lit("http://site"), h, F.lit(".com/page/"), d,
+            F.lit("?a="), m, F.lit("&b=2&gclid=xyz"),
+        ).alias("url"),
+    )
+    urls = normalize_urls(v0.unionByName(v1), strip_www=True)
+    stats = dedup_stats(urls, "canonical_url", "variant")
+    return join_stats(urls, stats, "canonical_url").select(
+        "doc_id", "variant", "canonical_url", "dup_count"
+    )
+
+
+SQL_URL_NORMALIZE = """
+WITH v AS (
+  SELECT doc_id, 0 AS variant FROM documents
+  UNION ALL
+  SELECT doc_id, 1 AS variant FROM documents)
+SELECT doc_id, variant,
+       'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/page/' ||
+         CAST(doc_id AS VARCHAR) || '?a=' || CAST(doc_id % 3 AS VARCHAR) ||
+         '&b=2' AS canonical_url,
+       CAST(2 AS BIGINT) AS dup_count
+FROM v
+"""
+
+
 DUP_PASSAGE_W = 25  # window for the ExactSubstr query (docs avg ~54 tokens)
 
 
@@ -2643,6 +2695,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_lang": (q_doc_lang, _lang_sql()),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD),
     "duplicate_passages": (q_duplicate_passages, SQL_DUPLICATE_PASSAGES),
+    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "decontamination": (q_decontamination, SQL_DECONTAMINATION),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),

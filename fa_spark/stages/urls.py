@@ -1,0 +1,86 @@
+"""URL canonicalization (round 4 — the pre-dedup normalization layer a
+Common-Crawl-scale pipeline needs before any url-keyed operator: the
+reference dedups files by path string (rdfind semantics,
+/root/reference/src/core/analyzer.py:315-364); at web scale the same
+page arrives as `HTTP://WWW.Example.com:80/a/?utm_source=x&b=2&a=1#top`
+and `http://example.com/a?a=1&b=2`, and url-keyed dedup/lineage must see
+one key.
+
+Pure Catalyst — regexp component split + higher-order array ops, no UDF,
+whole-stage codegen; canonicalizing 10^12 urls costs one projection.
+
+Rules (the crawler-standard subset whose semantics are unambiguous):
+  1. drop the fragment (`#...`)
+  2. lowercase the scheme and host
+  3. drop the default port (`:80` http, `:443` https); other ports kept
+  4. drop tracking params (utm_* prefix + the exact-name set), keep the
+     rest SORTED byte-wise (param order never distinguishes resources)
+  5. empty path -> `/`; otherwise strip ONE trailing slash (except root)
+  6. optional `strip_www`: fold a leading `www.` off the host (off by
+     default — it merges distinct origins, callers opt in for dedup keys)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_NAMES = ("gclid", "fbclid", "msclkid", "ref", "igshid")
+TRACKING_PARAM_PREFIXES = ("utm_",)
+
+
+def _keep_param(p: Column) -> Column:
+    name = F.regexp_extract(p, r"^([^=]*)", 1)
+    keep = (p != "") & ~F.lower(name).isin(*TRACKING_PARAM_NAMES)
+    for pref in TRACKING_PARAM_PREFIXES:
+        keep = keep & ~F.lower(name).startswith(pref)
+    return keep
+
+
+def _norm_query(query: Column) -> Column:
+    params = F.array_sort(F.filter(F.split(query, "&"), _keep_param))
+    return F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+
+
+def normalize_url_expr(col, strip_www: bool = False) -> Column:
+    """Canonical form of a URL column (see module docstring for rules).
+    Scheme-less input is passed through with only fragment/query cleanup
+    (no host to case-fold)."""
+    u = F.regexp_replace(col, r"#.*$", "")  # 1. fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))  # 2.
+    # 3. default ports (anchored regexp_replace — no substring-from-end)
+    hostport = F.when(
+        scheme == "http", F.regexp_replace(hostport, r":80$", "")
+    ).otherwise(
+        F.when(
+            scheme == "https", F.regexp_replace(hostport, r":443$", "")
+        ).otherwise(hostport)
+    )
+    if strip_www:
+        hostport = F.regexp_replace(hostport, r"^www\.", "")
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = F.regexp_extract(pathq, r"^[^?]*\?(.*)$", 1)
+    # 5. `(.)/$` needs a char before the slash, so root "/" never matches
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", r"$1")
+    )
+    with_scheme = F.concat(scheme, F.lit("://"), hostport, path, _norm_query(query))
+    # scheme-less input: strip fragment + tracking only, no case folding
+    bare_path = F.regexp_extract(u, r"^([^?]*)", 1)
+    bare_query = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
+    return F.when(scheme != "", with_scheme).otherwise(
+        F.concat(bare_path, _norm_query(bare_query))
+    )
+
+
+def normalize_urls(
+    df: DataFrame, col: str = "url", out_col: str = "canonical_url",
+    strip_www: bool = False,
+) -> DataFrame:
+    """df + a canonical_url column (normalize_url_expr)."""
+    return df.withColumn(out_col, normalize_url_expr(F.col(col), strip_www))

@@ -1,0 +1,75 @@
+"""URL canonicalization (round 4 — stages/urls): crawler-standard rules,
+pure Catalyst, no UDF."""
+
+from __future__ import annotations
+
+import pytest
+
+
+CASES = [
+    # (input, expected, strip_www)
+    ("HTTP://WWW.Example.com:80/a/?utm_source=x&b=2&a=1#top",
+     "http://www.example.com/a?a=1&b=2", False),
+    ("HTTP://WWW.Example.com:80/a/?utm_source=x&b=2&a=1#top",
+     "http://example.com/a?a=1&b=2", True),
+    ("http://example.com/a?a=1&b=2", "http://example.com/a?a=1&b=2", False),
+    ("https://Host.Org:443/deep/path/", "https://host.org/deep/path", False),
+    ("https://host.org:8443/keep/port", "https://host.org:8443/keep/port", False),
+    ("http://site.com", "http://site.com/", False),
+    ("http://site.com/?gclid=abc&UTM_campaign=z", "http://site.com/", False),
+    ("relative/path?x=1&fbclid=2#f", "relative/path?x=1", False),
+    ("ftp://Files.Example.NET:21/data/", "ftp://files.example.net:21/data", False),
+    # :80 is only the default for http — https keeps it
+    ("https://host.org:80/x", "https://host.org:80/x", False),
+    # root path with only tracking params
+    ("http://a.b/?utm_medium=m&utm_term=t", "http://a.b/", False),
+    # empty param cells from && are dropped
+    ("http://a.b/p?x=1&&y=2", "http://a.b/p?x=1&y=2", False),
+]
+
+
+def test_normalize_url_cases(spark):
+    from pyspark.sql import functions as F
+
+    from fa_spark.stages.urls import normalize_url_expr
+
+    rows = [(i, u) for i, (u, _e, _w) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "i int, url string")
+    plain = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", normalize_url_expr(F.col("url")).alias("c")
+        ).collect()
+    }
+    www = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", normalize_url_expr(F.col("url"), strip_www=True).alias("c")
+        ).collect()
+    }
+    for i, (u, expected, strip) in enumerate(CASES):
+        got = www[i] if strip else plain[i]
+        assert got == expected, f"{u!r}: {got!r} != {expected!r}"
+
+
+def test_normalize_is_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from fa_spark.stages.urls import normalize_url_expr
+
+    rows = [(i, u) for i, (u, _e, _w) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "i int, url string")
+    once = df.select("i", normalize_url_expr(F.col("url")).alias("url"))
+    twice = once.select("i", normalize_url_expr(F.col("url")).alias("url"))
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_normalize_plan_is_pure_catalyst(spark):
+    from fa_spark.stages.urls import normalize_urls
+
+    df = spark.createDataFrame([("http://x.y/a?b=1",)], "url string")
+    out = normalize_urls(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
