@@ -1900,6 +1900,40 @@ def _pad_edge(plane: "_np.ndarray", mult: int) -> "_np.ndarray":
     return plane
 
 
+def _jpeg_planes(rows, h: int, w: int, gray: bool, subsampling: int):
+    """rows -> (samps, [component planes]) — the shared color transform /
+    subsampling front half of both JPEG encoders."""
+    if gray:
+        img = _np.array(rows, dtype=_np.int64).reshape(h, w, 1)
+        return [(1, 1)], [img[:, :, 0].astype(_np.uint8)]
+    img = _np.array(rows, dtype=_np.int64).reshape(h, w, 3)
+    r = img[:, :, 0]
+    g = img[:, :, 1]
+    b = img[:, :, 2]
+    # JFIF integer YCbCr (fixed point 2^16, round-half-up)
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    cb = ((-11056 * r - 21712 * g + 32768 * b + 32768) >> 16) + 128
+    cr = ((32768 * r - 27440 * g - 5328 * b + 32768) >> 16) + 128
+    y = _np.clip(y, 0, 255).astype(_np.uint8)
+    cb = _np.clip(cb, 0, 255).astype(_np.uint8)
+    cr = _np.clip(cr, 0, 255).astype(_np.uint8)
+    if subsampling == 2:
+        cbp = _pad_edge(cb, 2).astype(_np.int64)
+        crp = _pad_edge(cr, 2).astype(_np.int64)
+        cb = (
+            (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2] + 2)
+            // 4
+        ).astype(_np.uint8)
+        cr = (
+            (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2] + 2)
+            // 4
+        ).astype(_np.uint8)
+        samps = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samps = [(1, 1), (1, 1), (1, 1)]
+    return samps, [y, cb, cr]
+
+
 def jpeg_encode(
     rows,
     gray: bool = False,
@@ -1915,41 +1949,7 @@ def jpeg_encode(
     q = _JPEG_QUANT_DEFAULT if quant is None else _np.asarray(quant, dtype=_np.int64)
     h = len(rows)
     w = len(rows[0]) if h else 0
-    if gray:
-        img = _np.array(rows, dtype=_np.int64).reshape(h, w, 1)
-    else:
-        img = _np.array(rows, dtype=_np.int64).reshape(h, w, 3)
-
-    if gray:
-        planes = [img[:, :, 0].astype(_np.uint8)]
-        samps = [(1, 1)]
-    else:
-        r = img[:, :, 0]
-        g = img[:, :, 1]
-        b = img[:, :, 2]
-        # JFIF integer YCbCr (fixed point 2^16, round-half-up)
-        y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
-        cb = ((-11056 * r - 21712 * g + 32768 * b + 32768) >> 16) + 128
-        cr = ((32768 * r - 27440 * g - 5328 * b + 32768) >> 16) + 128
-        y = _np.clip(y, 0, 255).astype(_np.uint8)
-        cb = _np.clip(cb, 0, 255).astype(_np.uint8)
-        cr = _np.clip(cr, 0, 255).astype(_np.uint8)
-        if subsampling == 2:
-            cbp = _pad_edge(cb, 2).astype(_np.int64)
-            crp = _pad_edge(cr, 2).astype(_np.int64)
-            cb = (
-                (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2] + 2)
-                // 4
-            ).astype(_np.uint8)
-            cr = (
-                (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2] + 2)
-                // 4
-            ).astype(_np.uint8)
-            samps = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samps = [(1, 1), (1, 1), (1, 1)]
-        planes = [y, cb, cr]
-
+    samps, planes = _jpeg_planes(rows, h, w, gray, subsampling)
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
     dc_enc = _huff_encoder(_HUFF_DC_BITS, _HUFF_DC_VALS)
@@ -2021,6 +2021,199 @@ def jpeg_encode(
     bw.flush()
     out.extend(bw.out)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def jpeg_encode_progressive(
+    rows,
+    gray: bool = False,
+    subsampling: int = 1,
+    quant: "_np.ndarray | None" = None,
+) -> bytes:
+    """Progressive (SOF2) JPEG writer — fixtures for the progressive
+    decoder. Scan script: DC first (Al=1, interleaved) → DC refine →
+    per-component AC first in two spectral bands (1-5, 6-63, Al=1) →
+    per-component AC refine of both bands (Al=0). Successive
+    approximation is fully refined, so the coefficients the decoder
+    accumulates equal the baseline encoder's exactly — decoded pixels
+    must be bit-identical to the baseline round trip (asserted in
+    tests). Refinement emission follows the standard correction-bit
+    buffering protocol (T.81 G.1.2.3): correction bits for
+    history-nonzero coefficients buffer up and flush after each
+    ZRL/newnz/EOB symbol, exactly as the decoder's walk consumes them."""
+    q = _JPEG_QUANT_DEFAULT if quant is None else _np.asarray(quant, dtype=_np.int64)
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    samps, planes = _jpeg_planes(rows, h, w, gray, subsampling)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    dc_enc = _huff_encoder(_HUFF_DC_BITS, _HUFF_DC_VALS)
+    ac_enc = _huff_encoder(_HUFF_AC_BITS, _HUFF_AC_VALS)
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(
+            b"\xff" + bytes([marker]) + (len(body) + 2).to_bytes(2, "big") + body
+        )
+
+    zz_q = q.reshape(64)[_ZZ_FLAT]
+    seg(0xDB, b"\x00" + bytes(int(v) for v in zz_q))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for i, (hs, vs) in enumerate(samps):
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    seg(0xC2, sof)  # SOF2 progressive
+    seg(0xC4, b"\x00" + bytes(_HUFF_DC_BITS) + bytes(_HUFF_DC_VALS))
+    seg(0xC4, b"\x10" + bytes(_HUFF_AC_BITS) + bytes(_HUFF_AC_VALS))
+
+    mcw, mch = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcw - 1) // mcw
+    mcus_y = (h + mch - 1) // mch
+    comp_blocks = []
+    for p, (hs, vs) in zip(planes, samps):
+        cw = mcus_x * hs * 8
+        chh = mcus_y * vs * 8
+        padded = _np.empty((chh, cw), dtype=_np.uint8)
+        src = _pad_edge(p, 8)
+        sh, sw = min(src.shape[0], chh), min(src.shape[1], cw)
+        padded[:sh, :sw] = src[:sh, :sw]
+        if sw < cw:
+            padded[:sh, sw:] = padded[:sh, sw - 1 : sw]
+        if sh < chh:
+            padded[sh:, :] = padded[sh - 1 : sh, :]
+        zz = _fdct_quant(_plane_to_blocks(padded), q)
+        bh, bw_ = chh // 8, cw // 8
+        # the component's own ceil-grid (what non-interleaved AC scans walk)
+        nbw = (p.shape[1] + 7) // 8
+        nbh = (p.shape[0] + 7) // 8
+        comp_blocks.append((zz, bh, bw_, hs, vs, nbw, nbh))
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, body)
+
+    # --- scan 1: DC first, interleaved, Al=1 ---
+    sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (zz, bh, bw_, hs, vs, _nw, _nh) in enumerate(comp_blocks):
+                for by in range(vs):
+                    for bx in range(hs):
+                        bi = (my * vs + by) * bw_ + (mx * hs + bx)
+                        v = int(zz[bi][0]) >> 1  # arithmetic point transform
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        size, bits = _jpeg_mag_cat(diff)
+                        code, ln = dc_enc[size]
+                        bw.put(code, ln)
+                        if size:
+                            bw.put(bits, size)
+    bw.flush()
+    out.extend(bw.out)
+
+    # --- scan 2: DC refine, interleaved, Ah=1 Al=0 ---
+    sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for zz, bh, bw_, hs, vs, _nw, _nh in comp_blocks:
+                for by in range(vs):
+                    for bx in range(hs):
+                        bi = (my * vs + by) * bw_ + (mx * hs + bx)
+                        bw.put(int(zz[bi][0]) & 1, 1)
+    bw.flush()
+    out.extend(bw.out)
+
+    bands = [(1, 5), (6, 63)]
+
+    # --- AC first passes (Al=1), per component, per band ---
+    for ci, (zz, bh, bw_, hs, vs, nbw, nbh) in enumerate(comp_blocks):
+        for ss, se in bands:
+            sos_header([ci + 1], ss, se, 0, 1)
+            bw = _BitWriter()
+            for by in range(nbh):
+                for bx in range(nbw):
+                    blk = zz[by * bw_ + bx]
+                    run = 0
+                    emitted = False
+                    for k in range(ss, se + 1):
+                        c = int(blk[k])
+                        t = (abs(c) >> 1) * (1 if c >= 0 else -1)
+                        if t == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_enc[0xF0]
+                            bw.put(code, ln)
+                            run -= 16
+                        size, bits = _jpeg_mag_cat(t)
+                        code, ln = ac_enc[(run << 4) | size]
+                        bw.put(code, ln)
+                        bw.put(bits, size)
+                        run = 0
+                        emitted = True
+                    if run > 0 or not emitted:
+                        code, ln = ac_enc[0x00]  # EOB (run length 1)
+                        bw.put(code, ln)
+            bw.flush()
+            out.extend(bw.out)
+
+    # --- AC refinement passes (Ah=1, Al=0), per component, per band ---
+    for ci, (zz, bh, bw_, hs, vs, nbw, nbh) in enumerate(comp_blocks):
+        for ss, se in bands:
+            sos_header([ci + 1], ss, se, 1, 0)
+            bw = _BitWriter()
+            for by in range(nbh):
+                for bx in range(nbw):
+                    blk = zz[by * bw_ + bx]
+                    absv = [abs(int(blk[k])) for k in range(ss, se + 1)]
+                    # index (relative) of last newly-nonzero coef
+                    eob_rel = -1
+                    for i, a in enumerate(absv):
+                        if a == 1:
+                            eob_rel = i
+                    run = 0
+                    pending: list[int] = []
+                    for i, a in enumerate(absv):
+                        if a == 0:
+                            run += 1
+                            continue
+                        # standard protocol: ZRLs (with their buffered
+                        # correction bits) emit at the FIRST nonzero after
+                        # >15 zeros, but never past the last newnz
+                        while run > 15 and i <= eob_rel:
+                            code, ln = ac_enc[0xF0]
+                            bw.put(code, ln)
+                            run -= 16
+                            for b in pending:
+                                bw.put(b, 1)
+                            pending = []
+                        if a > 1:  # history-nonzero: buffer correction bit
+                            pending.append(a & 1)
+                            continue
+                        # newly-nonzero (a == 1)
+                        code, ln = ac_enc[(run << 4) | 1]
+                        bw.put(code, ln)
+                        bw.put(1 if int(blk[ss + i]) >= 0 else 0, 1)
+                        for b in pending:
+                            bw.put(b, 1)
+                        pending = []
+                        run = 0
+                    if run > 0 or pending:
+                        code, ln = ac_enc[0x00]  # EOB
+                        bw.put(code, ln)
+                        for b in pending:
+                            bw.put(b, 1)
+            bw.flush()
+            out.extend(bw.out)
+
+    out.extend(b"\xff\xd9")
     return bytes(out)
 
 
@@ -2119,11 +2312,119 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _parse_dqt(seg: bytes, qts: dict) -> bool:
+    """DQT segment (possibly several tables) -> qts[tq] = 8x8 array."""
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 0x0F
+        i += 1
+        if pq not in (0, 1) or tq > 3:
+            return False
+        step = 128 if pq else 64
+        if i + step > len(seg):
+            return False
+        if pq:
+            vals = [
+                int.from_bytes(seg[i + 2 * k : i + 2 * k + 2], "big")
+                for k in range(64)
+            ]
+        else:
+            vals = list(seg[i : i + 64])
+        i += step
+        q = _np.zeros((8, 8), dtype=_np.int64)
+        for k, (r, c) in enumerate(_ZZ):
+            q[r, c] = vals[k]
+        if (q <= 0).any():
+            return False
+        qts[tq] = q
+    return True
+
+
+def _parse_dht(seg: bytes, dc_tabs: dict, ac_tabs: dict) -> bool:
+    """DHT segment (possibly several tables)."""
+    i = 0
+    while i + 17 <= len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 0x0F
+        bits = list(seg[i + 1 : i + 17])
+        cnt = sum(bits)
+        i += 17
+        if i + cnt > len(seg) or tc > 1 or th > 3:
+            return False
+        vals = list(seg[i : i + cnt])
+        i += cnt
+        (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_tables(bits, vals)
+    return i == len(seg)
+
+
+def _parse_sof(seg: bytes) -> dict | None:
+    """SOF segment -> {w, h, comps} (shared by baseline and progressive)."""
+    if len(seg) < 6:
+        return None
+    prec = seg[0]
+    fh = int.from_bytes(seg[1:3], "big")
+    fw = int.from_bytes(seg[3:5], "big")
+    nc = seg[5]
+    if prec != 8 or nc not in (1, 3) or len(seg) < 6 + 3 * nc:
+        return None
+    if fw <= 0 or fh <= 0 or fw * fh > JPEG_MAX_PIXELS:
+        return None
+    comps = []
+    for c in range(nc):
+        cid, sf, tq = seg[6 + 3 * c : 9 + 3 * c]
+        hs, vs = sf >> 4, sf & 0x0F
+        if hs not in (1, 2) or vs not in (1, 2):
+            return None
+        comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+    return {"w": fw, "h": fh, "comps": comps}
+
+
+def _jpeg_output(comps: list, w: int, h: int, hmax: int, vmax: int) -> dict:
+    """Dequantize + IDCT + reassemble + upsample + color-convert the
+    per-component zigzag coefficient grids (shared tail of the baseline
+    and progressive decoders)."""
+    planes = []
+    for c in comps:
+        px = _dequant_idct(c["zz"], c["quant"])  # (nblocks, 8, 8)
+        bh, bwid = c["bh"], c["bw"]
+        plane = (
+            px.reshape(bh, bwid, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bwid * 8)
+        )
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1:
+            plane = _np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = _np.repeat(plane, fx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return {
+            "width": w,
+            "height": h,
+            "channels": 1,
+            "pixels": bytearray(planes[0].tobytes()),
+        }
+    y = planes[0].astype(_np.int64)
+    cb = planes[1].astype(_np.int64) - 128
+    cr = planes[2].astype(_np.int64) - 128
+    r = _np.clip((y * 65536 + 91881 * cr + 32768) >> 16, 0, 255)
+    g = _np.clip((y * 65536 - 22553 * cb - 46802 * cr + 32768) >> 16, 0, 255)
+    b = _np.clip((y * 65536 + 116130 * cb + 32768) >> 16, 0, 255)
+    rgb = _np.stack([r, g, b], axis=2).astype(_np.uint8)
+    return {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "pixels": bytearray(rgb.tobytes()),
+    }
+
+
 def decode_jpeg(data: bytes | None) -> dict | None:
-    """Real baseline-JPEG decode. Returns {width, height, channels,
-    pixels(bytearray row-major, 1 or 3 channels)} or None on malformed /
-    non-baseline / over-cap input (caller records decode_error). Total over
-    hostile bytes: every read is bounds-checked, pixel count capped."""
+    """Real JPEG decode: baseline (SOF0/SOF1) here, progressive (SOF2)
+    via _decode_jpeg_progressive (round 4). Returns {width, height,
+    channels, pixels(bytearray row-major, 1 or 3 channels)} or None on
+    malformed / lossless-or-arithmetic / over-cap input (caller records
+    decode_error). Total over hostile bytes: every read is
+    bounds-checked, pixel count capped."""
     if not data or len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         return None
     n = len(data)
@@ -2149,65 +2450,20 @@ def decode_jpeg(data: bytes | None) -> dict | None:
         if seglen < 2 or pos + 2 + seglen > n:
             return None
         seg = data[pos + 4 : pos + 2 + seglen]
-        if m == 0xDB:  # DQT (possibly several tables per segment)
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0x0F
-                i += 1
-                if pq not in (0, 1) or tq > 3:
-                    return None
-                step = 128 if pq else 64
-                if i + step > len(seg):
-                    return None
-                if pq:
-                    vals = [
-                        int.from_bytes(seg[i + 2 * k : i + 2 * k + 2], "big")
-                        for k in range(64)
-                    ]
-                else:
-                    vals = list(seg[i : i + 64])
-                i += step
-                q = _np.zeros((8, 8), dtype=_np.int64)
-                for k, (r, c) in enumerate(_ZZ):
-                    q[r, c] = vals[k]
-                if (q <= 0).any():
-                    return None
-                qts[tq] = q
-        elif m == 0xC4:  # DHT (possibly several)
-            i = 0
-            while i + 17 <= len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0x0F
-                bits = list(seg[i + 1 : i + 17])
-                cnt = sum(bits)
-                i += 17
-                if i + cnt > len(seg) or tc > 1 or th > 3:
-                    return None
-                vals = list(seg[i : i + cnt])
-                i += cnt
-                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_tables(bits, vals)
-            if i != len(seg):
+        if m == 0xDB:
+            if not _parse_dqt(seg, qts):
+                return None
+        elif m == 0xC4:
+            if not _parse_dht(seg, dc_tabs, ac_tabs):
                 return None
         elif m == 0xC0 or m == 0xC1:  # baseline / extended-sequential SOF
-            if len(seg) < 6:
+            frame = _parse_sof(seg)
+            if frame is None:
                 return None
-            prec = seg[0]
-            fh = int.from_bytes(seg[1:3], "big")
-            fw = int.from_bytes(seg[3:5], "big")
-            nc = seg[5]
-            if prec != 8 or nc not in (1, 3) or len(seg) < 6 + 3 * nc:
-                return None
-            if fw <= 0 or fh <= 0 or fw * fh > JPEG_MAX_PIXELS:
-                return None
-            comps = []
-            for c in range(nc):
-                cid, sf, tq = seg[6 + 3 * c : 9 + 3 * c]
-                hs, vs = sf >> 4, sf & 0x0F
-                if hs not in (1, 2) or vs not in (1, 2):
-                    return None
-                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-            frame = {"w": fw, "h": fh, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive/lossless/arithmetic: not baseline
+        elif m == 0xC2:  # progressive: dedicated multi-scan decoder
+            return _decode_jpeg_progressive(data)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # lossless/arithmetic/differential: unsupported
         elif m == 0xDD:
             if len(seg) != 2:
                 return None
@@ -2293,43 +2549,310 @@ def decode_jpeg(data: bytes | None) -> dict | None:
                             k += 1
             mcu_count += 1
 
-    # IDCT + reassemble each component plane, then upsample to full size
-    planes = []
-    for c in comps:
-        px = _dequant_idct(c["zz"], c["quant"])  # (nblocks, 8, 8)
-        bh, bwid = c["bh"], c["bw"]
-        plane = (
-            px.reshape(bh, bwid, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bwid * 8)
-        )
-        fy, fx = vmax // c["v"], hmax // c["h"]
-        if fy > 1:
-            plane = _np.repeat(plane, fy, axis=0)
-        if fx > 1:
-            plane = _np.repeat(plane, fx, axis=1)
-        planes.append(plane[:h, :w])
+    return _jpeg_output(comps, w, h, hmax, vmax)
 
-    if len(planes) == 1:
-        return {
-            "width": w,
-            "height": h,
-            "channels": 1,
-            "pixels": bytearray(planes[0].tobytes()),
-        }
-    y = planes[0].astype(_np.int64)
-    cb = planes[1].astype(_np.int64) - 128
-    cr = planes[2].astype(_np.int64) - 128
-    # integer YCbCr -> RGB (fixed point 2^16, round-half-up) — the inverse
-    # pair of the encoder's forward matrix
-    r = _np.clip((y * 65536 + 91881 * cr + 32768) >> 16, 0, 255)
-    g = _np.clip((y * 65536 - 22553 * cb - 46802 * cr + 32768) >> 16, 0, 255)
-    b = _np.clip((y * 65536 + 116130 * cb + 32768) >> 16, 0, 255)
-    rgb = _np.stack([r, g, b], axis=2).astype(_np.uint8)
-    return {
-        "width": w,
-        "height": h,
-        "channels": 3,
-        "pixels": bytearray(rgb.tobytes()),
-    }
+
+def _decode_jpeg_progressive(data: bytes) -> dict | None:
+    """Progressive JPEG (SOF2) decode — the multi-scan successive-
+    approximation mode (T.81 annex G, public spec) that ~10-20% of real
+    crawled JPEGs use and round 3 rejected as decode_error.
+
+    Coefficients accumulate across scans into per-component zigzag
+    grids: DC-first scans code (DC >> Al) diffs MCU-interleaved, DC
+    refinements append one bit per block; AC scans are single-component
+    over the component's own block raster, first passes with EOB-run
+    coding at the scan's Al, refinements with correction bits per the
+    standard algorithm. The shared baseline tail (_jpeg_output) then
+    dequantizes/IDCTs the finished grids — so a complete progressive
+    stream decodes BIT-IDENTICALLY to the baseline coding of the same
+    coefficients (asserted in tests/test_jpeg.py)."""
+    n = len(data)
+    pos = 2
+    qts: dict[int, "_np.ndarray"] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart = 0
+    comps = None
+    mcus_x = mcus_y = hmax = vmax = 0
+    n_scans = 0
+    while pos + 2 <= n:
+        if data[pos] != 0xFF:
+            return None
+        m = data[pos + 1]
+        if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            return None
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if seglen < 2 or pos + 2 + seglen > n:
+            return None
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if m == 0xDB:
+            if not _parse_dqt(seg, qts):
+                return None
+        elif m == 0xC4:
+            if not _parse_dht(seg, dc_tabs, ac_tabs):
+                return None
+        elif m == 0xC2:
+            if frame is not None:
+                return None
+            frame = _parse_sof(seg)
+            if frame is None:
+                return None
+            comps = frame["comps"]
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                # quant tables may arrive after SOF; presence checked at output
+                c["bw"] = mcus_x * c["h"]
+                c["bh"] = mcus_y * c["v"]
+                # non-interleaved (single-component) scans walk the
+                # component's OWN ceil-grid, not the MCU-padded one
+                cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+                chh = (frame["h"] * c["v"] + vmax - 1) // vmax
+                c["nbw"] = (cw + 7) // 8
+                c["nbh"] = (chh + 7) // 8
+                c["zz"] = _np.zeros((c["bw"] * c["bh"], 64), dtype=_np.int64)
+        elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            return None
+        elif m == 0xDD:
+            if len(seg) != 2:
+                return None
+            restart = int.from_bytes(seg, "big")
+        elif m == 0xDA:
+            if frame is None:
+                return None
+            n_scans += 1
+            if n_scans > 64:  # hostile-input scan-count bound
+                return None
+            next_pos = _prog_scan(
+                data, pos + 2 + seglen, seg, comps, dc_tabs, ac_tabs,
+                restart, mcus_x, mcus_y,
+            )
+            if next_pos is None:
+                return None
+            pos = next_pos
+            continue
+        pos += 2 + seglen
+    if frame is None or n_scans == 0:
+        return None
+    for c in comps:
+        if c["tq"] not in qts:
+            return None
+        c["quant"] = qts[c["tq"]]
+    return _jpeg_output(comps, frame["w"], frame["h"], hmax, vmax)
+
+
+def _prog_scan(
+    data: bytes, entropy_at: int, seg: bytes, comps: list,
+    dc_tabs: dict, ac_tabs: dict, restart: int, mcus_x: int, mcus_y: int,
+) -> int | None:
+    """Decode one progressive scan's entropy data into the coefficient
+    grids. Returns the byte offset of the next marker, or None on
+    corruption."""
+    if len(seg) < 1:
+        return None
+    ns = seg[0]
+    if ns < 1 or len(seg) < 1 + 2 * ns + 3:
+        return None
+    sel = []
+    for k in range(ns):
+        cs, tt = seg[1 + 2 * k : 3 + 2 * k]
+        comp = next((c for c in comps if c["id"] == cs), None)
+        if comp is None:
+            return None
+        sel.append((comp, tt >> 4, tt & 0x0F))
+    ss = seg[1 + 2 * ns]
+    se = seg[2 + 2 * ns]
+    ah = seg[3 + 2 * ns] >> 4
+    al = seg[3 + 2 * ns] & 0x0F
+    if ss > se or se > 63 or al > 13:
+        return None
+    br = _BitReader(data, entropy_at)
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            return None
+        for comp, tdc, _tac in sel:
+            if ah == 0 and tdc not in dc_tabs:
+                return None
+            comp["_dc_tab"] = dc_tabs.get(tdc)
+        preds = [0] * len(sel)
+        rst_idx = 0
+        unit = 0
+
+        def _dc_unit(i: int, blk) -> bool:
+            comp = sel[i][0]
+            if ah == 0:
+                sym = _huff_decode(br, comp["_dc_tab"])
+                if sym is None or sym > 11:
+                    return False
+                if sym:
+                    vb = br.bits(sym)
+                    if vb is None:
+                        return False
+                    preds[i] += _extend(vb, sym)
+                blk[0] = preds[i] << al
+            else:
+                b = br.bits(1)
+                if b is None:
+                    return False
+                if b:
+                    blk[0] |= 1 << al
+            return True
+
+        if ns > 1:  # interleaved MCU order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart and unit and unit % restart == 0:
+                        if not br.align_and_expect_rst(rst_idx):
+                            return None
+                        rst_idx += 1
+                        preds = [0] * len(sel)
+                    for i, (c, _t, _a) in enumerate(sel):
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = c["zz"][
+                                    (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+                                ]
+                                if not _dc_unit(i, blk):
+                                    return None
+                    unit += 1
+        else:  # non-interleaved: the component's own block raster
+            c = sel[0][0]
+            for by in range(c["nbh"]):
+                for bx in range(c["nbw"]):
+                    if restart and unit and unit % restart == 0:
+                        if not br.align_and_expect_rst(rst_idx):
+                            return None
+                        rst_idx += 1
+                        preds = [0] * len(sel)
+                    if not _dc_unit(0, c["zz"][by * c["bw"] + bx]):
+                        return None
+                    unit += 1
+    else:  # AC scan: always single-component
+        if ns != 1:
+            return None
+        comp, _tdc, tac = sel[0]
+        if tac not in ac_tabs:
+            return None
+        ac = ac_tabs[tac]
+        eobrun = 0
+        rst_idx = 0
+        unit = 0
+        p1 = 1 << al
+        m1 = -p1
+        for by in range(comp["nbh"]):
+            for bx in range(comp["nbw"]):
+                if restart and unit and unit % restart == 0:
+                    if not br.align_and_expect_rst(rst_idx):
+                        return None
+                    rst_idx += 1
+                    eobrun = 0
+                blk = comp["zz"][by * comp["bw"] + bx]
+                unit += 1
+                if ah == 0:  # first pass for this band
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _huff_decode(br, ac)
+                        if sym is None:
+                            return None
+                        r, s = sym >> 4, sym & 0x0F
+                        if s:
+                            k += r
+                            if k > se:
+                                return None
+                            vb = br.bits(s)
+                            if vb is None:
+                                return None
+                            blk[k] = _extend(vb, s) << al
+                            k += 1
+                        else:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eb = br.bits(r)
+                                    if eb is None:
+                                        return None
+                                    eobrun += eb
+                                eobrun -= 1  # this block is the first
+                                break
+                            k += 16  # ZRL
+                else:  # refinement pass (standard correction-bit walk)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = _huff_decode(br, ac)
+                            if sym is None:
+                                return None
+                            r, s = sym >> 4, sym & 0x0F
+                            newval = 0
+                            if s:
+                                if s != 1:
+                                    return None
+                                b = br.bits(1)
+                                if b is None:
+                                    return None
+                                newval = p1 if b else m1
+                            elif r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eb = br.bits(r)
+                                    if eb is None:
+                                        return None
+                                    eobrun += eb
+                                break
+                            while k <= se:
+                                coef = int(blk[k])
+                                if coef:
+                                    b = br.bits(1)
+                                    if b is None:
+                                        return None
+                                    if b and not (coef & p1):
+                                        blk[k] = coef + (p1 if coef >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval:
+                                if k > se:
+                                    return None
+                                blk[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            coef = int(blk[k])
+                            if coef:
+                                b = br.bits(1)
+                                if b is None:
+                                    return None
+                                if b and not (coef & p1):
+                                    blk[k] = coef + (p1 if coef >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+
+    # locate the next marker after this scan's entropy data
+    p = br.pos
+    if br.marker is not None:
+        return p
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return p if p < len(data) else None
 
 
 # ---------------------------------------------------------------------------

@@ -2039,6 +2039,56 @@ def q_jpeg_features(spark, sf_dir):
     )
 
 
+def _quadrant_progressive_batch(doc_id: pd.Series) -> pd.Series:
+    """The quadrant fixture encoded as a PROGRESSIVE (SOF2) JPEG — the
+    multi-scan successive-approximation layout ~10-20% of real crawled
+    JPEGs use (round 4: previously decode_error)."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        v = [fn(did) for _sql, fn in _JQ]
+        rows = [
+            [v[0] if x < 8 else v[1] for x in range(16)]
+            if y < 8
+            else [v[2] if x < 8 else v[3] for x in range(16)]
+            for y in range(16)
+        ]
+        out.append(pure.jpeg_encode_progressive(rows, gray=True))
+    return pd.Series(out)
+
+
+quadrant_progressive_udf = F.pandas_udf(_quadrant_progressive_batch, BinaryType())
+
+
+def q_progressive_jpeg(spark, sf_dir):
+    """REAL progressive-JPEG decode round trip (round 4 —
+    pure._decode_jpeg_progressive: multi-scan coefficient accumulation,
+    DC/AC first + successive-approximation refinement, EOB runs): the
+    same quadrant fixture as jpeg_features, coded progressively, must
+    produce IDENTICAL features — the oracle is literally jpeg_features'
+    closed form, because a fully-refined progressive stream carries the
+    same coefficients as the baseline coding."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        quadrant_progressive_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        "width",
+        "height",
+        _feat_d(1).alias("mean_y"),
+        _feat_d(6).alias("hist0_frac"),
+        _feat_d(13).alias("hist7_frac"),
+        "ahash",
+    )
+
+
 def _sql_jpeg_features() -> str:
     v = [s for s, _fn in _JQ]
     vsum = " + ".join(v)
@@ -2723,6 +2773,7 @@ REGISTRY: dict[str, tuple] = {
     "media_plumbing": (q_media_plumbing, SQL_MEDIA_PLUMBING),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "jpeg_features": (q_jpeg_features, SQL_JPEG_FEATURES),
+    "progressive_jpeg": (q_progressive_jpeg, SQL_JPEG_FEATURES),
     "detect_objects": (q_detect_objects, SQL_DETECT_OBJECTS),
     "ocr_extract": (q_ocr_extract, SQL_OCR_EXTRACT),
     "raster_features": (q_raster_features, SQL_RASTER_FEATURES),

@@ -24,7 +24,8 @@ decode_status taxonomy:
   decoded      real decode succeeded (any raster format, PCM WAV, FLAC,
                or Y4M; features real)
   decode_error bytes sniffed as a decodable-for-real type but malformed
-               (incl. progressive/arithmetic JPEG — not baseline)
+               (incl. arithmetic/lossless JPEG; progressive SOF2 decodes
+               for REAL as of round 4)
   stubbed      decodable media type with no pure-Python codec (ogg,
                non-WAVE riff — avi etc.)
   skipped      not a media type

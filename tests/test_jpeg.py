@@ -188,3 +188,67 @@ def test_random_solid_tiles_exact(seed):
         img = pure.decode_jpeg(pure.jpeg_encode([[v] * w for _ in range(h)], gray=True))
         assert img["width"] == w and img["height"] == h
         assert (_px(img) == v).all()
+
+
+def test_progressive_bit_identical_to_baseline():
+    """Round 4: a fully-refined progressive (SOF2) stream carries the
+    same coefficients as the baseline coding, so decoded pixels must be
+    BIT-IDENTICAL across color/gray/subsampling/size shapes."""
+    import random
+
+    rng = random.Random(42)
+    shapes = [
+        ([[(min(255, x * 3 + y), (x * 7 + y * 5) % 256, rng.randrange(256))
+           for x in range(37)] for y in range(29)], False, 1),
+        ([[rng.randrange(256) for _ in range(23)] for _ in range(17)], True, 1),
+        ([[(rng.randrange(256),) * 3 for _ in range(41)] for _ in range(25)],
+         False, 2),
+        ([[(10, 200, 30)] * 3 for _ in range(5)], False, 1),
+        ([[(128, 128, 128)] * 16 for _ in range(16)], False, 1),
+    ]
+    for rows, gray, sub in shapes:
+        base = pure.decode_jpeg(pure.jpeg_encode(rows, gray=gray, subsampling=sub))
+        prog = pure.decode_jpeg(
+            pure.jpeg_encode_progressive(rows, gray=gray, subsampling=sub)
+        )
+        assert prog is not None
+        assert bytes(base["pixels"]) == bytes(prog["pixels"])
+
+
+def test_progressive_totality_hostile():
+    import random
+
+    rng = random.Random(3)
+    blob = pure.jpeg_encode_progressive(
+        [[(rng.randrange(256),) * 3 for _ in range(24)] for _ in range(24)]
+    )
+    for cut in range(0, len(blob), 31):
+        pure.decode_jpeg(blob[:cut])  # never raises
+    ba = bytearray(blob)
+    for i in range(0, len(ba), 53):
+        ba[i] ^= 0xFF
+    pure.decode_jpeg(bytes(ba))
+
+
+def test_progressive_through_multimodal_stage(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    import pandas as pd
+
+    from fa_spark.stages.multimodal import extract_media_features
+
+    rows = [[(200, 60, 30)] * 16 for _ in range(16)]
+    blob = pure.jpeg_encode_progressive(rows)
+
+    def _mk(i):
+        return pd.Series([blob for _ in i])
+
+    mk = F.pandas_udf(_mk, BinaryType())
+    df = spark.range(3).select(
+        F.col("id").cast("string").alias("media_id"), mk("id").alias("content")
+    )
+    out = extract_media_features(df, mode="describe").collect()
+    assert all(r["decode_status"] == "decoded" for r in out)
+    assert all(r["content_type"] == "jpeg" for r in out)
+    assert out[0]["width"] == 16 and out[0]["height"] == 16
