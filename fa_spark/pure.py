@@ -52,6 +52,7 @@ MAGIC_PREFIXES: tuple[tuple[bytes, str], ...] = (
     (b"MZ", "exe"),
     (b"OggS", "ogg"),
     (b"fLaC", "flac"),
+    (b"ID3", "mp3"),
     (b"RIFF", "riff"),
     (b"YUV4MPEG2 ", "y4m"),
 )
@@ -104,6 +105,13 @@ def sniff_bytes(data: bytes | None) -> dict:
             content_type = kind
             break
     head = data[:2048]
+    if content_type is None and len(data) >= 4 and data[0] == 0xFF and (
+        data[1] & 0xE0
+    ) == 0xE0:
+        # bare MPEG-audio frame sync (no ID3 header); validated by a real
+        # header parse so random 0xFF-leading binaries don't match
+        if _mp3_frame(data, 0) is not None:
+            content_type = "mp3"
     if content_type is None:
         if _XML_HINT_RE.match(head):
             content_type = "xml"
@@ -926,6 +934,11 @@ def extract_metadata(data: bytes | None) -> dict[str, str]:
     out.update(_parse_bmp_meta(data))
     out.update(_parse_tiff_meta(data))
     out.update(_parse_pdf_meta(data))
+    out.update(_parse_mp3_meta(data) if data[:3] == b"ID3" or (
+        len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+        and data[:3] != b"\xff\xd8\xff") else {})
+    out.update(_parse_ogg_meta(data))
+    out.update(_parse_flac_meta(data))
     sn = sniff_bytes(data)
     if sn["content_type"] in ("html", "text", "xml"):
         html_str, cs = decode_bytes(data)
@@ -4089,7 +4102,361 @@ def decode_flac(data: bytes | None) -> dict | None:
     }
 
 
+# 9c³. Audio container metadata (round 4 — reference M1 parity: exiftool
+# reports tags/duration/bitrate for mp3/ogg/flac; here the container
+# envelopes parse for real even where the codec DSP stays stubbed).
+# All walks are total and bounded.
 # ---------------------------------------------------------------------------
+
+_MP3_BITRATES = {  # kbit/s, index 1-14 (0 = free, 15 = bad)
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+}
+_MP3_RATES = {1: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              25: [11025, 12000, 8000]}
+
+
+def _mp3_frame(data: bytes, p: int):
+    """Parse one MPEG audio frame header at p -> (frame_len, samples,
+    rate, bitrate_kbps) or None."""
+    if p + 4 > len(data) or data[p] != 0xFF or (data[p + 1] & 0xE0) != 0xE0:
+        return None
+    b1, b2 = data[p + 1], data[p + 2]
+    ver_bits = (b1 >> 3) & 0x03
+    if ver_bits == 1:
+        return None
+    version = {0: 25, 2: 2, 3: 1}[ver_bits]
+    layer = 4 - ((b1 >> 1) & 0x03)  # 1..3; bits 00 reserved
+    if layer == 4:
+        return None
+    br_idx = (b2 >> 4) & 0x0F
+    sr_idx = (b2 >> 2) & 0x03
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    vkey = 1 if version == 1 else 2
+    bitrate = _MP3_BITRATES[(vkey, layer)][br_idx] * 1000
+    rate = _MP3_RATES[version][sr_idx]
+    padding = (b2 >> 1) & 1
+    if layer == 1:
+        samples = 384
+        flen = (12 * bitrate // rate + padding) * 4
+    else:
+        samples = 1152 if (layer == 2 or version == 1) else 576
+        coef = samples // 8
+        flen = coef * bitrate // rate + padding
+    if flen < 4:
+        return None
+    return flen, samples, rate, bitrate // 1000
+
+
+def _id3v2_size(data: bytes) -> int:
+    """Total byte length of a leading ID3v2 tag (0 if none)."""
+    if len(data) < 10 or data[:3] != b"ID3":
+        return 0
+    sz = 0
+    for b in data[6:10]:
+        if b & 0x80:
+            return 0
+        sz = (sz << 7) | b
+    return 10 + sz
+
+
+def _parse_id3v2(data: bytes) -> dict:
+    """Title/artist/album from ID3v2.3/2.4 text frames (bounded walk)."""
+    out: dict[str, str] = {}
+    total = _id3v2_size(data)
+    if not total or len(data) < 10:
+        return out
+    ver = data[3]
+    p = 10
+    end = min(total, len(data))
+    names = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
+    for _ in range(64):
+        if p + 10 > end:
+            break
+        fid = data[p : p + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break
+        if ver >= 4:  # syncsafe frame size
+            fsz = 0
+            for b in data[p + 4 : p + 8]:
+                fsz = (fsz << 7) | (b & 0x7F)
+        else:
+            fsz = int.from_bytes(data[p + 4 : p + 8], "big")
+        body = data[p + 10 : p + 10 + fsz]
+        key = names.get(fid)
+        if key and body:
+            enc = body[0]
+            raw = body[1:]
+            try:
+                if enc == 0:
+                    txt = raw.decode("latin-1")
+                elif enc == 1:
+                    txt = raw.decode("utf-16")
+                elif enc == 2:
+                    txt = raw.decode("utf-16-be")
+                else:
+                    txt = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                txt = ""
+            txt = txt.rstrip("\x00").strip()
+            if txt:
+                out[f"mp3:{key}"] = txt
+        p += 10 + fsz
+        if fsz == 0:
+            break
+    return out
+
+
+MP3_MAX_FRAMES = 1 << 16
+
+
+def _parse_mp3_meta(data: bytes) -> dict[str, str]:
+    """MP3 envelope: ID3 tags + frame-header walk -> duration/bitrate/rate
+    (exact for CBR; the walk is what ffprobe-class tools do)."""
+    out = _parse_id3v2(data)
+    p = _id3v2_size(data)
+    if p == 0 and not (
+        len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        return {}
+    n_frames = 0
+    total_samples = 0
+    rate = bitrate = None
+    vbr = False
+    while p + 4 <= len(data) and n_frames < MP3_MAX_FRAMES:
+        fr = _mp3_frame(data, p)
+        if fr is None:
+            break
+        flen, samples, r, br = fr
+        if rate is None:
+            rate, bitrate = r, br
+        elif br != bitrate:
+            vbr = True
+        total_samples += samples
+        n_frames += 1
+        p += flen
+    if n_frames == 0 or not rate:
+        return out if out else {}
+    out["mp3:n_frames"] = str(n_frames)
+    out["mp3:sample_rate"] = str(rate)
+    out["mp3:bitrate_kbps"] = ("vbr~" if vbr else "") + str(bitrate)
+    out["mp3:duration_s"] = f"{total_samples / rate:.3f}"
+    return out
+
+
+def mp3_envelope_encode(
+    n_frames: int, bitrate_kbps: int = 128, rate: int = 44100,
+    title: str | None = None, artist: str | None = None,
+) -> bytes:
+    """Valid CBR MPEG1-Layer-III frame headers with silent (zero) payloads
+    + optional ID3v2.3 tag — deterministic envelope fixtures (the codec
+    payload itself stays stubbed, documented)."""
+    out = bytearray()
+    if title or artist:
+        frames = bytearray()
+        for fid, txt in ((b"TIT2", title), (b"TPE1", artist)):
+            if txt:
+                body = b"\x03" + txt.encode("utf-8")
+                frames += fid + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+        sz = len(frames)
+        ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F])
+        out += b"ID3\x03\x00\x00" + ss + frames
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[1].index(rate)
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00])
+    flen = 144 * bitrate_kbps * 1000 // rate
+    frame = hdr + b"\x00" * (flen - 4)
+    for _ in range(n_frames):
+        out += frame
+    return bytes(out)
+
+
+def _ogg_crc_table():
+    tbl = []
+    for i in range(256):
+        c = i << 24
+        for _ in range(8):
+            c = ((c << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if c & 0x80000000 else (c << 1) & 0xFFFFFFFF
+        tbl.append(c)
+    return tbl
+
+
+_OGG_CRC = _ogg_crc_table()
+
+
+def _ogg_crc(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = ((c << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((c >> 24) & 0xFF) ^ b]
+    return c
+
+
+OGG_MAX_PAGES = 1 << 16
+
+
+def _parse_ogg_meta(data: bytes) -> dict[str, str]:
+    """Ogg container walk (RFC 3533): page headers -> codec id (vorbis /
+    opus id packet in the first page), channels/rate, duration from the
+    last granule position. Codec DSP stays stubbed; the CONTAINER is
+    real."""
+    if not data.startswith(b"OggS"):
+        return {}
+    out: dict[str, str] = {}
+    p = 0
+    rate = None
+    last_granule = 0
+    pre_skip = 0
+    n_pages = 0
+    while p + 27 <= len(data) and n_pages < OGG_MAX_PAGES:
+        if data[p : p + 4] != b"OggS" or data[p + 4] != 0:
+            break
+        granule = int.from_bytes(data[p + 6 : p + 14], "little", signed=True)
+        n_segs = data[p + 26]
+        seg_table = data[p + 27 : p + 27 + n_segs]
+        if len(seg_table) < n_segs:
+            break
+        body_len = sum(seg_table)
+        body = data[p + 27 + n_segs : p + 27 + n_segs + body_len]
+        if len(body) < body_len:
+            break
+        if n_pages == 0:
+            if body.startswith(b"\x01vorbis") and len(body) >= 16:
+                out["ogg:codec"] = "vorbis"
+                out["ogg:channels"] = str(body[11])
+                rate = int.from_bytes(body[12:16], "little")
+                out["ogg:sample_rate"] = str(rate)
+            elif body.startswith(b"OpusHead") and len(body) >= 12:
+                out["ogg:codec"] = "opus"
+                out["ogg:channels"] = str(body[9])
+                pre_skip = int.from_bytes(body[10:12], "little")
+                rate = 48000  # opus granule units are fixed 48 kHz
+                out["ogg:sample_rate"] = str(
+                    int.from_bytes(body[12:16], "little") if len(body) >= 16 else 48000
+                )
+        if granule > 0:
+            last_granule = granule
+        n_pages += 1
+        p += 27 + n_segs + body_len
+    if n_pages == 0:
+        return {}
+    out["ogg:n_pages"] = str(n_pages)
+    if rate and last_granule:
+        out["ogg:duration_s"] = f"{max(last_granule - pre_skip, 0) / rate:.3f}"
+    return out
+
+
+def ogg_envelope_encode(
+    codec: str = "vorbis", rate: int = 44100, channels: int = 2,
+    total_samples: int = 0, n_audio_pages: int = 1,
+) -> bytes:
+    """Deterministic Ogg container fixture: a real page structure (valid
+    CRCs) carrying a vorbis/opus id packet and empty audio pages whose
+    final granule encodes ``total_samples``."""
+    def page(seq: int, granule: int, body: bytes, header_type: int) -> bytes:
+        n_segs = len(body) // 255 + 1
+        segs = bytes([255] * (len(body) // 255) + [len(body) % 255])
+        hdr = (
+            b"OggS" + b"\x00" + bytes([header_type])
+            + granule.to_bytes(8, "little", signed=True)
+            + (1).to_bytes(4, "little")      # serial
+            + seq.to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"            # crc placeholder
+            + bytes([n_segs]) + segs
+        )
+        full = hdr + body
+        crc = _ogg_crc(full)
+        return full[:22] + crc.to_bytes(4, "little") + full[26:]
+
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([channels])
+            + rate.to_bytes(4, "little") + b"\x00" * 16 + b"\x01"
+        )
+    else:
+        ident = (
+            b"OpusHead" + bytes([1, channels]) + (0).to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + b"\x00\x00\x00"
+        )
+    out = bytearray(page(0, 0, ident, 0x02))  # BOS
+    for i in range(n_audio_pages):
+        g = total_samples * (i + 1) // n_audio_pages
+        ht = 0x04 if i == n_audio_pages - 1 else 0x00  # EOS on last
+        out += page(i + 1, g, b"\x00\x10", ht)
+    return bytes(out)
+
+
+def _parse_flac_meta(data: bytes) -> dict[str, str]:
+    """FLAC metadata blocks: STREAMINFO -> rate/channels/bits/duration,
+    VORBIS_COMMENT -> flac:<tag> pairs (the FLAC tag convention)."""
+    if not data.startswith(b"fLaC"):
+        return {}
+    out: dict[str, str] = {}
+    p = 4
+    for _ in range(64):
+        if p + 4 > len(data):
+            break
+        last = data[p] & 0x80
+        btype = data[p] & 0x7F
+        blen = int.from_bytes(data[p + 1 : p + 4], "big")
+        body = data[p + 4 : p + 4 + blen]
+        if len(body) < blen:
+            break
+        if btype == 0 and blen >= 18:
+            si = _FBitReader(body)
+            si.read(16), si.read(16), si.read(24), si.read(24)
+            rate = si.read(20)
+            channels = si.read(3) + 1
+            bps = si.read(5) + 1
+            total = si.read(36)
+            out["flac:sample_rate"] = str(rate)
+            out["flac:channels"] = str(channels)
+            out["flac:bits_per_sample"] = str(bps)
+            if rate:
+                out["flac:duration_s"] = f"{total / rate:.3f}"
+        elif btype == 4 and blen >= 8:
+            q = 0
+            vlen = int.from_bytes(body[q : q + 4], "little")
+            q += 4 + vlen
+            if q + 4 <= len(body):
+                n = int.from_bytes(body[q : q + 4], "little")
+                q += 4
+                for _ in range(min(n, 64)):
+                    if q + 4 > len(body):
+                        break
+                    clen = int.from_bytes(body[q : q + 4], "little")
+                    q += 4
+                    item = body[q : q + clen]
+                    q += clen
+                    eq = item.find(b"=")
+                    if eq > 0:
+                        key = item[:eq].decode("ascii", "replace").lower()
+                        val = item[eq + 1 :].decode("utf-8", "replace")
+                        if key.isalnum():
+                            out[f"flac:{key}"] = val
+        p += 4 + blen
+        if last:
+            break
+    return out
+
+
+def flac_vorbis_comment_block(tags: dict[str, str], last: bool = False) -> bytes:
+    """A VORBIS_COMMENT metadata block (fixture helper for tagged FLACs)."""
+    body = len(b"fa_spark").to_bytes(4, "little") + b"fa_spark"
+    body += len(tags).to_bytes(4, "little")
+    for k, v in tags.items():
+        item = f"{k}={v}".encode()
+        body += len(item).to_bytes(4, "little") + item
+    hdr = bytes([(0x80 if last else 0) | 4]) + len(body).to_bytes(3, "big")
+    return hdr + body
+
+
+# ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------\n-
 # 9d. Y4M video codec (round 2: YUV4MPEG2 is a plain-text header + raw
 # frames — real video decode + frame sampling with zero dependencies.
 # Compressed video (mp4/webm) stays stubbed.)

@@ -2569,6 +2569,112 @@ FROM documents
 """
 
 
+def _audio_container_batch(doc_id: pd.Series) -> pd.Series:
+    """Per-doc audio container rotating mp3 / ogg / flac (round 4 —
+    exiftool-parity envelope metadata). Geometries chosen so every
+    duration is an exact millisecond multiple (48 kHz mp3 frames = 24 ms;
+    ogg/flac sample counts are rate multiples of 0.1 s)."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        kind = did % 3
+        if kind == 0:
+            out.append(
+                pure.mp3_envelope_encode(
+                    10 + did % 20, 128, 48000,
+                    title=f"track {did}", artist=f"artist {did % 5}",
+                )
+            )
+        elif kind == 1:
+            out.append(
+                pure.ogg_envelope_encode(
+                    "vorbis" if did % 2 else "opus", 48000, 1 + did % 2,
+                    total_samples=4800 * (1 + did % 5), n_audio_pages=2,
+                )
+            )
+        else:
+            out.append(pure.flac_encode([7] * (1600 * (1 + did % 4)), 16000))
+    return pd.Series(out)
+
+
+audio_container_udf = F.pandas_udf(_audio_container_batch, BinaryType())
+
+
+def q_audio_meta(spark, sf_dir):
+    """Audio container metadata (reference M1 — exiftool reports
+    tags/duration/bitrate for mp3/ogg/flac; round 4 parses the envelopes
+    for real: MPEG frame-header walk + ID3v2, Ogg page walk + codec id
+    packet, FLAC STREAMINFO + VORBIS_COMMENT). Every emitted field is
+    closed-form from doc_id, so the whole container walk sits under the
+    value-hash gate."""
+    from collections.abc import Iterator
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    blobs = docs.select("doc_id", audio_container_udf("doc_id").alias("content"))
+    schema = (
+        "doc_id long, container string, duration_s double, sample_rate int, "
+        "units int, title string"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                m = pure.extract_metadata(bytes(blob))
+                if "mp3:duration_s" in m:
+                    rows.append({
+                        "doc_id": int(did), "container": "mp3",
+                        "duration_s": float(m["mp3:duration_s"]),
+                        "sample_rate": int(m["mp3:sample_rate"]),
+                        "units": int(m["mp3:n_frames"]),
+                        "title": m.get("mp3:title"),
+                    })
+                elif "ogg:codec" in m:
+                    rows.append({
+                        "doc_id": int(did), "container": "ogg",
+                        "duration_s": float(m.get("ogg:duration_s", 0)),
+                        "sample_rate": int(m["ogg:sample_rate"]),
+                        "units": int(m["ogg:n_pages"]),
+                        "title": m["ogg:codec"],
+                    })
+                else:
+                    rows.append({
+                        "doc_id": int(did), "container": "flac",
+                        "duration_s": float(m["flac:duration_s"]),
+                        "sample_rate": int(m["flac:sample_rate"]),
+                        "units": int(m["flac:channels"]),
+                        "title": None,
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "container", "duration_s", "sample_rate",
+                         "units", "title"],
+            )
+
+    return blobs.mapInPandas(fn, schema)
+
+
+SQL_AUDIO_META = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg' ELSE 'flac' END
+         AS container,
+       CASE doc_id % 3
+         WHEN 0 THEN ROUND((10 + doc_id % 20) * 1152.0 / 48000, 3)
+         WHEN 1 THEN ROUND(4800 * (1 + doc_id % 5) / 48000.0, 3)
+         ELSE ROUND(1600 * (1 + doc_id % 4) / 16000.0, 3) END AS duration_s,
+       CASE doc_id % 3 WHEN 2 THEN 16000 ELSE 48000 END AS sample_rate,
+       CASE doc_id % 3
+         WHEN 0 THEN 10 + doc_id % 20
+         WHEN 1 THEN 3
+         ELSE 1 END AS units,
+       CASE doc_id % 3
+         WHEN 0 THEN 'track ' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN CASE WHEN doc_id % 2 = 1 THEN 'vorbis' ELSE 'opus' END
+         ELSE NULL END AS title
+FROM documents
+"""
+
+
 def q_image_ahash_dedup(spark, sf_dir):
     """Image near-dup dedup by perceptual hash: the decoded aHash groups
     must EXACTLY reproduce the planted pattern classes (doc_id % 8) —
@@ -2780,6 +2886,7 @@ REGISTRY: dict[str, tuple] = {
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "audio_meta": (q_audio_meta, SQL_AUDIO_META),
     "flac_features": (q_flac_features, SQL_FLAC_FEATURES),
     "video_features": (q_video_features, SQL_VIDEO_FEATURES),
 }

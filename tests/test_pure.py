@@ -573,3 +573,63 @@ def test_minhash_raw_windows_match_deduped_ids():
         raw = pure._minhash_shingles(pure._shingle_windows(toks, 5))
         ded = pure._minhash_shingles(pure._shingle_ids(toks, 5))
         assert raw == ded
+
+
+def test_mp3_envelope_roundtrip():
+    """Round 4: MPEG frame-header walk + ID3v2 — duration exact for CBR."""
+    blob = pure.mp3_envelope_encode(100, 128, 48000, title="Söng", artist="A")
+    m = pure.extract_metadata(blob)
+    assert m["mp3:n_frames"] == "100"
+    assert m["mp3:duration_s"] == "2.400"  # 100 * 1152 / 48000
+    assert m["mp3:title"] == "Söng" and m["mp3:artist"] == "A"
+    assert pure.sniff_bytes(blob)["content_type"] == "mp3"
+    # bare sync (no ID3) sniffs too; random 0xFF binaries do not
+    assert pure.sniff_bytes(pure.mp3_envelope_encode(3))["content_type"] == "mp3"
+    assert pure.sniff_bytes(b"\xff\x01" + bytes(64))["content_type"] != "mp3"
+
+
+def test_ogg_envelope_roundtrip():
+    og = pure.ogg_envelope_encode("vorbis", 48000, 2, total_samples=96000,
+                                  n_audio_pages=3)
+    m = pure.extract_metadata(og)
+    assert m["ogg:codec"] == "vorbis" and m["ogg:duration_s"] == "2.000"
+    assert m["ogg:channels"] == "2" and m["ogg:n_pages"] == "4"
+    op = pure.extract_metadata(pure.ogg_envelope_encode("opus", 48000, 1,
+                                                        total_samples=48000))
+    assert op["ogg:codec"] == "opus" and op["ogg:duration_s"] == "1.000"
+
+
+def test_flac_tags_and_streaminfo_meta():
+    base = bytearray(pure.flac_encode([9] * 1600, 16000))
+    base[4] &= 0x7F  # STREAMINFO no longer the last metadata block
+    si_len = int.from_bytes(base[5:8], "big")
+    at = 8 + si_len
+    vc = pure.flac_vorbis_comment_block({"title": "Tïtle", "album": "X"},
+                                        last=True)
+    tagged = bytes(base[:at]) + vc + bytes(base[at:])
+    m = pure.extract_metadata(tagged)
+    assert m["flac:duration_s"] == "0.100"
+    assert m["flac:sample_rate"] == "16000"
+    assert m["flac:title"] == "Tïtle" and m["flac:album"] == "X"
+    d = pure.decode_flac(tagged)  # tag block must not break the decoder
+    assert d is not None and d["n_samples"] == 1600
+
+
+def test_audio_container_parsers_total_on_hostile_bytes():
+    import random
+
+    rng = random.Random(9)
+    blobs = [
+        pure.mp3_envelope_encode(20, 128, 44100, title="t"),
+        pure.ogg_envelope_encode(),
+        pure.flac_encode([1] * 500, 8000),
+    ]
+    for blob in blobs:
+        for cut in range(0, len(blob), 37):
+            pure.extract_metadata(blob[:cut])
+        ba = bytearray(blob)
+        for i in range(0, len(ba), 29):
+            ba[i] ^= 0xFF
+        pure.extract_metadata(bytes(ba))
+    pure.extract_metadata(b"ID3" + bytes(rng.randrange(256) for _ in range(200)))
+    pure.extract_metadata(b"OggS" + bytes(rng.randrange(256) for _ in range(200)))
