@@ -55,6 +55,7 @@ MAGIC_PREFIXES: tuple[tuple[bytes, str], ...] = (
     (b"ID3", "mp3"),
     (b"RIFF", "riff"),
     (b"YUV4MPEG2 ", "y4m"),
+    (b"\x1a\x45\xdf\xa3", "webm"),
 )
 
 _HTML_HINT_RE = re.compile(
@@ -105,6 +106,8 @@ def sniff_bytes(data: bytes | None) -> dict:
             content_type = kind
             break
     head = data[:2048]
+    if content_type is None and len(data) >= 12 and data[4:8] == b"ftyp":
+        content_type = "mp4"
     if content_type is None and len(data) >= 4 and data[0] == 0xFF and (
         data[1] & 0xE0
     ) == 0xE0:
@@ -939,6 +942,8 @@ def extract_metadata(data: bytes | None) -> dict[str, str]:
         and data[:3] != b"\xff\xd8\xff") else {})
     out.update(_parse_ogg_meta(data))
     out.update(_parse_flac_meta(data))
+    out.update(_parse_mp4_meta(data))
+    out.update(_parse_webm_meta(data))
     sn = sniff_bytes(data)
     if sn["content_type"] in ("html", "text", "xml"):
         html_str, cs = decode_bytes(data)
@@ -4455,8 +4460,207 @@ def flac_vorbis_comment_block(tags: dict[str, str], last: bool = False) -> bytes
     return hdr + body
 
 
+# 9c⁴. Video container metadata (round 4 — the mp4/webm analogue of the
+# audio-envelope walks: ISO BMFF box tree and Matroska EBML tree parse
+# for real; the codec payloads (h264/vp9 DSP) stay stubbed, documented).
 # ---------------------------------------------------------------------------
-# ---------------------------------------------------------------------------\n-
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+MP4_MAX_BOXES = 4096
+
+
+def _parse_mp4_meta(data: bytes) -> dict[str, str]:
+    """ISO BMFF box walk: ftyp brand, mvhd duration/timescale, tkhd
+    width/height (16.16 fixed), stsd sample-entry fourcc."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return {}
+    out: dict[str, str] = {"mp4:brand": data[8:12].decode("latin-1").strip()}
+    budget = [MP4_MAX_BOXES]
+
+    def walk(lo: int, hi: int) -> None:
+        p = lo
+        while p + 8 <= hi and budget[0] > 0:
+            budget[0] -= 1
+            size = int.from_bytes(data[p : p + 4], "big")
+            btype = data[p + 4 : p + 8]
+            body = p + 8
+            if size == 1:  # 64-bit largesize
+                if p + 16 > hi:
+                    return
+                size = int.from_bytes(data[p + 8 : p + 16], "big")
+                body = p + 16
+            elif size == 0:
+                size = hi - p
+            if size < 8 or p + size > hi:
+                return
+            if btype in _MP4_CONTAINERS:
+                walk(body, p + size)
+            elif btype == b"mvhd" and body + 4 <= hi:
+                ver = data[body]
+                if ver == 1 and body + 28 <= hi:
+                    ts = int.from_bytes(data[body + 20 : body + 24], "big")
+                    dur = int.from_bytes(data[body + 24 : body + 32], "big")
+                elif body + 24 <= hi:
+                    ts = int.from_bytes(data[body + 12 : body + 16], "big")
+                    dur = int.from_bytes(data[body + 16 : body + 20], "big")
+                else:
+                    ts = dur = 0
+                if ts:
+                    out["mp4:duration_s"] = f"{dur / ts:.3f}"
+            elif btype == b"tkhd" and "mp4:width" not in out:
+                # width/height are the LAST 8 bytes of the box, 16.16 fixed
+                wq = int.from_bytes(data[p + size - 8 : p + size - 4], "big")
+                hq = int.from_bytes(data[p + size - 4 : p + size], "big")
+                if wq and hq:
+                    out["mp4:width"] = str(wq >> 16)
+                    out["mp4:height"] = str(hq >> 16)
+            elif btype == b"stsd" and "mp4:codec" not in out and body + 16 <= hi:
+                fourcc = data[body + 12 : body + 16]
+                if fourcc.isalnum() or b" " in fourcc:
+                    out["mp4:codec"] = fourcc.decode("latin-1").strip()
+            p += size
+
+    walk(0, len(data))
+    return out
+
+
+def mp4_envelope_encode(
+    duration_s: float, timescale: int = 1000, width: int = 0, height: int = 0,
+    codec: bytes = b"avc1", brand: bytes = b"isom",
+) -> bytes:
+    """Minimal structurally-valid ISO BMFF fixture: ftyp + moov(mvhd +
+    trak(tkhd + mdia(minf(stbl(stsd))))) — every field the walker reads."""
+    def box(btype: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + btype + body
+
+    mvhd = (
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + timescale.to_bytes(4, "big")
+        + round(duration_s * timescale).to_bytes(4, "big") + b"\x00" * 80
+    )
+    tkhd = (
+        b"\x00\x00\x00\x07" + b"\x00" * 72
+        + (width << 16).to_bytes(4, "big") + (height << 16).to_bytes(4, "big")
+    )
+    stsd = (
+        b"\x00\x00\x00\x00" + (1).to_bytes(4, "big")
+        + (16).to_bytes(4, "big") + codec + b"\x00" * 8
+    )
+    stbl = box(b"stbl", box(b"stsd", stsd))
+    mdia = box(b"mdia", box(b"minf", stbl))
+    trak = box(b"trak", box(b"tkhd", tkhd) + mdia)
+    moov = box(b"moov", box(b"mvhd", mvhd) + trak)
+    return box(b"ftyp", brand + b"\x00\x00\x02\x00" + brand) + moov
+
+
+def _ebml_vint(data: bytes, p: int, keep_marker: bool):
+    """EBML variable-length integer at p -> (value, n_bytes) or None."""
+    if p >= len(data) or data[p] == 0:
+        return None
+    first = data[p]
+    ln = 8 - first.bit_length() + 1
+    if p + ln > len(data):
+        return None
+    v = first if keep_marker else first & ((1 << (8 - ln)) - 1)
+    for i in range(1, ln):
+        v = (v << 8) | data[p + i]
+    return v, ln
+
+
+_EBML_CONTAINERS = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0}
+EBML_MAX_ELEMENTS = 4096
+
+
+def _parse_webm_meta(data: bytes) -> dict[str, str]:
+    """Matroska/WebM EBML walk: Info timecode-scale + duration, first
+    video TrackEntry codec id and pixel dimensions."""
+    if not data.startswith(b"\x1a\x45\xdf\xa3"):
+        return {}
+    out: dict[str, str] = {}
+    state = {"scale": 1_000_000, "dur": None}
+    budget = [EBML_MAX_ELEMENTS]
+
+    def walk(lo: int, hi: int) -> None:
+        p = lo
+        while p < hi and budget[0] > 0:
+            budget[0] -= 1
+            eid = _ebml_vint(data, p, keep_marker=True)
+            if eid is None:
+                return
+            p += eid[1]
+            esz = _ebml_vint(data, p, keep_marker=False)
+            if esz is None:
+                return
+            p += esz[1]
+            size = esz[0]
+            if size > hi - p:  # unknown-size (all-ones) or truncated: clamp
+                size = hi - p
+            body = data[p : p + size]
+            i = eid[0]
+            if i in _EBML_CONTAINERS:
+                walk(p, p + size)
+            elif i == 0x2AD7B1 and size:
+                state["scale"] = int.from_bytes(body, "big")
+            elif i == 0x4489 and size in (4, 8):
+                import struct as _struct
+
+                state["dur"] = _struct.unpack(
+                    ">f" if size == 4 else ">d", body
+                )[0]
+            elif i == 0x86 and size and "webm:codec" not in out:
+                out["webm:codec"] = body.decode("latin-1", "replace")
+            elif i == 0xB0 and size and "webm:width" not in out:
+                out["webm:width"] = str(int.from_bytes(body, "big"))
+            elif i == 0xBA and size and "webm:height" not in out:
+                out["webm:height"] = str(int.from_bytes(body, "big"))
+            p += size
+
+    # skip the EBML header element, then walk the rest (Segment...)
+    hdr = _ebml_vint(data, 0, keep_marker=True)
+    if hdr is None:
+        return {}
+    q = hdr[1]
+    hsz = _ebml_vint(data, q, keep_marker=False)
+    if hsz is None:
+        return {}
+    start = q + hsz[1] + hsz[0]
+    walk(start, len(data))
+    if state["dur"] is not None:
+        out["webm:duration_s"] = f"{state['dur'] * state['scale'] / 1e9:.3f}"
+    return out
+
+
+def webm_envelope_encode(
+    duration_s: float, width: int = 0, height: int = 0, codec: str = "V_VP9",
+) -> bytes:
+    """Minimal Matroska/WebM fixture: EBML header + Segment(Info(
+    TimecodeScale, Duration) + Tracks(TrackEntry(CodecID, Video(...))))."""
+    import struct as _struct
+
+    def eid(i: int) -> bytes:
+        n = (i.bit_length() + 7) // 8
+        return i.to_bytes(n, "big")
+
+    def esize(n: int) -> bytes:
+        # 4-byte form: marker 0x10 in the top byte
+        return (n | 0x10000000).to_bytes(4, "big")
+
+    def elem(i: int, body: bytes) -> bytes:
+        return eid(i) + esize(len(body)) + body
+
+    info = elem(0x2AD7B1, (1_000_000).to_bytes(3, "big")) + elem(
+        0x4489, _struct.pack(">d", duration_s * 1000.0)
+    )
+    video = elem(0xB0, width.to_bytes(2, "big")) + elem(
+        0xBA, height.to_bytes(2, "big")
+    )
+    track = elem(0x86, codec.encode()) + elem(0xE0, video)
+    seg_body = elem(0x1549A966, info) + elem(0x1654AE6B, elem(0xAE, track))
+    header = elem(0x4282, b"webm")  # DocType inside the EBML header
+    return elem(0x1A45DFA3, header) + elem(0x18538067, seg_body)
+
+
+# ---------------------------------------------------------------------------
 # 9d. Y4M video codec (round 2: YUV4MPEG2 is a plain-text header + raw
 # frames — real video decode + frame sampling with zero dependencies.
 # Compressed video (mp4/webm) stays stubbed.)

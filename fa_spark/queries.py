@@ -2675,6 +2675,87 @@ FROM documents
 """
 
 
+def _video_container_batch(doc_id: pd.Series) -> pd.Series:
+    """Per-doc video container rotating mp4 / webm (round 4 — ISO BMFF
+    box walk and Matroska EBML walk; codec DSP stubbed, envelope real)."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        dur = round(1.0 + (did % 50) / 10.0, 3)
+        if did % 2 == 0:
+            out.append(
+                pure.mp4_envelope_encode(
+                    dur, 1000, 160 + 16 * (did % 8), 90 + 9 * (did % 8),
+                    b"avc1" if did % 4 == 0 else b"hev1",
+                )
+            )
+        else:
+            out.append(
+                pure.webm_envelope_encode(
+                    dur, 160 + 16 * (did % 8), 90 + 9 * (did % 8),
+                    "V_VP9" if did % 4 == 1 else "V_AV1",
+                )
+            )
+    return pd.Series(out)
+
+
+video_container_udf = F.pandas_udf(_video_container_batch, BinaryType())
+
+
+def q_video_meta(spark, sf_dir):
+    """Video container metadata (round 4 — mp4/webm envelope walks under
+    the value-hash gate; every field closed-form from doc_id)."""
+    from collections.abc import Iterator
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    blobs = docs.select("doc_id", video_container_udf("doc_id").alias("content"))
+    schema = (
+        "doc_id long, container string, duration_s double, width int, "
+        "height int, codec string"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                m = pure.extract_metadata(bytes(blob))
+                if "mp4:brand" in m:
+                    rows.append({
+                        "doc_id": int(did), "container": "mp4",
+                        "duration_s": float(m["mp4:duration_s"]),
+                        "width": int(m["mp4:width"]),
+                        "height": int(m["mp4:height"]),
+                        "codec": m["mp4:codec"],
+                    })
+                else:
+                    rows.append({
+                        "doc_id": int(did), "container": "webm",
+                        "duration_s": float(m["webm:duration_s"]),
+                        "width": int(m["webm:width"]),
+                        "height": int(m["webm:height"]),
+                        "codec": m["webm:codec"],
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "container", "duration_s", "width",
+                         "height", "codec"],
+            )
+
+    return blobs.mapInPandas(fn, schema)
+
+
+SQL_VIDEO_META = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,
+       ROUND(1.0 + (doc_id % 50) / 10.0, 3) AS duration_s,
+       CAST(160 + 16 * (doc_id % 8) AS INT) AS width,
+       CAST(90 + 9 * (doc_id % 8) AS INT) AS height,
+       CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'V_VP9'
+            WHEN 2 THEN 'hev1' ELSE 'V_AV1' END AS codec
+FROM documents
+"""
+
+
 def q_image_ahash_dedup(spark, sf_dir):
     """Image near-dup dedup by perceptual hash: the decoded aHash groups
     must EXACTLY reproduce the planted pattern classes (doc_id % 8) —
@@ -2887,6 +2968,7 @@ REGISTRY: dict[str, tuple] = {
     "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
+    "video_meta": (q_video_meta, SQL_VIDEO_META),
     "flac_features": (q_flac_features, SQL_FLAC_FEATURES),
     "video_features": (q_video_features, SQL_VIDEO_FEATURES),
 }

@@ -26,8 +26,10 @@ decode_status taxonomy:
   decode_error bytes sniffed as a decodable-for-real type but malformed
                (incl. arithmetic/lossless JPEG; progressive SOF2 decodes
                for REAL as of round 4)
-  stubbed      decodable media type with no pure-Python codec (ogg,
-               non-WAVE riff — avi etc.)
+  stubbed      decodable media type with no pure-Python DSP codec (ogg/
+               mp3 audio, mp4/webm video, non-WAVE riff — avi etc.);
+               their container envelopes still parse for real into the
+               metadata map (round 4)
   skipped      not a media type
 
 Design mirrors the reference's per-mode preprocessing tiers
@@ -162,9 +164,10 @@ def media_features_fn(mode: str = "describe"):
                 ct = sn["content_type"]
                 is_wav = ct == "riff" and b[8:12] == b"WAVE"
                 # stubbable media: formats we recognize but have no pure-
-                # Python codec for (DSP-pipeline audio and non-WAVE riff
-                # containers like avi) — keeps the docstring taxonomy honest
-                decodable = ct in ("ogg", "riff")
+                # Python codec for (DSP-pipeline audio, compressed video,
+                # non-WAVE riff containers like avi) — the CONTAINER
+                # envelopes still parse for real into `meta` (round 4)
+                decodable = ct in ("ogg", "riff", "mp3", "mp4", "webm")
                 status, feature, ahash = "skipped", None, None
                 if ct in _RASTER_DECODERS:
                     img = _decode_raster(ct, b)

@@ -633,3 +633,31 @@ def test_audio_container_parsers_total_on_hostile_bytes():
         pure.extract_metadata(bytes(ba))
     pure.extract_metadata(b"ID3" + bytes(rng.randrange(256) for _ in range(200)))
     pure.extract_metadata(b"OggS" + bytes(rng.randrange(256) for _ in range(200)))
+
+
+def test_video_container_envelopes():
+    """Round 4: mp4 box walk + webm EBML walk — duration/dims/codec."""
+    mp4 = pure.mp4_envelope_encode(12.345, 1000, 640, 360, b"avc1")
+    m = pure.extract_metadata(mp4)
+    assert m["mp4:duration_s"] == "12.345"
+    assert m["mp4:width"] == "640" and m["mp4:height"] == "360"
+    assert m["mp4:codec"] == "avc1" and m["mp4:brand"] == "isom"
+    assert pure.sniff_bytes(mp4)["content_type"] == "mp4"
+    wb = pure.webm_envelope_encode(7.5, 1280, 720, "V_VP9")
+    w = pure.extract_metadata(wb)
+    assert w["webm:duration_s"] == "7.500"
+    assert w["webm:width"] == "1280" and w["webm:codec"] == "V_VP9"
+    assert pure.sniff_bytes(wb)["content_type"] == "webm"
+    # totality
+    import random
+
+    rng = random.Random(2)
+    for blob in (mp4, wb):
+        for cut in range(0, len(blob), 17):
+            pure.extract_metadata(blob[:cut])
+        ba = bytearray(blob)
+        for i in range(0, len(ba), 19):
+            ba[i] ^= 0xFF
+        pure.extract_metadata(bytes(ba))
+    pure.extract_metadata(b"\x00\x00\x00\x14ftyp" + bytes(rng.randrange(256) for _ in range(120)))
+    pure.extract_metadata(b"\x1a\x45\xdf\xa3" + bytes(rng.randrange(256) for _ in range(120)))
