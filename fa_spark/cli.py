@@ -135,6 +135,20 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--violations-out", default=None,
                     help="write the per-row violation report parquet here")
     pv.add_argument("--cores", type=int, default=None)
+
+    pvi = sub.add_parser(
+        "validate-images",
+        help="compare two images (pixel / hash / ssim — reference "
+             "`fa validate images`)",
+    )
+    pvi.add_argument("--image1", required=True)
+    pvi.add_argument("--image2", required=True)
+    pvi.add_argument("--method", choices=("pixel", "hash", "ssim"),
+                     default="pixel")
+    pvi.add_argument("--pixel-threshold", type=float, default=0.05)
+    pvi.add_argument("--max-difference", type=float, default=5.0)
+    pvi.add_argument("--threshold", type=float, default=0.1)
+    pvi.add_argument("--strict", action="store_true")
     return ap
 
 
@@ -273,6 +287,27 @@ def cmd_validate(args) -> dict:
     return payload
 
 
+def cmd_validate_images(args) -> dict:
+    """Driver-side image compare (no cluster needed — two files)."""
+    from fa_spark import pure
+    from fa_spark.stages.multimodal import _decode_raster
+
+    def load(path):
+        with open(path, "rb") as f:
+            data = f.read()
+        ct = pure.sniff_bytes(data)["content_type"]
+        return _decode_raster(ct, data)
+
+    out = pure.compare_images(
+        load(args.image1), load(args.image2), method=args.method,
+        pixel_color_threshold=args.pixel_threshold,
+        max_difference_percent=args.max_difference,
+        threshold=args.threshold, strict=args.strict,
+    )
+    out["image1"], out["image2"] = args.image1, args.image2
+    return out
+
+
 def cmd_expire(args) -> dict:
     from fa_spark.lineage import expire_runs
 
@@ -289,6 +324,7 @@ def main(argv: list[str] | None = None) -> None:
         "query": cmd_query,
         "expire": cmd_expire,
         "validate": cmd_validate,
+        "validate-images": cmd_validate_images,
     }[args.cmd](args)
     print(json.dumps(out, default=str))
 

@@ -4111,6 +4111,167 @@ def decode_flac(data: bytes | None) -> dict | None:
 # reports tags/duration/bitrate for mp3/ogg/flac; here the container
 # envelopes parse for real even where the codec DSP stays stubbed).
 # All walks are total and bounded.
+# 9b⁴. Image comparison (round 4 — reference `fa validate images`,
+# /root/reference/src/cli/validate/main.py:205-420: pixel / perceptual-
+# hash / SSIM compare with thresholds + strict mode). The reference
+# shells to pixelmatch/imagehash/scikit-image; here all three methods
+# are pure numpy over this repo's own decoders, with semantics pinned in
+# the docstrings (deterministic — no library-version drift).
+# ---------------------------------------------------------------------------
+
+
+def _to_gray_array(img: dict) -> "_np.ndarray":
+    a = _np.frombuffer(bytes(img["pixels"]), dtype=_np.uint8).reshape(
+        img["height"], img["width"], img["channels"]
+    )
+    if img["channels"] >= 3:
+        return (
+            (a[:, :, 0].astype(_np.int64) + a[:, :, 1] + a[:, :, 2]) // 3
+        ).astype(_np.float64)
+    return a[:, :, 0].astype(_np.float64)
+
+
+def _resize_nearest(a: "_np.ndarray", oh: int, ow: int) -> "_np.ndarray":
+    h, w = a.shape
+    yi = (_np.arange(oh) * h // oh).clip(0, h - 1)
+    xi = (_np.arange(ow) * w // ow).clip(0, w - 1)
+    return a[yi][:, xi]
+
+
+_PHASH_N = 32
+
+
+def _dct_matrix(n: int) -> "_np.ndarray":
+    k = _np.arange(n).reshape(-1, 1)
+    i = _np.arange(n).reshape(1, -1)
+    m = _np.cos(_np.pi * k * (2 * i + 1) / (2 * n)) * _np.sqrt(2.0 / n)
+    m[0, :] = _np.sqrt(1.0 / n)
+    return m
+
+
+_PHASH_DCT = _dct_matrix(_PHASH_N)
+
+
+def phash64(img: dict) -> int:
+    """64-bit perceptual hash (the imagehash.phash construction, public):
+    nearest-resize to 32x32 gray, 2-D DCT-II, keep the top-left 8x8
+    low-frequency block, bit = coefficient > median of the block
+    excluding DC."""
+    g = _resize_nearest(_to_gray_array(img), _PHASH_N, _PHASH_N)
+    d = _PHASH_DCT @ g @ _PHASH_DCT.T
+    # round: float-DCT residue (~1e-12) on flat regions would otherwise
+    # flip bits nondeterministically around the median
+    low = _np.round(d[:8, :8], 6)
+    med = _np.median(low.reshape(-1)[1:])  # exclude DC
+    bits = (low.reshape(-1) > med).astype(_np.uint64)
+    out = _np.uint64(0)
+    for i, b in enumerate(bits):
+        out |= b << _np.uint64(i)
+    return int(out)
+
+
+SSIM_WIN = 7
+SSIM_C1 = (0.01 * 255) ** 2
+SSIM_C2 = (0.03 * 255) ** 2
+
+
+def ssim(img1: dict, img2: dict) -> float:
+    """Mean structural similarity, 7x7 uniform windows (valid positions
+    only), population moments, L=255 — the standard Wang et al. 2004
+    formula with fixed deterministic parameters. Images must share
+    dimensions (callers resize first)."""
+    a = _to_gray_array(img1)
+    b = _to_gray_array(img2)
+    if a.shape != b.shape:
+        b = _resize_nearest(b, a.shape[0], a.shape[1])
+    h, w = a.shape
+    win = min(SSIM_WIN, h, w)
+
+    def _win_mean(x):
+        c = _np.cumsum(_np.cumsum(x, axis=0), axis=1)
+        c = _np.pad(c, ((1, 0), (1, 0)))
+        s = (
+            c[win:, win:] - c[:-win, win:] - c[win:, :-win] + c[:-win, :-win]
+        )
+        return s / (win * win)
+
+    mu1 = _win_mean(a)
+    mu2 = _win_mean(b)
+    m11 = _win_mean(a * a)
+    m22 = _win_mean(b * b)
+    m12 = _win_mean(a * b)
+    v1 = m11 - mu1 * mu1
+    v2 = m22 - mu2 * mu2
+    cov = m12 - mu1 * mu2
+    num = (2 * mu1 * mu2 + SSIM_C1) * (2 * cov + SSIM_C2)
+    den = (mu1 * mu1 + mu2 * mu2 + SSIM_C1) * (v1 + v2 + SSIM_C2)
+    return float(_np.mean(num / den))
+
+
+def compare_images(
+    img1: dict | None,
+    img2: dict | None,
+    method: str = "pixel",
+    pixel_color_threshold: float = 0.05,
+    max_difference_percent: float = 5.0,
+    threshold: float = 0.1,
+    strict: bool = False,
+) -> dict:
+    """Reference `fa validate images` semantics over decoded rasters:
+
+    pixel: a pixel mismatches when any channel differs by more than
+      pixel_color_threshold*255; success iff 0 mismatches, or (lenient)
+      mismatch_percent <= max_difference_percent.
+    hash: 64-bit pHash Hamming distance; success iff 0, or (lenient)
+      similarity 1 - d/64 >= 1 - threshold.
+    ssim: mean SSIM; success iff 1.0, or (lenient) >= 1 - threshold.
+    """
+    if img1 is None or img2 is None:
+        return {"success": False, "method": method, "error": "decode_failed"}
+    out: dict = {"success": False, "method": method}
+    if (img1["width"], img1["height"]) != (img2["width"], img2["height"]):
+        out["size_mismatch"] = True
+        if strict:
+            return out
+    if method == "pixel":
+        a = _np.frombuffer(bytes(img1["pixels"]), dtype=_np.uint8).reshape(
+            img1["height"], img1["width"], img1["channels"]
+        ).astype(_np.int64)
+        b = _np.frombuffer(bytes(img2["pixels"]), dtype=_np.uint8).reshape(
+            img2["height"], img2["width"], img2["channels"]
+        ).astype(_np.int64)
+        if a.shape != b.shape:
+            bg = _resize_nearest(_to_gray_array(img2), a.shape[0], a.shape[1])
+            ag = _to_gray_array(img1)
+            diff = _np.abs(ag - bg)
+        else:
+            diff = _np.abs(a - b).max(axis=2)
+        lim = pixel_color_threshold * 255
+        mism = int((diff > lim).sum())
+        total = int(diff.size)
+        pct = 100.0 * mism / total if total else 0.0
+        out.update(
+            mismatch_count=mism, total_pixels=total,
+            mismatch_percent=round(pct, 6),
+        )
+        out["success"] = mism == 0 or (
+            not strict and pct <= max_difference_percent
+        )
+    elif method == "hash":
+        h1, h2 = phash64(img1), phash64(img2)
+        d = bin(h1 ^ h2).count("1")
+        sim = 1 - d / 64
+        out.update(distance=d, similarity=round(sim, 6))
+        out["success"] = d == 0 or (not strict and sim >= 1 - threshold)
+    elif method == "ssim":
+        s = ssim(img1, img2)
+        out["ssim_score"] = round(s, 6)
+        out["success"] = s == 1.0 or (not strict and s >= 1 - threshold)
+    else:
+        out["error"] = f"unknown method {method!r}"
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 _MP3_BITRATES = {  # kbit/s, index 1-14 (0 = free, 15 = bad)

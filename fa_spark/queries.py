@@ -2756,6 +2756,82 @@ FROM documents
 """
 
 
+def _solid_pair_batch(doc_id: pd.Series) -> pd.Series:
+    """Two solid 16x16 PNGs per doc, gray a vs a+delta (delta rotates
+    0/40/80 by doc_id%3) — every comparison statistic is closed-form."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        a = 20 + did % 150
+        b = a + (did % 3) * 40
+        pa = pure.png_encode([[(a, a, a)] * 16 for _ in range(16)])
+        pb = pure.png_encode([[(b, b, b)] * 16 for _ in range(16)])
+        out.append(pa + b"|SPLIT|" + pb)
+    return pd.Series(out)
+
+
+solid_pair_udf = F.pandas_udf(_solid_pair_batch, BinaryType())
+
+
+def q_image_compare(spark, sf_dir):
+    """Image comparison suite (round 4 — reference `fa validate images`,
+    validate/main.py:205-420: pixel / perceptual-hash / SSIM): solid
+    pairs make every statistic analytic — pixel mismatch flips 0↔100%
+    exactly at the color threshold, solid pHashes are equal by
+    construction, and SSIM of two flat images collapses to the
+    luminance term (2ab+C1)/(a²+b²+C1)."""
+    from collections.abc import Iterator
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    blobs = docs.select("doc_id", solid_pair_udf("doc_id").alias("content"))
+    schema = (
+        "doc_id long, mismatch_percent double, hash_distance int, "
+        "ssim_score double, pixel_ok boolean, ssim_ok boolean"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                pa, pb = bytes(blob).split(b"|SPLIT|", 1)
+                ia, ib = pure.decode_png(pa), pure.decode_png(pb)
+                px = pure.compare_images(ia, ib, "pixel")
+                hs = pure.compare_images(ia, ib, "hash")
+                ss = pure.compare_images(ia, ib, "ssim")
+                rows.append({
+                    "doc_id": int(did),
+                    "mismatch_percent": px["mismatch_percent"],
+                    "hash_distance": hs["distance"],
+                    "ssim_score": ss["ssim_score"],
+                    "pixel_ok": px["success"],
+                    "ssim_ok": ss["ssim_score"] >= 0.9,
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mismatch_percent", "hash_distance",
+                         "ssim_score", "pixel_ok", "ssim_ok"],
+            )
+
+    return blobs.mapInPandas(fn, schema)
+
+
+SQL_IMAGE_COMPARE = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(20 + doc_id % 150 AS DOUBLE) AS a,
+         CAST(20 + doc_id % 150 + (doc_id % 3) * 40 AS DOUBLE) AS b
+  FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN a = b THEN 0.0 ELSE 100.0 END AS DOUBLE) AS mismatch_percent,
+       0 AS hash_distance,
+       ROUND((2 * a * b + 6.5025) / (a * a + b * b + 6.5025), 6)
+         AS ssim_score,
+       a = b AS pixel_ok,
+       (2 * a * b + 6.5025) / (a * a + b * b + 6.5025) >= 0.9 AS ssim_ok
+FROM p
+"""
+
+
 def q_image_ahash_dedup(spark, sf_dir):
     """Image near-dup dedup by perceptual hash: the decoded aHash groups
     must EXACTLY reproduce the planted pattern classes (doc_id % 8) —
@@ -2966,6 +3042,7 @@ REGISTRY: dict[str, tuple] = {
     "raster_features": (q_raster_features, SQL_RASTER_FEATURES),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
+    "image_compare": (q_image_compare, SQL_IMAGE_COMPARE),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
     "video_meta": (q_video_meta, SQL_VIDEO_META),

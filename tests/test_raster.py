@@ -169,3 +169,55 @@ def test_all_rasters_through_stage(spark):
     text_img = pure.render_text_image("gif ocr 99")
     odf = spark.createDataFrame([("g", pure.gif_encode(text_img))], "media_id string, content binary")
     assert ocr_media(odf).collect()[0]["ocr_text"] == "gif ocr 99"
+
+
+def test_compare_images_methods():
+    """Round 4 — reference `fa validate images` parity: pixel / pHash /
+    SSIM over this repo's own decoders, closed-form checks."""
+    solid = lambda v, n=16: [[(v, v, v)] * n for _ in range(n)]  # noqa: E731
+    a = pure.decode_png(pure.png_encode(solid(100)))
+    b = pure.decode_png(pure.png_encode(solid(140)))
+    c = pure.decode_png(pure.png_encode(solid(100)))
+    px = pure.compare_images(a, c, "pixel")
+    assert px["success"] and px["mismatch_count"] == 0
+    px2 = pure.compare_images(a, b, "pixel")
+    assert not px2["success"] and px2["mismatch_percent"] == 100.0
+    # within-threshold color delta: 10/255 < 0.05 -> no mismatch
+    d = pure.decode_png(pure.png_encode(solid(110)))
+    assert pure.compare_images(a, d, "pixel")["mismatch_count"] == 0
+    hs = pure.compare_images(a, b, "hash")
+    assert hs["distance"] == 0 and hs["success"]  # flat images hash equal
+    ss = pure.compare_images(a, b, "ssim")
+    C1 = (0.01 * 255) ** 2
+    exp = (2 * 100 * 140 + C1) / (100**2 + 140**2 + C1)
+    assert abs(ss["ssim_score"] - round(exp, 6)) < 1e-6
+    assert pure.compare_images(a, c, "ssim")["ssim_score"] == 1.0
+    # strict mode flips lenient passes
+    assert not pure.compare_images(a, b, "ssim", strict=True)["success"]
+    # pHash is stable under re-encode and differs across structures
+    import random
+
+    rng = random.Random(5)
+    noisy = [[(rng.randrange(256),) * 3 for _ in range(16)] for _ in range(16)]
+    x = pure.decode_png(pure.png_encode(noisy))
+    assert pure.compare_images(x, x, "hash")["distance"] == 0
+    jx = pure.decode_jpeg(pure.jpeg_encode(noisy))
+    assert pure.compare_images(x, jx, "hash")["distance"] <= 16  # lossy drift
+
+
+def test_cli_validate_images(tmp_path, capsys):
+    import json
+
+    from fa_spark import cli
+
+    p1 = tmp_path / "a.png"
+    p2 = tmp_path / "b.png"
+    p1.write_bytes(pure.png_encode([[(50, 50, 50)] * 8 for _ in range(8)]))
+    p2.write_bytes(pure.png_encode([[(53, 53, 53)] * 8 for _ in range(8)]))
+    cli.main(["validate-images", "--image1", str(p1), "--image2", str(p2)])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["success"] is True and out["mismatch_count"] == 0
+    cli.main(["validate-images", "--image1", str(p1), "--image2", str(p2),
+              "--method", "ssim", "--strict"])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["success"] is False  # not bit-identical in strict ssim
