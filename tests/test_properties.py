@@ -265,3 +265,52 @@ def test_analyze_document_total(data):
     assert d1["extract"].status in ("success", "success_lenient", "empty", "skipped")
     assert isinstance(d1["sniff"]["content_type"], str)
     assert isinstance(d1["minhash"], list) and isinstance(d1["simhash"], int)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=1, max_size=5000),
+       st.sampled_from([8000, 16000, 44100, 48000]))
+def test_flac_roundtrip_lossless_property(samples, rate):
+    """Round 4: FLAC encode->decode is lossless for ANY int16 signal —
+    peak/rms/zero-crossings equal the direct computation."""
+    d = pure.decode_flac(pure.flac_encode(samples, rate))
+    assert d is not None
+    assert d["n_samples"] == len(samples)
+    assert d["rate"] == rate
+    assert d["peak"] == max(abs(v) for v in samples)
+    exp_sq = sum(v * v for v in samples) / len(samples)
+    assert abs(d["rms"] ** 2 - exp_sq) < 1e-6 * max(exp_sq, 1)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_progressive_equals_baseline_property(w, h, seed):
+    """Round 4: progressive coding is pixel-identical to baseline for ANY
+    image content/dimensions (fully-refined successive approximation)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+             for _ in range(w)] for _ in range(h)]
+    base = pure.decode_jpeg(pure.jpeg_encode(rows))
+    prog = pure.decode_jpeg(pure.jpeg_encode_progressive(rows))
+    assert prog is not None
+    assert bytes(base["pixels"]) == bytes(prog["pixels"])
+
+
+@settings(max_examples=150, deadline=None)
+@given(BYTES)
+def test_container_metadata_total_property(data):
+    """All round-4 container walks (mp3/ogg/flac/mp4/webm) are total and
+    deterministic over arbitrary bytes behind their magic prefixes."""
+    for prefix in (b"ID3", b"OggS", b"fLaC", b"\x00\x00\x00\x10ftyp",
+                   b"\x1a\x45\xdf\xa3", b""):
+        blob = prefix + data
+        m1 = pure.extract_metadata(blob)
+        m2 = pure.extract_metadata(blob)
+        assert m1 == m2
+        assert all(isinstance(k, str) and isinstance(v, str)
+                   for k, v in m1.items())
