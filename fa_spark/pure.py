@@ -944,6 +944,7 @@ def extract_metadata(data: bytes | None) -> dict[str, str]:
     out.update(_parse_flac_meta(data))
     out.update(_parse_mp4_meta(data))
     out.update(_parse_webm_meta(data))
+    out.update(_parse_avi_meta(data))
     sn = sniff_bytes(data)
     if sn["content_type"] in ("html", "text", "xml"):
         html_str, cs = decode_bytes(data)
@@ -4712,6 +4713,71 @@ def mp4_envelope_encode(
     trak = box(b"trak", box(b"tkhd", tkhd) + mdia)
     moov = box(b"moov", box(b"mvhd", mvhd) + trak)
     return box(b"ftyp", brand + b"\x00\x00\x02\x00" + brand) + moov
+
+
+def _parse_avi_meta(data: bytes) -> dict[str, str]:
+    """AVI (RIFF) envelope walk: avih main header -> frame count /
+    frame interval / dimensions, first strh/strf fourcc — the last
+    non-WAVE RIFF family that was pure-stub. Bounded chunk walk."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return {}
+    out: dict[str, str] = {}
+
+    def walk(lo: int, hi: int, depth: int, budget: list) -> None:
+        p = lo
+        while p + 8 <= hi and budget[0] > 0:
+            budget[0] -= 1
+            cid = data[p : p + 4]
+            csz = int.from_bytes(data[p + 4 : p + 8], "little")
+            body_lo = p + 8
+            if csz > hi - body_lo:
+                return
+            if cid == b"LIST" and depth < 4 and csz >= 4:
+                walk(body_lo + 4, body_lo + csz, depth + 1, budget)
+            elif cid == b"avih" and csz >= 40:
+                us_per_frame = int.from_bytes(data[body_lo : body_lo + 4], "little")
+                n_frames = int.from_bytes(data[body_lo + 16 : body_lo + 20], "little")
+                w = int.from_bytes(data[body_lo + 32 : body_lo + 36], "little")
+                h = int.from_bytes(data[body_lo + 36 : body_lo + 40], "little")
+                out["avi:n_frames"] = str(n_frames)
+                out["avi:width"] = str(w)
+                out["avi:height"] = str(h)
+                if us_per_frame:
+                    out["avi:duration_s"] = f"{n_frames * us_per_frame / 1e6:.3f}"
+            elif cid == b"strh" and csz >= 8 and "avi:codec" not in out:
+                if data[body_lo : body_lo + 4] == b"vids":
+                    fourcc = data[body_lo + 4 : body_lo + 8]
+                    out["avi:codec"] = fourcc.decode("latin-1").strip("\x00 ")
+            p = body_lo + csz + (csz & 1)  # chunks are word-aligned
+
+    walk(12, min(len(data), 12 + int.from_bytes(data[4:8], "little")), 0, [1024])
+    return out
+
+
+def avi_envelope_encode(
+    n_frames: int, fps: int = 25, width: int = 320, height: int = 240,
+    codec: bytes = b"MJPG",
+) -> bytes:
+    """Minimal structurally-valid AVI fixture (hdrl LIST with avih +
+    strl LIST with strh)."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = (
+        (10**6 // fps).to_bytes(4, "little") + b"\x00" * 12
+        + n_frames.to_bytes(4, "little") + b"\x00" * 12
+        + width.to_bytes(4, "little") + height.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    strh = b"vids" + codec + b"\x00" * 48
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)))
+    movi = lst(b"movi", b"")
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
 def _ebml_vint(data: bytes, p: int, keep_marker: bool):

@@ -2676,25 +2676,31 @@ FROM documents
 
 
 def _video_container_batch(doc_id: pd.Series) -> pd.Series:
-    """Per-doc video container rotating mp4 / webm (round 4 — ISO BMFF
-    box walk and Matroska EBML walk; codec DSP stubbed, envelope real)."""
+    """Per-doc video container rotating mp4 / webm / avi (round 4 — ISO
+    BMFF box walk, Matroska EBML walk, RIFF chunk walk; codec DSP
+    stubbed, envelopes real)."""
     out = []
     for did in doc_id:
         did = int(did)
-        dur = round(1.0 + (did % 50) / 10.0, 3)
-        if did % 2 == 0:
+        w, h = 160 + 16 * (did % 8), 90 + 9 * (did % 8)
+        kind = did % 3
+        if kind == 0:
+            dur = round(1.0 + (did % 50) / 10.0, 3)
             out.append(
                 pure.mp4_envelope_encode(
-                    dur, 1000, 160 + 16 * (did % 8), 90 + 9 * (did % 8),
-                    b"avc1" if did % 4 == 0 else b"hev1",
+                    dur, 1000, w, h, b"avc1" if did % 2 == 0 else b"hev1"
+                )
+            )
+        elif kind == 1:
+            dur = round(1.0 + (did % 50) / 10.0, 3)
+            out.append(
+                pure.webm_envelope_encode(
+                    dur, w, h, "V_VP9" if did % 2 == 1 else "V_AV1"
                 )
             )
         else:
             out.append(
-                pure.webm_envelope_encode(
-                    dur, 160 + 16 * (did % 8), 90 + 9 * (did % 8),
-                    "V_VP9" if did % 4 == 1 else "V_AV1",
-                )
+                pure.avi_envelope_encode(25 * (1 + did % 5), 25, w, h, b"MJPG")
             )
     return pd.Series(out)
 
@@ -2727,13 +2733,21 @@ def q_video_meta(spark, sf_dir):
                         "height": int(m["mp4:height"]),
                         "codec": m["mp4:codec"],
                     })
-                else:
+                elif "webm:codec" in m:
                     rows.append({
                         "doc_id": int(did), "container": "webm",
                         "duration_s": float(m["webm:duration_s"]),
                         "width": int(m["webm:width"]),
                         "height": int(m["webm:height"]),
                         "codec": m["webm:codec"],
+                    })
+                else:
+                    rows.append({
+                        "doc_id": int(did), "container": "avi",
+                        "duration_s": float(m["avi:duration_s"]),
+                        "width": int(m["avi:width"]),
+                        "height": int(m["avi:height"]),
+                        "codec": m["avi:codec"],
                     })
             yield pd.DataFrame(
                 rows,
@@ -2746,12 +2760,17 @@ def q_video_meta(spark, sf_dir):
 
 SQL_VIDEO_META = """
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,
-       ROUND(1.0 + (doc_id % 50) / 10.0, 3) AS duration_s,
+       CASE doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
+            ELSE 'avi' END AS container,
+       CASE WHEN doc_id % 3 = 2
+            THEN CAST(1 + doc_id % 5 AS DOUBLE)
+            ELSE ROUND(1.0 + (doc_id % 50) / 10.0, 3) END AS duration_s,
        CAST(160 + 16 * (doc_id % 8) AS INT) AS width,
        CAST(90 + 9 * (doc_id % 8) AS INT) AS height,
-       CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'V_VP9'
-            WHEN 2 THEN 'hev1' ELSE 'V_AV1' END AS codec
+       CASE doc_id % 3
+         WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END
+         WHEN 1 THEN CASE WHEN doc_id % 2 = 1 THEN 'V_VP9' ELSE 'V_AV1' END
+         ELSE 'MJPG' END AS codec
 FROM documents
 """
 

@@ -661,3 +661,21 @@ def test_video_container_envelopes():
         pure.extract_metadata(bytes(ba))
     pure.extract_metadata(b"\x00\x00\x00\x14ftyp" + bytes(rng.randrange(256) for _ in range(120)))
     pure.extract_metadata(b"\x1a\x45\xdf\xa3" + bytes(rng.randrange(256) for _ in range(120)))
+
+
+def test_avi_envelope():
+    """Round 4: AVI RIFF chunk walk — the last non-WAVE riff stub now has
+    a real envelope parse."""
+    avi = pure.avi_envelope_encode(250, 25, 640, 480, b"MJPG")
+    m = pure.extract_metadata(avi)
+    assert m["avi:duration_s"] == "10.000" and m["avi:codec"] == "MJPG"
+    assert m["avi:width"] == "640" and m["avi:n_frames"] == "250"
+    for cut in range(0, len(avi), 13):
+        pure.extract_metadata(avi[:cut])
+    import random
+
+    rng = random.Random(4)
+    pure.extract_metadata(b"RIFF" + bytes(rng.randrange(256) for _ in range(256)))
+    # WAV riffs are untouched by the avi walk
+    wav = pure.wav_encode([100] * 64, 8000)
+    assert not any(k.startswith("avi:") for k in pure.extract_metadata(wav))
