@@ -945,6 +945,8 @@ def extract_metadata(data: bytes | None) -> dict[str, str]:
     out.update(_parse_mp4_meta(data))
     out.update(_parse_webm_meta(data))
     out.update(_parse_avi_meta(data))
+    out.update(_parse_zip_meta(data))
+    out.update(_parse_gzip_meta(data))
     sn = sniff_bytes(data)
     if sn["content_type"] in ("html", "text", "xml"):
         html_str, cs = decode_bytes(data)
@@ -4713,6 +4715,78 @@ def mp4_envelope_encode(
     trak = box(b"trak", box(b"tkhd", tkhd) + mdia)
     moov = box(b"moov", box(b"mvhd", mvhd) + trak)
     return box(b"ftyp", brand + b"\x00\x00\x02\x00" + brand) + moov
+
+
+ZIP_MAX_NAMES = 8
+
+
+def _parse_zip_meta(data: bytes) -> dict[str, str]:
+    """ZIP central-directory walk (stdlib zipfile, totality-wrapped):
+    entry count, a bounded name sample, and Office/EPUB subtype
+    detection by their well-known member names — the archive surface
+    binwalk/exiftool report for crawled docx/xlsx/epub/jars."""
+    if not data.startswith(b"PK\x03\x04"):
+        return {}
+    import io as _io2
+    import zipfile as _zipfile
+
+    try:
+        with _zipfile.ZipFile(_io2.BytesIO(data)) as z:
+            names = z.namelist()
+    except Exception:
+        return {"zip:valid": "false"}
+    out = {
+        "zip:valid": "true",
+        "zip:n_entries": str(len(names)),
+        "zip:names": ",".join(sorted(names)[:ZIP_MAX_NAMES]),
+    }
+    nameset = set(names)
+    if "[Content_Types].xml" in nameset:
+        if any(n.startswith("word/") for n in names):
+            out["zip:subtype"] = "docx"
+        elif any(n.startswith("xl/") for n in names):
+            out["zip:subtype"] = "xlsx"
+        elif any(n.startswith("ppt/") for n in names):
+            out["zip:subtype"] = "pptx"
+        else:
+            out["zip:subtype"] = "ooxml"
+    elif "mimetype" in nameset:
+        try:
+            with _zipfile.ZipFile(_io2.BytesIO(data)) as z:
+                mt = z.read("mimetype")[:64].decode("ascii", "replace")
+            if "epub" in mt:
+                out["zip:subtype"] = "epub"
+        except Exception:
+            pass
+    elif "META-INF/MANIFEST.MF" in nameset:
+        out["zip:subtype"] = "jar"
+    return out
+
+
+def _parse_gzip_meta(data: bytes) -> dict[str, str]:
+    """GZIP member header (RFC 1952): original filename + mtime when
+    present, plus the decompressed size of the FIRST member from the
+    trailing ISIZE field (mod 2^32, single-member exact)."""
+    if len(data) < 18 or data[:2] != b"\x1f\x8b" or data[2] != 8:
+        return {}
+    out: dict[str, str] = {}
+    flg = data[3]
+    mtime = int.from_bytes(data[4:8], "little")
+    if mtime:
+        out["gzip:mtime"] = str(mtime)
+    p = 10
+    if flg & 0x04:  # FEXTRA
+        if p + 2 > len(data):
+            return out
+        xlen = int.from_bytes(data[p : p + 2], "little")
+        p += 2 + xlen
+    if flg & 0x08:  # FNAME
+        end = data.find(b"\x00", p, p + 256)
+        if end > p:
+            out["gzip:name"] = data[p:end].decode("latin-1")
+        p = end + 1 if end >= 0 else p
+    out["gzip:isize"] = str(int.from_bytes(data[-4:], "little"))
+    return out
 
 
 def _parse_avi_meta(data: bytes) -> dict[str, str]:

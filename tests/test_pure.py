@@ -679,3 +679,36 @@ def test_avi_envelope():
     # WAV riffs are untouched by the avi walk
     wav = pure.wav_encode([100] * 64, 8000)
     assert not any(k.startswith("avi:") for k in pure.extract_metadata(wav))
+
+
+def test_zip_gzip_metadata():
+    """Round 4: archive envelope surface (binwalk/exiftool parity) —
+    central-directory walk with Office/EPUB/JAR subtype detection and
+    gzip member header fields."""
+    import gzip as _gzip
+    import io as _io
+    import zipfile as _zipfile
+
+    buf = _io.BytesIO()
+    with _zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<x/>")
+        z.writestr("word/document.xml", "<d/>")
+    m = pure.extract_metadata(buf.getvalue())
+    assert m["zip:subtype"] == "docx" and m["zip:n_entries"] == "2"
+
+    buf2 = _io.BytesIO()
+    with _zipfile.ZipFile(buf2, "w") as z:
+        z.writestr("mimetype", "application/epub+zip")
+        z.writestr("OEBPS/content.opf", "x")
+    assert pure.extract_metadata(buf2.getvalue())["zip:subtype"] == "epub"
+
+    gz = _gzip.compress(b"payload bytes" * 9)
+    gm = pure.extract_metadata(gz)
+    assert gm["gzip:isize"] == str(len(b"payload bytes" * 9))
+
+    import random
+
+    rng = random.Random(8)
+    corrupt = b"PK\x03\x04" + bytes(rng.randrange(256) for _ in range(300))
+    assert pure.extract_metadata(corrupt).get("zip:valid") == "false"
+    pure.extract_metadata(b"\x1f\x8b\x08" + bytes(rng.randrange(256) for _ in range(64)))
