@@ -108,9 +108,10 @@ def sniff_bytes(data: bytes | None) -> dict:
     head = data[:2048]
     if content_type is None and len(data) >= 12 and data[4:8] == b"ftyp":
         content_type = "mp4"
-    if content_type is None and len(data) >= 4 and data[0] == 0xFF and (
-        data[1] & 0xE0
-    ) == 0xE0:
+    if (
+        content_type is None and charset is None  # a BOM (0xFF 0xFE) is text
+        and len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
         # bare MPEG-audio frame sync (no ID3 header); validated by a real
         # header parse so random 0xFF-leading binaries don't match
         if _mp3_frame(data, 0) is not None:
@@ -937,9 +938,11 @@ def extract_metadata(data: bytes | None) -> dict[str, str]:
     out.update(_parse_bmp_meta(data))
     out.update(_parse_tiff_meta(data))
     out.update(_parse_pdf_meta(data))
-    out.update(_parse_mp3_meta(data) if data[:3] == b"ID3" or (
-        len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
-        and data[:3] != b"\xff\xd8\xff") else {})
+    sn = sniff_bytes(data)
+    # one sniff drives the container dispatch — no second, weaker copy of
+    # the mp3 frame-sync rule (round-4 review finding)
+    if sn["content_type"] == "mp3":
+        out.update(_parse_mp3_meta(data))
     out.update(_parse_ogg_meta(data))
     out.update(_parse_flac_meta(data))
     out.update(_parse_mp4_meta(data))
@@ -947,7 +950,6 @@ def extract_metadata(data: bytes | None) -> dict[str, str]:
     out.update(_parse_avi_meta(data))
     out.update(_parse_zip_meta(data))
     out.update(_parse_gzip_meta(data))
-    sn = sniff_bytes(data)
     if sn["content_type"] in ("html", "text", "xml"):
         html_str, cs = decode_bytes(data)
         out["charset"] = cs
@@ -3879,8 +3881,6 @@ def flac_encode(samples: list[int], rate: int = 16000) -> bytes:
         frame = header + sub.bytes()
         out += frame + _crc16(frame).to_bytes(2, "big")
         frame_no += 1
-        if not n_total:
-            break
     return bytes(out)
 
 
@@ -4661,18 +4661,19 @@ def _parse_mp4_meta(data: bytes) -> dict[str, str]:
                 walk(body, p + size)
             elif btype == b"mvhd" and body + 4 <= hi:
                 ver = data[body]
-                if ver == 1 and body + 28 <= hi:
+                if ver == 1 and body + 32 <= p + size:
                     ts = int.from_bytes(data[body + 20 : body + 24], "big")
                     dur = int.from_bytes(data[body + 24 : body + 32], "big")
-                elif body + 24 <= hi:
+                elif ver == 0 and body + 20 <= p + size:
                     ts = int.from_bytes(data[body + 12 : body + 16], "big")
                     dur = int.from_bytes(data[body + 16 : body + 20], "big")
                 else:
                     ts = dur = 0
                 if ts:
                     out["mp4:duration_s"] = f"{dur / ts:.3f}"
-            elif btype == b"tkhd" and "mp4:width" not in out:
+            elif btype == b"tkhd" and "mp4:width" not in out and size >= 92:
                 # width/height are the LAST 8 bytes of the box, 16.16 fixed
+                # (v0 tkhd is 92 bytes with header — smaller is malformed)
                 wq = int.from_bytes(data[p + size - 8 : p + size - 4], "big")
                 hq = int.from_bytes(data[p + size - 4 : p + size], "big")
                 if wq and hq:
@@ -4730,9 +4731,12 @@ def _parse_zip_meta(data: bytes) -> dict[str, str]:
     import io as _io2
     import zipfile as _zipfile
 
+    mimetype = None
     try:
         with _zipfile.ZipFile(_io2.BytesIO(data)) as z:
             names = z.namelist()
+            if "mimetype" in names:
+                mimetype = z.read("mimetype")[:64].decode("ascii", "replace")
     except Exception:
         return {"zip:valid": "false"}
     out = {
@@ -4750,14 +4754,8 @@ def _parse_zip_meta(data: bytes) -> dict[str, str]:
             out["zip:subtype"] = "pptx"
         else:
             out["zip:subtype"] = "ooxml"
-    elif "mimetype" in nameset:
-        try:
-            with _zipfile.ZipFile(_io2.BytesIO(data)) as z:
-                mt = z.read("mimetype")[:64].decode("ascii", "replace")
-            if "epub" in mt:
-                out["zip:subtype"] = "epub"
-        except Exception:
-            pass
+    elif "mimetype" in nameset and "epub" in (mimetype or ""):
+        out["zip:subtype"] = "epub"
     elif "META-INF/MANIFEST.MF" in nameset:
         out["zip:subtype"] = "jar"
     return out
@@ -4824,7 +4822,8 @@ def _parse_avi_meta(data: bytes) -> dict[str, str]:
                     out["avi:codec"] = fourcc.decode("latin-1").strip("\x00 ")
             p = body_lo + csz + (csz & 1)  # chunks are word-aligned
 
-    walk(12, min(len(data), 12 + int.from_bytes(data[4:8], "little")), 0, [1024])
+    # RIFF size counts from offset 8 and includes the 4-byte form type
+    walk(12, min(len(data), 8 + int.from_bytes(data[4:8], "little")), 0, [1024])
     return out
 
 

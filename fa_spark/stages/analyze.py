@@ -175,7 +175,20 @@ def with_analysis(pages_df):
     to pay the Arrow transfer for them); everything needing the decoded DOM
     rides the fused UDF. ``html`` is projected away immediately after the UDF
     stage (SURVEY.md §7.3 hard part 4 — never carry the blob further).
+
+    Rows with NULL html but non-empty ``text`` (WET conversion records —
+    already-extracted text, sources.read_warc) analyze the encoded text
+    instead: same fused pass, and sha/html_bytes follow the same bytes, so
+    WET documents flow through the pipeline rather than vanishing as
+    empty (round-4 review: the text column was otherwise never consumed).
     """
+    if "text" in pages_df.columns:
+        content = F.when(
+            F.col("html").isNull()
+            & (F.coalesce(F.col("text"), F.lit("")) != ""),
+            F.encode(F.col("text"), "UTF-8"),
+        ).otherwise(F.col("html"))
+        pages_df = pages_df.withColumn("html", content)
     return (
         pages_df.withColumn("a", page_analysis("html"))
         .select(

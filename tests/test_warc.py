@@ -162,3 +162,39 @@ def test_read_warc_routes_wet_conversion_to_text(spark, tmp_path):
     wet_row = rows["https://w.example/wet"]
     assert wet_row["html"] is None
     assert wet_row["text"] == "extracted body é"
+
+
+def test_wet_records_flow_through_analysis(spark):
+    """Round-4 review: WET text previously landed in a column no stage
+    consumed — WET docs analyzed as empty and vanished from the corpus.
+    They must now extract with success status and real token counts."""
+    from fa_spark.pipeline import JobConfig, analyze_pages
+    from fa_spark.sources import read_warc
+
+    recs = [
+        {"url": "https://wet.example/a", "ts": "2025-03-01T00:00:00Z",
+         "payload": ("Extracted body text with plenty of real words "
+                     "for the quality gate to count properly.").encode(),
+         "type": "conversion", "http": False},
+        {"url": "https://wet.example/b", "ts": "2025-03-01T00:00:00Z",
+         "payload": b"<html><body><p>normal html doc body</p></body></html>"},
+    ]
+    import tempfile
+
+    from fa_spark import pure
+
+    with tempfile.TemporaryDirectory() as td:
+        import pathlib
+
+        pathlib.Path(td, "w.warc").write_bytes(pure.warc_encode(recs))
+        pages = read_warc(spark, td)
+        out = {r["url"]: r for r in analyze_pages(
+            pages, JobConfig(run_id="wet-flow")
+        ).collect()}
+    a = out["https://wet.example/a"]
+    assert a["extract"]["status"] in ("success", "success_lenient")
+    assert "Extracted body text" in a["extract"]["text"]
+    assert a["n_tokens_ws"] > 5
+    assert a["sha"] is not None  # sha follows the analyzed bytes
+    b = out["https://wet.example/b"]
+    assert "normal html doc body" in b["extract"]["text"]
