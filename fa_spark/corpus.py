@@ -172,15 +172,26 @@ def build_corpus(
             token_count_exprs,
         )
 
+        # keyed on a per-row unique id, NOT url (round-5 ADVICE): after sha
+        # canonical election sha is unique among survivors (one canonical
+        # per sha group, the NULL group included — at most one NULL-sha
+        # row), while url is NOT (the same url recrawled with different
+        # content survives exact dedup as two rows, and a url-keyed inner
+        # join here would cross-apply one doc's spans to the other's token
+        # stream). coalesce gives the single possible NULL-sha row a
+        # non-null key so the join back cannot drop it.
+        corpus = corpus.withColumn(
+            "_rid", F.coalesce(F.col("sha"), F.lit("\x00null-sha"))
+        )
         spans = duplicate_passages(
             corpus,
-            id_col="url",
+            id_col="_rid",
             text_col="text",
             window=cfg.dup_passage_window,
             min_count=cfg.dup_passage_min_count,
         )
         stripped = strip_duplicate_passages(
-            corpus, spans, id_col="url", text_col="text"
+            corpus, spans, id_col="_rid", text_col="text"
         ).persist()
         extra_caches.append(stripped)
         n_passage_tokens = int(
@@ -191,7 +202,7 @@ def build_corpus(
         # it; untouched rows keep their original text and counts verbatim
         changed = F.col("n_dropped_tokens") > 0
         ws_clean, bpe_clean = token_count_exprs("clean_text")
-        corpus = corpus.join(stripped, "url").select(
+        corpus = corpus.join(stripped, "_rid").select(
             "url",
             F.when(changed, F.col("clean_text")).otherwise(F.col("text")).alias(
                 "text"

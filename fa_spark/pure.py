@@ -52,7 +52,10 @@ MAGIC_PREFIXES: tuple[tuple[bytes, str], ...] = (
     (b"MZ", "exe"),
     (b"OggS", "ogg"),
     (b"fLaC", "flac"),
-    (b"ID3", "mp3"),
+    # NB: "ID3" is NOT here — it is ASCII-viable prose ("ID3 tags are...")
+    # so sniff_bytes only classifies mp3 after a structural ID3v2 header
+    # check (version bytes < 0xFF + syncsafe size), mirroring the
+    # bare-frame-sync path that validates with _mp3_frame.
     (b"RIFF", "riff"),
     (b"YUV4MPEG2 ", "y4m"),
     (b"\x1a\x45\xdf\xa3", "webm"),
@@ -108,6 +111,17 @@ def sniff_bytes(data: bytes | None) -> dict:
     head = data[:2048]
     if content_type is None and len(data) >= 12 and data[4:8] == b"ftyp":
         content_type = "mp4"
+    if (
+        content_type is None and data[:3] == b"ID3" and len(data) >= 10
+        # structurally valid ID3v2 header: known major version (2/3/4 —
+        # never printable ASCII, so prose starting "ID3 ..." fails here),
+        # sane revision, zero low-nibble flags, syncsafe size. A text
+        # document that merely *starts* with the characters "ID3" falls
+        # through to the text heuristics instead of being swallowed as mp3.
+        and data[3] in (2, 3, 4) and data[4] != 0xFF
+        and (data[5] & 0x0F) == 0 and _id3v2_size(data) > 0
+    ):
+        content_type = "mp3"
     if (
         content_type is None and charset is None  # a BOM (0xFF 0xFE) is text
         and len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
@@ -4679,7 +4693,12 @@ def _parse_mp4_meta(data: bytes) -> dict[str, str]:
                 if wq and hq:
                     out["mp4:width"] = str(wq >> 16)
                     out["mp4:height"] = str(hq >> 16)
-            elif btype == b"stsd" and "mp4:codec" not in out and body + 16 <= hi:
+            elif (
+                btype == b"stsd" and "mp4:codec" not in out
+                # bound by the box's own extent, not the parent range — a
+                # truncated stsd (size < 24) must not read sibling bytes
+                and body + 16 <= p + size
+            ):
                 fourcc = data[body + 12 : body + 16]
                 if fourcc.isalnum() or b" " in fourcc:
                     out["mp4:codec"] = fourcc.decode("latin-1").strip()

@@ -25,26 +25,36 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TRACKING_PARAM_NAMES = ("gclid", "fbclid", "msclkid", "ref", "igshid")
+# "ref" is deliberately NOT in the default set: it is not unambiguously a
+# tracking param (e.g. GitHub's ?ref=<branch> selects a distinct resource),
+# and the module rule is "semantics are unambiguous".  Callers that know
+# their corpus can pass their own set via `tracking_params`.
+TRACKING_PARAM_NAMES = ("gclid", "fbclid", "msclkid", "igshid")
 TRACKING_PARAM_PREFIXES = ("utm_",)
 
 
-def _keep_param(p: Column) -> Column:
+def _keep_param(p: Column, names: tuple[str, ...]) -> Column:
     name = F.regexp_extract(p, r"^([^=]*)", 1)
-    keep = (p != "") & ~F.lower(name).isin(*TRACKING_PARAM_NAMES)
+    keep = (p != "") & ~F.lower(name).isin(*names)
     for pref in TRACKING_PARAM_PREFIXES:
         keep = keep & ~F.lower(name).startswith(pref)
     return keep
 
 
-def _norm_query(query: Column) -> Column:
-    params = F.array_sort(F.filter(F.split(query, "&"), _keep_param))
+def _norm_query(query: Column, names: tuple[str, ...]) -> Column:
+    params = F.array_sort(
+        F.filter(F.split(query, "&"), lambda p: _keep_param(p, names))
+    )
     return F.when(
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise(F.lit(""))
 
 
-def normalize_url_expr(col, strip_www: bool = False) -> Column:
+def normalize_url_expr(
+    col,
+    strip_www: bool = False,
+    tracking_params: tuple[str, ...] = TRACKING_PARAM_NAMES,
+) -> Column:
     """Canonical form of a URL column (see module docstring for rules).
     Scheme-less input is passed through with only fragment/query cleanup
     (no host to case-fold)."""
@@ -69,18 +79,23 @@ def normalize_url_expr(col, strip_www: bool = False) -> Column:
     path = F.when(path == "", F.lit("/")).otherwise(
         F.regexp_replace(path, r"(.)/$", r"$1")
     )
-    with_scheme = F.concat(scheme, F.lit("://"), hostport, path, _norm_query(query))
+    with_scheme = F.concat(
+        scheme, F.lit("://"), hostport, path, _norm_query(query, tracking_params)
+    )
     # scheme-less input: strip fragment + tracking only, no case folding
     bare_path = F.regexp_extract(u, r"^([^?]*)", 1)
     bare_query = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
     return F.when(scheme != "", with_scheme).otherwise(
-        F.concat(bare_path, _norm_query(bare_query))
+        F.concat(bare_path, _norm_query(bare_query, tracking_params))
     )
 
 
 def normalize_urls(
     df: DataFrame, col: str = "url", out_col: str = "canonical_url",
     strip_www: bool = False,
+    tracking_params: tuple[str, ...] = TRACKING_PARAM_NAMES,
 ) -> DataFrame:
     """df + a canonical_url column (normalize_url_expr)."""
-    return df.withColumn(out_col, normalize_url_expr(F.col(col), strip_www))
+    return df.withColumn(
+        out_col, normalize_url_expr(F.col(col), strip_www, tracking_params)
+    )

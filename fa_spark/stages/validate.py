@@ -198,10 +198,15 @@ def validate_analysis(
 
 def validation_summary(report: DataFrame) -> DataFrame:
     """File-level verdict the reference CLI prints: one row of totals."""
+    # coalesce: SUM over zero rows is NULL, and an empty file must verdict
+    # as rows=0 / invalid_rows=0 / success=true, not success=null
+    n_invalid = F.coalesce(
+        F.sum(F.when(F.col("valid"), 0).otherwise(1)), F.lit(0)
+    )
     return report.agg(
         F.count("*").alias("rows"),
-        F.sum(F.when(F.col("valid"), 0).otherwise(1)).alias("invalid_rows"),
-        F.sum("n_errors").alias("n_errors"),
-        F.sum("n_warnings").alias("n_warnings"),
-        (F.sum(F.when(F.col("valid"), 0).otherwise(1)) == 0).alias("success"),
+        n_invalid.alias("invalid_rows"),
+        F.coalesce(F.sum("n_errors"), F.lit(0)).alias("n_errors"),
+        F.coalesce(F.sum("n_warnings"), F.lit(0)).alias("n_warnings"),
+        (n_invalid == 0).alias("success"),
     )

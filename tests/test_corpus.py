@@ -116,3 +116,58 @@ def test_corpus_passage_strip_gate(spark, pages_df):
         assert all(rows[u]["text"] == base_rows[u]["text"] for u in rows)
     else:
         assert dropped > 0
+
+
+def test_passage_strip_survives_duplicate_urls(spark, pages_df):
+    """Round-5 ADVICE (medium): the same url recrawled with different
+    content survives exact sha-dedup as two rows. The ExactSubstr stage
+    must key on a per-row unique id, not url — a url-keyed inner join
+    would n x n-blow-up the colliding rows and cross-apply one doc's
+    spans to the other's token stream."""
+    import datetime as dt
+
+    shared = " ".join(f"passage{i}" for i in range(14))
+    fill_a = " ".join(f"alpha{i} brown{i} castle{i}" for i in range(12))
+    fill_b = " ".join(f"omega{i} silver{i} harbor{i}" for i in range(12))
+
+    def page(body, title):
+        return (
+            f"<html><head><title>{title}</title></head><body>"
+            f"<main><h1>{title}</h1><p>{body}</p></main></body></html>"
+        ).encode()
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        ("http://dup.example/x", ts, page(f"{fill_a} {shared}", "First crawl"),
+         None, "en"),
+        ("http://dup.example/x", ts, page(f"{fill_b} {shared}", "Second crawl"),
+         None, "en"),
+        ("http://other.example/y", ts, page(f"{shared} plus tail words here "
+         "that make this quality gate pass easily with enough unique tokens",
+         "Third doc"), None, "en"),
+    ]
+    pages = pages_df.select("url", "warc_ts", "html", "text", "lang").limit(
+        60
+    ).unionByName(
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, "
+            "text string, lang string"
+        )
+    )
+    cfg = CorpusConfig(langs=("en", "und"), dup_passage_window=8)
+    corpus, report = build_corpus(pages, cfg)
+    out = corpus.collect()
+    rep = report.collect()[0]
+    # no row blow-up: the corpus count equals the report's funnel count,
+    # and each colliding row survives exactly once
+    assert len(out) == rep["n_corpus"]
+    dup_rows = [r for r in out if r["url"] == "http://dup.example/x"]
+    assert len(dup_rows) == 2
+    assert len({r["sha"] for r in dup_rows}) == 2
+    # the planted shared passage is stripped from each independently;
+    # each row keeps its OWN filler (no cross-applied spans)
+    for r in dup_rows:
+        assert "passage3" not in r["text"]
+    texts = {r["text"] for r in dup_rows}
+    assert any("alpha3" in t for t in texts)
+    assert any("omega3" in t for t in texts)

@@ -712,3 +712,33 @@ def test_zip_gzip_metadata():
     corrupt = b"PK\x03\x04" + bytes(rng.randrange(256) for _ in range(300))
     assert pure.extract_metadata(corrupt).get("zip:valid") == "false"
     pure.extract_metadata(b"\x1f\x8b\x08" + bytes(rng.randrange(256) for _ in range(64)))
+
+
+def test_sniff_id3_requires_structural_header():
+    """Round-5 ADVICE: prose that merely starts with the ASCII letters
+    "ID3" must NOT be swallowed as mp3 — classification requires a
+    structurally valid ID3v2 header (version bytes < 0xFF, syncsafe
+    size), mirroring the bare-frame-sync path's _mp3_frame validation."""
+    prose = b"ID3 tags are a metadata container commonly used in files."
+    assert pure.sniff_bytes(prose)["content_type"] == "text"
+    # a real ID3v2 header (valid version + syncsafe size) still sniffs mp3
+    real = b"ID3\x03\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    assert pure.sniff_bytes(real)["content_type"] == "mp3"
+    # non-syncsafe size byte (high bit set) -> not a valid ID3v2 header
+    bogus = b"ID3\x03\x00\x00\x80\x00\x00\x0a" + bytes(10)
+    assert pure.sniff_bytes(bogus)["content_type"] != "mp3"
+
+
+def test_mp4_truncated_stsd_does_not_read_sibling():
+    """Round-5 ADVICE: a truncated stsd box (size < 24) must not report
+    bytes of the following sibling box as mp4:codec."""
+    def box(t, body):
+        return (len(body) + 8).to_bytes(4, "big") + t + body
+
+    data = (
+        box(b"ftyp", b"isom\x00\x00\x00\x00")
+        + box(b"stsd", bytes(8))          # size 16 — too small for a fourcc
+        + box(b"free", b"AAAACODEC365")   # alnum bytes at the old read site
+    )
+    out = pure._parse_mp4_meta(data)
+    assert "mp4:codec" not in out

@@ -73,3 +73,24 @@ def test_normalize_plan_is_pure_catalyst(spark):
     out = normalize_urls(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_ref_param_kept_by_default(spark):
+    """Round-5 ADVICE: 'ref' is not unambiguously a tracking param
+    (GitHub's ?ref=<branch> selects a distinct resource) — the default
+    set keeps it; callers opt in via tracking_params."""
+    from pyspark.sql import functions as F
+
+    from fa_spark.stages.urls import normalize_url_expr
+
+    df = spark.createDataFrame(
+        [("https://github.com/o/r/tree/x?ref=main",)], "url string"
+    )
+    kept = df.select(normalize_url_expr(F.col("url")).alias("c")).collect()
+    assert kept[0]["c"] == "https://github.com/o/r/tree/x?ref=main"
+    custom = df.select(
+        normalize_url_expr(
+            F.col("url"), tracking_params=("gclid", "ref")
+        ).alias("c")
+    ).collect()
+    assert custom[0]["c"] == "https://github.com/o/r/tree/x"

@@ -121,3 +121,16 @@ def test_cli_validate_roundtrip(spark, analysis_df, tmp_path, capsys):
     assert {"url", "violations", "n_errors", "n_warnings", "valid"} <= set(
         back.columns
     )
+
+
+def test_summary_empty_report_is_zero_success(spark, analysis_df):
+    """Round-5 ADVICE: SUM over zero rows is NULL — an empty parquet must
+    verdict rows=0/invalid_rows=0/success=true, not success=null."""
+    from fa_spark.stages.validate import validate_analysis, validation_summary
+
+    empty = validate_analysis(analysis_df.limit(0))
+    row = validation_summary(empty).collect()[0]
+    assert row["rows"] == 0
+    assert row["invalid_rows"] == 0
+    assert row["n_errors"] == 0 and row["n_warnings"] == 0
+    assert row["success"] is True
