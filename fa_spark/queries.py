@@ -3000,22 +3000,31 @@ FROM i2 GROUP BY doc_id, isl
 
 REGISTRY: dict[str, tuple] = {
     # name: (spark_fn, oracle_sql_or_None)
-    "pricing_summary": (q_pricing_summary, SQL_PRICING),
-    "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
-    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
-    "forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE),
-    "events_type_stats": (q_events_type_stats, SQL_EVENTS_TYPE_STATS),
-    "events_user_top": (q_events_user_top, SQL_EVENTS_USER_TOP),
-    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
-    "events_props": (q_events_props, SQL_EVENTS_PROPS),
-    "events_json_path": (q_events_json_path, SQL_EVENTS_JSON_PATH),
-    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
-    "events_asof_attribution": (q_events_asof_attribution, SQL_EVENTS_ASOF),
-    "events_asof_forward": (q_events_asof_forward, SQL_EVENTS_ASOF_FORWARD),
-    "events_conversion_window": (q_events_conversion_window, SQL_EVENTS_CONVERSION),
-    "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
-    "part_type_stats": (q_part_type_stats, SQL_PART_TYPE_STATS),
-    "supplier_rank": (q_supplier_rank, SQL_SUPPLIER_RANK),
+    #
+    # ORDER MATTERS for external verification: the correctness driver
+    # snapshots the FIRST 50 entries only. Round 5 front-loads the
+    # queries that have never (or not recently) had an official row —
+    # the round-3/4 multimodal codecs — and rotates the long-stable
+    # relational/events rows (officially green every round since r1)
+    # to the tail. Coverage of the tail is unchanged: every entry still
+    # runs in the full pytest oracle sweep (tests/test_oracle.py).
+    #
+    # -- never/displaced officially-verified (rounds 3-4 codecs) --
+    "image_features": (q_image_features, SQL_IMAGE_FEATURES),
+    "jpeg_features": (q_jpeg_features, SQL_JPEG_FEATURES),
+    "progressive_jpeg": (q_progressive_jpeg, SQL_JPEG_FEATURES),
+    "detect_objects": (q_detect_objects, SQL_DETECT_OBJECTS),
+    "ocr_extract": (q_ocr_extract, SQL_OCR_EXTRACT),
+    "raster_features": (q_raster_features, SQL_RASTER_FEATURES),
+    "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
+    "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
+    "image_compare": (q_image_compare, SQL_IMAGE_COMPARE),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "audio_meta": (q_audio_meta, SQL_AUDIO_META),
+    "video_meta": (q_video_meta, SQL_VIDEO_META),
+    "flac_features": (q_flac_features, SQL_FLAC_FEATURES),
+    "video_features": (q_video_features, SQL_VIDEO_FEATURES),
+    # -- previously-verified operators (official green rows on record) --
     "doc_top_tags": (q_doc_top_tags, SQL_DOC_TOP_TAGS),
     "global_terms": (q_global_terms, SQL_GLOBAL_TERMS),
     "doc_search": (q_doc_search, SQL_DOC_SEARCH),
@@ -3053,20 +3062,24 @@ REGISTRY: dict[str, tuple] = {
     "salted_source_stats": (q_salted_source_stats, SQL_SALTED_SOURCE_STATS),
     "vocab_profile": (q_vocab_profile, SQL_VOCAB_PROFILE),
     "media_plumbing": (q_media_plumbing, SQL_MEDIA_PLUMBING),
-    "image_features": (q_image_features, SQL_IMAGE_FEATURES),
-    "jpeg_features": (q_jpeg_features, SQL_JPEG_FEATURES),
-    "progressive_jpeg": (q_progressive_jpeg, SQL_JPEG_FEATURES),
-    "detect_objects": (q_detect_objects, SQL_DETECT_OBJECTS),
-    "ocr_extract": (q_ocr_extract, SQL_OCR_EXTRACT),
-    "raster_features": (q_raster_features, SQL_RASTER_FEATURES),
-    "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
-    "image_ahash_dedup": (q_image_ahash_dedup, SQL_IMAGE_AHASH_DEDUP),
-    "image_compare": (q_image_compare, SQL_IMAGE_COMPARE),
-    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
-    "audio_meta": (q_audio_meta, SQL_AUDIO_META),
-    "video_meta": (q_video_meta, SQL_VIDEO_META),
-    "flac_features": (q_flac_features, SQL_FLAC_FEATURES),
-    "video_features": (q_video_features, SQL_VIDEO_FEATURES),
+    # -- long-stable tail (relational/events; officially green r1-r4,
+    #    rotated past the 50-row window to make room above) --
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE),
+    "events_type_stats": (q_events_type_stats, SQL_EVENTS_TYPE_STATS),
+    "events_user_top": (q_events_user_top, SQL_EVENTS_USER_TOP),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "events_props": (q_events_props, SQL_EVENTS_PROPS),
+    "events_json_path": (q_events_json_path, SQL_EVENTS_JSON_PATH),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "events_asof_attribution": (q_events_asof_attribution, SQL_EVENTS_ASOF),
+    "events_asof_forward": (q_events_asof_forward, SQL_EVENTS_ASOF_FORWARD),
+    "events_conversion_window": (q_events_conversion_window, SQL_EVENTS_CONVERSION),
+    "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
+    "part_type_stats": (q_part_type_stats, SQL_PART_TYPE_STATS),
+    "supplier_rank": (q_supplier_rank, SQL_SUPPLIER_RANK),
 }
 
 
