@@ -239,14 +239,42 @@ def commit_lineage(
     analysis.select("url", "sha", F.lit(run_id).alias("run_id")).write.mode(
         "append"
     ).partitionBy("run_id").parquet(_processed_path(base))
+    from fa_spark.stages.multimodal import STUB_CONTAINER_TYPES
+
+    # stub accounting (round 5, VERDICT r4 #6): rows the multimodal tier
+    # would mark decode_status=stubbed — recognized container, no pure-
+    # Python codec. riff counts only for non-WAVE forms (WAVE decodes for
+    # real); extract_metadata surfaces the form type as meta['riff:format'].
+    ct = F.col("sniff.content_type")
+    non_stub_riff = (ct == "riff") & (
+        F.coalesce(F.col("meta").getItem("riff:format"), F.lit("")) == "WAVE"
+    )
+    stub_ct = F.when(ct.isin(*STUB_CONTAINER_TYPES) & ~non_stub_riff, ct)
+    # two-level agg: (bucket, stub type) partial-aggregates map-side, then
+    # the tiny per-bucket rollup folds the breakdown into one map column —
+    # no collect_list over raw rows, scale-safe at any bucket size
+    pre = analysis.groupBy("bucket", stub_ct.alias("_stub_ct")).agg(
+        F.count("*").alias("_n"),
+        F.sum((F.col("extract.status") != "error").cast("long")).alias("_ok"),
+        F.sum("html_bytes").alias("_b"),
+    )
+    is_stub = F.col("_stub_ct").isNotNull()
     counters = (
-        analysis.groupBy("bucket")
+        pre.groupBy("bucket")
         .agg(
-            F.count("*").alias("input_rows"),
-            F.sum(
-                (F.col("extract.status") != "error").cast("long")
-            ).alias("output_rows"),
-            F.sum("html_bytes").alias("bytes"),
+            F.sum("_n").alias("input_rows"),
+            F.sum("_ok").alias("output_rows"),
+            F.sum("_b").alias("bytes"),
+            F.coalesce(
+                F.sum(F.when(is_stub, F.col("_n"))), F.lit(0)
+            ).alias("stubbed_rows"),
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(is_stub, F.struct("_stub_ct", "_n"))
+                    )
+                )
+            ).alias("stubbed_types"),
         )
         .select(
             F.lit(run_id).alias("run_id"),
@@ -254,6 +282,8 @@ def commit_lineage(
             "input_rows",
             "output_rows",
             "bytes",
+            "stubbed_rows",
+            "stubbed_types",
             F.lit(attempt).cast("int").alias("attempt"),
             F.lit(committed_at).alias("committed_at"),
         )

@@ -964,6 +964,11 @@ def extract_metadata(data: bytes | None) -> dict[str, str]:
     out.update(_parse_avi_meta(data))
     out.update(_parse_zip_meta(data))
     out.update(_parse_gzip_meta(data))
+    if sn["content_type"] == "riff" and len(data) >= 12:
+        # RIFF form type (WAVE / AVI / ...) — lets downstream consumers
+        # (e.g. lineage stub accounting) split decodable WAVE from the
+        # stubbed non-WAVE RIFF family without re-reading the bytes
+        out["riff:format"] = data[8:12].decode("latin-1").strip("\x00 ")
     if sn["content_type"] in ("html", "text", "xml"):
         html_str, cs = decode_bytes(data)
         out["charset"] = cs

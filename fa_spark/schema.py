@@ -96,6 +96,12 @@ LINEAGE = T.StructType(
         T.StructField("input_rows", T.LongType()),
         T.StructField("output_rows", T.LongType()),
         T.StructField("bytes", T.LongType()),
+        # multimodal stub accounting (round 5): rows whose sniffed type is
+        # a recognized container with no pure-Python codec (decode_status
+        # would be `stubbed`), plus the per-content-type breakdown — makes
+        # the 100-TB drop rule auditable the way dedup bucket-cap drops are
+        T.StructField("stubbed_rows", T.LongType()),
+        T.StructField("stubbed_types", T.MapType(T.StringType(), T.LongType())),
         T.StructField("attempt", T.IntegerType()),
         T.StructField("committed_at", T.TimestampType()),
     ]

@@ -51,6 +51,12 @@ from fa_spark import pure
 
 MODE_RESOLUTION = {"describe": 512, "detect": 384, "document": 768}
 
+# container families the feature stage recognizes but has no pure-Python
+# DSP codec for (their ENVELOPES still parse for real); riff is stubbed
+# only for non-WAVE forms — WAVE decodes via pure.decode_wav. Shared with
+# lineage stub accounting (lineage.commit_lineage) so the two stay in sync.
+STUB_CONTAINER_TYPES = ("ogg", "riff", "mp3", "mp4", "webm")
+
 MEDIA_FEATURES = T.StructType(
     [
         T.StructField("media_id", T.StringType()),
@@ -167,7 +173,7 @@ def media_features_fn(mode: str = "describe"):
                 # Python codec for (DSP-pipeline audio, compressed video,
                 # non-WAVE riff containers like avi) — the CONTAINER
                 # envelopes still parse for real into `meta` (round 4)
-                decodable = ct in ("ogg", "riff", "mp3", "mp4", "webm")
+                decodable = ct in STUB_CONTAINER_TYPES
                 status, feature, ahash = "skipped", None, None
                 if ct in _RASTER_DECODERS:
                     img = _decode_raster(ct, b)
