@@ -249,7 +249,15 @@ def commit_lineage(
     non_stub_riff = (ct == "riff") & (
         F.coalesce(F.col("meta").getItem("riff:format"), F.lit("")) == "WAVE"
     )
-    stub_ct = F.when(ct.isin(*STUB_CONTAINER_TYPES) & ~non_stub_riff, ct)
+    # ogg is stubbed only for non-Vorbis codecs — Vorbis payloads decode
+    # for real (round 5, pure.decode_vorbis); the codec id comes from the
+    # envelope walk (meta['ogg:codec'])
+    non_stub_ogg = (ct == "ogg") & (
+        F.coalesce(F.col("meta").getItem("ogg:codec"), F.lit("")) == "vorbis"
+    )
+    stub_ct = F.when(
+        ct.isin(*STUB_CONTAINER_TYPES) & ~non_stub_riff & ~non_stub_ogg, ct
+    )
     # two-level agg: (bucket, stub type) partial-aggregates map-side, then
     # the tiny per-bucket rollup folds the breakdown into one map column —
     # no collect_list over raw rows, scale-safe at any bucket size

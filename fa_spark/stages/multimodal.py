@@ -53,8 +53,10 @@ MODE_RESOLUTION = {"describe": 512, "detect": 384, "document": 768}
 
 # container families the feature stage recognizes but has no pure-Python
 # DSP codec for (their ENVELOPES still parse for real); riff is stubbed
-# only for non-WAVE forms — WAVE decodes via pure.decode_wav. Shared with
-# lineage stub accounting (lineage.commit_lineage) so the two stay in sync.
+# only for non-WAVE forms — WAVE decodes via pure.decode_wav — and ogg
+# only for non-Vorbis codecs (opus etc.) — Vorbis decodes for real as of
+# round 5 via pure.decode_vorbis. Shared with lineage stub accounting
+# (lineage.commit_lineage) so the two stay in sync.
 STUB_CONTAINER_TYPES = ("ogg", "riff", "mp3", "mp4", "webm")
 
 MEDIA_FEATURES = T.StructType(
@@ -140,7 +142,12 @@ def _real_wav_features(aud: dict) -> list[float]:
     n_samples, rate, duration_s, channels, 0-padding]."""
     vec = [
         round(aud["rms"], 6),
-        float(aud["peak"]),
+        # rounded BEFORE the float32 feature-array store so the stored
+        # value sits on a 6-dp grid point (identity for the integer PCM
+        # peaks of wav/flac; required for vorbis' float peaks — a raw
+        # float32 store could cross a 6-dp rounding boundary vs the
+        # float64 oracle)
+        round(float(aud["peak"]), 6),
         round(aud["zero_crossings"] / aud["n_samples"], 6),
         float(aud["n_samples"]),
         float(aud["rate"]),
@@ -186,6 +193,18 @@ def media_features_fn(mode: str = "describe"):
                         feature = _fake_decode(b, target)
                 elif is_wav or ct == "flac":
                     aud = pure.decode_wav(b) if is_wav else pure.decode_flac(b)
+                    if aud is not None:
+                        status = "decoded"
+                        feature = _real_wav_features(aud)
+                    else:
+                        status = "decode_error"
+                        feature = _fake_decode(b, target)
+                elif ct == "ogg" and meta.get("ogg:codec") == "vorbis":
+                    # round 5: real Vorbis decode (floor1 + residue +
+                    # IMDCT, pure.decode_vorbis) — ogg leaves the stub
+                    # tier for vorbis payloads; opus/other ogg codecs
+                    # fall through to the stub branch below
+                    aud = pure.decode_vorbis(b)
                     if aud is not None:
                         status = "decoded"
                         feature = _real_wav_features(aud)

@@ -252,6 +252,11 @@ def test_stub_counters_in_lineage(spark, pages_df, base):
         ("http://m.example/b.mp3", TS1, mp3 + b"\x00", None, "en"),
         ("http://m.example/c.mp4", TS1, mp4, None, "en"),
         ("http://m.example/d.wav", TS1, wav, None, "en"),  # decodable, NOT a stub
+        # vorbis decodes for real (round 5) — NOT a stub; opus is one
+        ("http://m.example/e.ogg", TS1,
+         pure.vorbis_tone_encode(2, 0.5, 4), None, "en"),
+        ("http://m.example/f.opus", TS1,
+         pure.ogg_envelope_encode(codec="opus"), None, "en"),
     ]
     pages = pages_df.select("url", "warc_ts", "html", "text", "lang").limit(
         30
@@ -266,9 +271,9 @@ def test_stub_counters_in_lineage(spark, pages_df, base):
     agg = counters.agg(
         F.sum("stubbed_rows").alias("n"),
     ).collect()[0]
-    assert agg["n"] == 3  # two mp3 + one mp4; the wav decodes for real
+    assert agg["n"] == 4  # two mp3 + one mp4 + one opus; wav and vorbis decode for real
     by_type: dict[str, int] = {}
     for row in counters.collect():
         for k, v in (row["stubbed_types"] or {}).items():
             by_type[k] = by_type.get(k, 0) + v
-    assert by_type == {"mp3": 2, "mp4": 1}
+    assert by_type == {"mp3": 2, "mp4": 1, "ogg": 1}

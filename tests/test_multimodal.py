@@ -175,3 +175,33 @@ def test_detect_objects_typed_array(spark):
     assert len(png_objs) == 4 and all(o["label"] == "region_0" for o in png_objs)
     assert got["txt"]["objects"] is None and got["txt"]["decode_status"] == "skipped"
     assert got["bad"]["decode_status"] == "decode_error"
+
+
+def test_vorbis_decodes_opus_stays_stubbed(spark):
+    """Round 5: ogg+vorbis payloads decode for REAL through the stage
+    (pure.decode_vorbis); non-vorbis ogg (opus) keeps decode_status
+    stubbed; malformed vorbis reports decode_error."""
+    from fa_spark import pure
+
+    good = pure.vorbis_tone_encode(3, 0.5, 8, 8000)
+    # valid headers, corrupted audio page: flip a byte in the last page's
+    # body so the CRC check drops it -> no PCM -> decode_error
+    bad = bytearray(good)
+    bad[-3] ^= 0xFF
+    rows = [
+        ("v1", good),
+        ("v2", bytes(bad)),
+        ("op", pure.ogg_envelope_encode(codec="opus")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    out = {
+        r["media_id"]: r
+        for r in extract_media_features(df, mode="describe").collect()
+    }
+    assert out["v1"]["content_type"] == "ogg"
+    assert out["v1"]["decode_status"] == "decoded"
+    feats = out["v1"]["feature"]
+    assert feats[3] == 1024.0 and feats[4] == 8000.0  # n_samples, rate
+    assert 0 < feats[0] < 1  # rms of a 0.5-amplitude tone
+    assert out["v2"]["decode_status"] == "decode_error"
+    assert out["op"]["decode_status"] == "stubbed"

@@ -742,3 +742,91 @@ def test_mp4_truncated_stsd_does_not_read_sibling():
     )
     out = pure._parse_mp4_meta(data)
     assert "mp4:codec" not in out
+
+
+# ---- Ogg Vorbis decode (round 5) ----
+
+def test_vorbis_roundtrip_matches_closed_form():
+    """decode_vorbis on a single-bin tone must equal the IMDCT cosine
+    closed form to float64 exactness — the same identity the SQL oracle
+    of ogg_features recomputes independently."""
+    import math
+
+    import numpy as np
+
+    n, n2, H = 256, 128, 8
+    w = np.sin(0.5 * math.pi * np.sin(math.pi * (np.arange(n) + 0.5) / n) ** 2)
+    for k0, num in [(1, 1), (3, 3), (5, 7), (2, 4)]:
+        v = num / 8.0
+        blob = pure.vorbis_tone_encode(k0, v, H, 8000)
+        assert pure.sniff_bytes(blob)["content_type"] == "ogg"
+        assert pure.extract_metadata(blob)["ogg:codec"] == "vorbis"
+        d = pure.decode_vorbis(blob)
+        assert d is not None and d["n_samples"] == H * n2
+        c = np.cos(
+            math.pi / (2 * n) * (2 * np.arange(n) + 1 + n2) * (2 * k0 + 1)
+        )
+        p = v * (w[n2:] * c[n2:] + w[:n2] * c[:n2])
+        assert abs(d["rms"] - math.sqrt(np.mean(p * p))) < 1e-12
+        assert abs(d["peak"] - np.max(np.abs(p))) < 1e-12
+        pos = p >= 0
+        c_in = int(np.count_nonzero(pos[1:] != pos[:-1]))
+        c_wrap = int(pos[-1] != pos[0])
+        assert d["zero_crossings"] == H * c_in + (H - 1) * c_wrap
+        assert d["rate"] == 8000 and d["n_channels"] == 1
+
+
+def test_vorbis_total_on_hostile_bytes():
+    """decode_vorbis must never raise: truncations of a valid stream at
+    every byte, a corrupted page CRC, random bytes, and non-vorbis ogg
+    (opus) all return None or a valid dict."""
+    import random
+
+    blob = pure.vorbis_tone_encode(2, 0.5, 4)
+    for cut in range(0, len(blob), 7):
+        r = pure.decode_vorbis(blob[:cut])
+        assert r is None or r["n_samples"] > 0
+    # flip bytes (CRC must catch body corruption; header corruption must
+    # not escape as an exception either way)
+    rng = random.Random(5)
+    for _ in range(60):
+        b = bytearray(blob)
+        b[rng.randrange(len(b))] ^= 0xFF
+        r = pure.decode_vorbis(bytes(b))
+        assert r is None or isinstance(r, dict)
+    assert pure.decode_vorbis(None) is None
+    assert pure.decode_vorbis(b"") is None
+    assert pure.decode_vorbis(bytes(rng.randrange(256) for _ in range(512))) is None
+    opus = pure.ogg_envelope_encode(codec="opus")
+    assert pure.decode_vorbis(opus) is None
+
+
+def test_vorbis_codeword_assignment():
+    """Spec §3.2.1 codeword assignment: entries in order take the lowest
+    available codeword of their length; prefix-freeness holds."""
+    words = pure._vorbis_codewords([2, 4, 4, 4, 4, 2, 3, 3])
+    # classic example from the Vorbis I spec
+    assert words[0] == (0b00, 2)
+    assert words[1] == (0b0100, 4)
+    assert words[2] == (0b0101, 4)
+    assert words[3] == (0b0110, 4)
+    assert words[4] == (0b0111, 4)
+    assert words[5] == (0b10, 2)
+    assert words[6] == (0b110, 3)
+    assert words[7] == (0b111, 3)
+    # over-specified tree rejected
+    assert pure._vorbis_codewords([1, 1, 1]) is None
+
+
+def test_vorbis_float32_pack_roundtrip():
+    for v in (0.0, 0.125, 0.375, 0.875, 1.0, -0.5, 3.0):
+        assert pure._vfloat32_unpack(pure._vfloat32_pack(v)) == v
+
+
+def test_floor1_db_table_endpoints():
+    """Inverse-dB table pinned to the spec's published endpoints; index
+    255 exactly 1.0 (the flat-floor fixture identity relies on it)."""
+    assert pure._F1_DB_TABLE[255] == 1.0
+    assert abs(pure._F1_DB_TABLE[0] - 1.0649863e-07) < 1e-13
+    # geometric: published second entry 1.1341951e-07 to ~5 significant figures
+    assert abs(pure._F1_DB_TABLE[1] - 1.1341951e-07) < 1e-11
