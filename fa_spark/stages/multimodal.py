@@ -373,7 +373,10 @@ def ocr_media(
                     img = _decode_raster(ct, b)
                     if img is not None:
                         status = "decoded"
-                        text = pure.ocr_image(img)
+                        # soft sub-cell matcher (round 5): reads
+                        # anti-aliased rasters; equal to the exact path
+                        # on clean binary input
+                        text = pure.ocr_image(img, soft=True)
                     else:
                         status = "decode_error"
                 rows.append(

@@ -121,3 +121,45 @@ def test_hamming_tolerance_opt_in():
     img = pure.decode_png(pure.png_encode(rows))
     assert pure.ocr_image(img) == "?b"  # default stays exact
     assert pure.ocr_image(img, max_hamming=3) == "ab"
+
+
+def test_soft_matcher_reads_antialiased_at_two_scales():
+    """Round 5 (VERDICT r4 #4): anti-aliased renders (3x3 box blur, gray
+    edge ramps) are unreadable by the exact cell matcher but read by the
+    soft sub-cell confidence path — at BOTH render scales 2 and 3,
+    through both codecs, at both contrast classes."""
+    for s in (2, 3):
+        for ink, paper in ((0, 255), (64, 224)):
+            rows = pure.render_text_image(
+                "soft9", scale=s, ink=ink, paper=paper, antialias=True
+            )
+            png = pure.decode_png(pure.png_encode(rows))
+            jpg = pure.decode_jpeg(pure.jpeg_encode(rows))
+            assert pure.ocr_image(png, soft=True) == "soft9", (s, ink)
+            assert pure.ocr_image(jpg, soft=True) == "soft9", (s, ink)
+
+
+def test_soft_equals_exact_on_binary_input():
+    """On clean binary renders the soft path must read identically to the
+    exact path (the agreement formula reduces to nbits - Hamming)."""
+    for text in ("abc", "doc42", "zz00"):
+        for s in (1, 2, 3):
+            img = pure.decode_png(
+                pure.png_encode(pure.render_text_image(text, scale=s))
+            )
+            assert pure.ocr_image(img, soft=True) == pure.ocr_image(img) == text
+
+
+def test_soft_low_confidence_reads_question_mark():
+    """A cell far from every glyph still reads '?' under the soft path:
+    scramble half a glyph's pixels so no candidate clears the
+    confidence threshold."""
+    rows = pure.render_text_image("ab", scale=1)
+    # overwrite the 'a' cell with an alternating pattern (non-glyph)
+    for gy in range(pure.GLYPH_H):
+        for gx in range(pure.GLYPH_W):
+            v = 0 if (gx + gy) % 2 == 0 else 255
+            rows[1 + gy][1 + gx] = (v, v, v)
+    img = pure.decode_png(pure.png_encode(rows))
+    got = pure.ocr_image(img, soft=True, scales=(1,))
+    assert got is not None and got.endswith("b") and got[0] == "?"
