@@ -246,8 +246,13 @@ def commit_lineage(
     # Python codec. riff counts only for non-WAVE forms (WAVE decodes for
     # real); extract_metadata surfaces the form type as meta['riff:format'].
     ct = F.col("sniff.content_type")
+    # riff is non-stub for WAVE (decode_wav) and for Motion-JPEG AVI
+    # (decode_avi_mjpeg, round 5) — both decode for real
     non_stub_riff = (ct == "riff") & (
-        F.coalesce(F.col("meta").getItem("riff:format"), F.lit("")) == "WAVE"
+        (F.coalesce(F.col("meta").getItem("riff:format"), F.lit("")) == "WAVE")
+        | F.upper(
+            F.trim(F.coalesce(F.col("meta").getItem("avi:codec"), F.lit("")))
+        ).isin("MJPG", "MJPEG")
     )
     # ogg is stubbed only for non-Vorbis codecs — Vorbis payloads decode
     # for real (round 5, pure.decode_vorbis); the codec id comes from the

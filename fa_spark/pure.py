@@ -5899,6 +5899,114 @@ def avi_envelope_encode(
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+AVI_MAX_FRAMES = 1 << 12
+
+
+def avi_mjpeg_encode(
+    jpeg_frames: list, fps: int = 25, width: int = 0, height: int = 0
+) -> bytes:
+    """AVI carrying REAL JPEG frames as '00dc' chunks in the movi list —
+    Motion JPEG, the fixture/synthesis side of decode_avi_mjpeg. Every
+    header field decode_avi_mjpeg reads is populated."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = (
+        (10**6 // fps).to_bytes(4, "little") + b"\x00" * 12
+        + len(jpeg_frames).to_bytes(4, "little") + b"\x00" * 12
+        + width.to_bytes(4, "little") + height.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    strh = b"vids" + b"MJPG" + b"\x00" * 48
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_avi_mjpeg(data: bytes | None) -> dict | None:
+    """Real Motion-JPEG-in-AVI video decode (round 5 — the first
+    COMPRESSED video payload tier, closing part of the last stub family):
+    the RIFF walk collects '##dc'/'##db' frame chunks inside LIST movi,
+    each frame is a complete JPEG decoded with this repo's own
+    baseline/progressive JPEG decoder, and the clip-level features mirror
+    decode_y4m — even frame sampling (first and last included),
+    per-sampled-frame mean luminance (mean over all channel bytes, which
+    for RGB equals the mean of per-pixel (r+g+b)/3). Returns the
+    decode_y4m dict shape; None for non-AVI input, a non-MJPG video
+    codec, zero frame chunks, or a sampled frame that fails to decode.
+    Work is bounded: at most VIDEO_SAMPLE_FRAMES frames are ever
+    decoded, frame chunk collection caps at AVI_MAX_FRAMES."""
+    if not data or len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    us_per_frame = [0]
+    dims = [0, 0]
+    codec = [b""]
+    frames: list[tuple[int, int]] = []
+
+    def walk(lo: int, hi: int, depth: int, budget: list) -> None:
+        p = lo
+        while p + 8 <= hi and budget[0] > 0:
+            budget[0] -= 1
+            cid = data[p : p + 4]
+            csz = int.from_bytes(data[p + 4 : p + 8], "little")
+            body = p + 8
+            if csz > hi - body:
+                return
+            if cid == b"LIST" and depth < 4 and csz >= 4:
+                walk(body + 4, body + csz, depth + 1, budget)
+            elif cid == b"avih" and csz >= 40:
+                us_per_frame[0] = int.from_bytes(data[body : body + 4], "little")
+                dims[0] = int.from_bytes(data[body + 32 : body + 36], "little")
+                dims[1] = int.from_bytes(data[body + 36 : body + 40], "little")
+            elif cid == b"strh" and csz >= 8 and not codec[0]:
+                if data[body : body + 4] == b"vids":
+                    codec[0] = data[body + 4 : body + 8]
+            elif (
+                cid[:2].isdigit()
+                and cid[2:4] in (b"dc", b"db")
+                and csz > 0
+                and len(frames) < AVI_MAX_FRAMES
+            ):
+                frames.append((body, csz))
+            p = body + csz + (csz & 1)  # chunks are word-aligned
+
+    walk(12, min(len(data), 8 + int.from_bytes(data[4:8], "little")), 0, [4096])
+    if codec[0].strip(b"\x00 ").upper() not in (b"MJPG", b"MJPEG") or not frames:
+        return None
+    n_frames = len(frames)
+    k = min(VIDEO_SAMPLE_FRAMES, n_frames)
+    if k == 1:
+        sampled = [0]
+    else:
+        sampled = sorted({i * (n_frames - 1) // (k - 1) for i in range(k)})
+    means = []
+    width = height = 0
+    for i in sampled:
+        off, csz = frames[i]
+        img = decode_jpeg(data[off : off + csz])
+        if img is None:
+            return None  # a sampled frame that does not decode = error
+        width, height = img["width"], img["height"]
+        px = img["pixels"]
+        means.append(sum(px) / len(px))
+    fps = 10**6 / us_per_frame[0] if us_per_frame[0] else 25.0
+    return {
+        "width": width or dims[0],
+        "height": height or dims[1],
+        "n_frames": n_frames,
+        "fps": fps,
+        "duration_s": n_frames / fps,
+        "sampled_frames": sampled,
+        "frame_means": means,
+    }
+
+
 def _ebml_vint(data: bytes, p: int, keep_marker: bool):
     """EBML variable-length integer at p -> (value, n_bytes) or None."""
     if p >= len(data) or data[p] == 0:

@@ -2679,6 +2679,74 @@ FROM documents
 """
 
 
+def _mjpeg_avi_batch(doc_id: pd.Series) -> pd.Series:
+    """Deterministic Motion-JPEG AVI per doc: 3 + doc_id%4 solid-gray
+    16x16 JPEG frames at luminance 20 + 9*(doc_id%20) + frame_index —
+    solid frames DC-round-trip exactly through the JPEG codec, so every
+    sampled-frame mean is closed-form."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        n = 3 + did % 4
+        base = 20 + 9 * (did % 20)
+        frames = [
+            pure.jpeg_encode([[(base + k,) * 3] * VID_SIDE] * VID_SIDE)
+            for k in range(n)
+        ]
+        out.append(pure.avi_mjpeg_encode(frames, VID_FPS, VID_SIDE, VID_SIDE))
+    return pd.Series(out)
+
+
+mjpeg_avi_udf = F.pandas_udf(_mjpeg_avi_batch, BinaryType())
+
+
+def q_mjpeg_features(spark, sf_dir):
+    """REAL Motion-JPEG AVI decode round trip (round 5 — the first
+    COMPRESSED video payload decode, via pure.decode_avi_mjpeg: RIFF
+    movi walk -> per-frame JPEG decode with this repo's own codec ->
+    even frame sampling): value-check frame count, geometry, duration,
+    and first/last sampled-frame luminance against closed forms."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        mjpeg_avi_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    fd = _feat_d
+    # the sampled-frame means occupy feature slots 7.. (1-based); with
+    # n <= 7 frames every frame is sampled, so the LAST mean sits at
+    # slot 6 + n_sampled where n_sampled = feature[6]
+    last_slot = (F.element_at(F.col("feature"), 6) + F.lit(6.0)).cast("int")
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        "width",
+        "height",
+        fd(1).alias("n_frames"),
+        fd(5).alias("duration_s"),
+        fd(7).alias("mean_first"),
+        F.round(
+            F.element_at(F.col("feature"), last_slot).cast("double"), 6
+        ).alias("mean_last"),
+    )
+
+
+SQL_MJPEG_FEATURES = f"""
+SELECT doc_id,
+       'riff' AS content_type,
+       'decoded' AS decode_status,
+       {VID_SIDE} AS width, {VID_SIDE} AS height,
+       CAST(3 + doc_id % 4 AS DOUBLE) AS n_frames,
+       ROUND(CAST(3 + doc_id % 4 AS DOUBLE) / {VID_FPS}, 6) AS duration_s,
+       CAST(20 + 9 * (doc_id % 20) AS DOUBLE) AS mean_first,
+       CAST(20 + 9 * (doc_id % 20) + (3 + doc_id % 4) - 1 AS DOUBLE) AS mean_last
+FROM documents
+"""
+
+
 def _audio_container_batch(doc_id: pd.Series) -> pd.Series:
     """Per-doc audio container rotating mp3 / ogg / flac (round 4 —
     exiftool-parity envelope metadata). Geometries chosen so every
@@ -3136,6 +3204,7 @@ REGISTRY: dict[str, tuple] = {
     "video_features": (q_video_features, SQL_VIDEO_FEATURES),
     # -- new round-5 operators --
     "ogg_features": (q_ogg_features, SQL_OGG_FEATURES),
+    "mjpeg_features": (q_mjpeg_features, SQL_MJPEG_FEATURES),
     # -- previously-verified operators (official green rows on record) --
     "doc_top_tags": (q_doc_top_tags, SQL_DOC_TOP_TAGS),
     "global_terms": (q_global_terms, SQL_GLOBAL_TERMS),

@@ -199,6 +199,21 @@ def media_features_fn(mode: str = "describe"):
                     else:
                         status = "decode_error"
                         feature = _fake_decode(b, target)
+                elif ct == "riff" and meta.get("avi:codec", "").strip().upper() in (
+                    "MJPG", "MJPEG",
+                ):
+                    # round 5: Motion-JPEG AVI decodes for REAL — frame
+                    # chunks are complete JPEGs through this repo's own
+                    # JPEG decoder (pure.decode_avi_mjpeg); other AVI
+                    # codecs stay in the stub branch below
+                    vid = pure.decode_avi_mjpeg(b)
+                    if vid is not None:
+                        status = "decoded"
+                        width, height = vid["width"], vid["height"]
+                        feature = _real_y4m_features(vid)
+                    else:
+                        status = "decode_error"
+                        feature = _fake_decode(b, target)
                 elif ct == "ogg" and meta.get("ogg:codec") == "vorbis":
                     # round 5: real Vorbis decode (floor1 + residue +
                     # IMDCT, pure.decode_vorbis) — ogg leaves the stub

@@ -257,6 +257,11 @@ def test_stub_counters_in_lineage(spark, pages_df, base):
          pure.vorbis_tone_encode(2, 0.5, 4), None, "en"),
         ("http://m.example/f.opus", TS1,
          pure.ogg_envelope_encode(codec="opus"), None, "en"),
+        # MJPEG AVI decodes for real (round 5) — NOT a stub; XVID is one
+        ("http://m.example/g.avi", TS1, pure.avi_mjpeg_encode(
+            [pure.jpeg_encode([[(60, 60, 60)] * 16] * 16)]), None, "en"),
+        ("http://m.example/h.avi", TS1,
+         pure.avi_envelope_encode(4, codec=b"XVID"), None, "en"),
     ]
     pages = pages_df.select("url", "warc_ts", "html", "text", "lang").limit(
         30
@@ -271,9 +276,11 @@ def test_stub_counters_in_lineage(spark, pages_df, base):
     agg = counters.agg(
         F.sum("stubbed_rows").alias("n"),
     ).collect()[0]
-    assert agg["n"] == 4  # two mp3 + one mp4 + one opus; wav and vorbis decode for real
+    # two mp3 + one mp4 + one opus + one xvid-avi; wav, vorbis and
+    # mjpeg-avi decode for real
+    assert agg["n"] == 5
     by_type: dict[str, int] = {}
     for row in counters.collect():
         for k, v in (row["stubbed_types"] or {}).items():
             by_type[k] = by_type.get(k, 0) + v
-    assert by_type == {"mp3": 2, "mp4": 1, "ogg": 1}
+    assert by_type == {"mp3": 2, "mp4": 1, "ogg": 1, "riff": 1}

@@ -205,3 +205,29 @@ def test_vorbis_decodes_opus_stays_stubbed(spark):
     assert 0 < feats[0] < 1  # rms of a 0.5-amplitude tone
     assert out["v2"]["decode_status"] == "decode_error"
     assert out["op"]["decode_status"] == "stubbed"
+
+
+def test_mjpeg_avi_decodes_other_codecs_stay_stubbed(spark):
+    """Round 5: Motion-JPEG AVI decodes for real through the stage;
+    other AVI codecs keep decode_status stubbed."""
+    from fa_spark import pure
+
+    frames = [
+        pure.jpeg_encode([[(50 + i, 50 + i, 50 + i)] * 16] * 16)
+        for i in range(4)
+    ]
+    rows = [
+        ("mj", pure.avi_mjpeg_encode(frames, fps=25, width=16, height=16)),
+        ("xv", pure.avi_envelope_encode(4, codec=b"XVID")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    out = {
+        r["media_id"]: r
+        for r in extract_media_features(df, mode="describe").collect()
+    }
+    assert out["mj"]["decode_status"] == "decoded"
+    assert out["mj"]["width"] == 16 and out["mj"]["height"] == 16
+    f = out["mj"]["feature"]
+    assert f[0] == 4.0  # n_frames
+    assert f[6] == 50.0  # first sampled mean
+    assert out["xv"]["decode_status"] == "stubbed"

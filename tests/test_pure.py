@@ -830,3 +830,48 @@ def test_floor1_db_table_endpoints():
     assert abs(pure._F1_DB_TABLE[0] - 1.0649863e-07) < 1e-13
     # geometric: published second entry 1.1341951e-07 to ~5 significant figures
     assert abs(pure._F1_DB_TABLE[1] - 1.1341951e-07) < 1e-11
+
+
+# ---- Motion-JPEG AVI decode (round 5) ----
+
+def _gray_jpeg(v: int, side: int = 16) -> bytes:
+    return pure.jpeg_encode([[(v, v, v)] * side] * side)
+
+
+def test_avi_mjpeg_roundtrip():
+    """Solid-gray JPEG frames DC-round-trip exactly, so every sampled
+    mean is closed-form; geometry/fps/duration from the container."""
+    frames = [_gray_jpeg(40 + i) for i in range(5)]
+    avi = pure.avi_mjpeg_encode(frames, fps=25, width=16, height=16)
+    assert pure.sniff_bytes(avi)["content_type"] == "riff"
+    meta = pure.extract_metadata(avi)
+    assert meta["avi:codec"] == "MJPG" and meta["riff:format"] == "AVI"
+    d = pure.decode_avi_mjpeg(avi)
+    assert d is not None
+    assert d["n_frames"] == 5 and d["width"] == 16 and d["height"] == 16
+    assert d["fps"] == 25.0 and d["duration_s"] == 0.2
+    assert d["frame_means"] == [40.0, 41.0, 42.0, 43.0, 44.0]
+    # more frames than the sample budget: first and last still included
+    many = pure.avi_mjpeg_encode([_gray_jpeg(10 + i) for i in range(20)])
+    d = pure.decode_avi_mjpeg(many)
+    assert d["n_frames"] == 20
+    assert len(d["sampled_frames"]) == pure.VIDEO_SAMPLE_FRAMES
+    assert d["frame_means"][0] == 10.0 and d["frame_means"][-1] == 29.0
+
+
+def test_avi_mjpeg_total_on_hostile_bytes():
+    frames = [_gray_jpeg(99)]
+    avi = pure.avi_mjpeg_encode(frames)
+    for cut in range(0, len(avi), 11):
+        r = pure.decode_avi_mjpeg(avi[:cut])
+        assert r is None or r["n_frames"] >= 1
+    assert pure.decode_avi_mjpeg(None) is None
+    assert pure.decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00AVI ") is None
+    # envelope-only AVI (no frame chunks) and non-MJPG codec refuse
+    assert pure.decode_avi_mjpeg(pure.avi_envelope_encode(4)) is None
+    xvid = pure.avi_envelope_encode(4, codec=b"XVID")
+    assert pure.decode_avi_mjpeg(xvid) is None
+    # corrupt the frame payload -> sampled-frame decode fails -> None
+    bad = bytearray(avi)
+    bad[-10] ^= 0xFF
+    assert pure.decode_avi_mjpeg(bytes(bad)) is None
