@@ -474,6 +474,32 @@ def q_dataset_split(spark, sf_dir):
     )
 
 
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic stratified sample (round 5 — corpus composition:
+    'n docs per (lang, source) cell, reproducibly'): per stratum the 7
+    rows with the smallest md5(doc_id) survive, via the skew-safe
+    prune-then-window operator (stages/sample.stratified_sample; a bare
+    per-stratum window would sort a hot stratum in one task). The
+    oracle re-derives the exact row set with a plain SQL window —
+    md5 hex order is engine-identical."""
+    from fa_spark.stages.sample import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, ["lang", "source"], 7, id_col="doc_id")
+    return out.select("doc_id", "lang", "source", "sample_rank")
+
+
+SQL_CORPUS_SAMPLE = """
+SELECT doc_id, lang, source, sample_rank FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 7
+"""
+
+
 # DuckDB has no base-16 conv(); the same 4 md5 hex digits are decoded by
 # digit position instead — value-identical to Spark's conv(...,16,10)
 _HEX_DIGIT = "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
@@ -3205,6 +3231,7 @@ REGISTRY: dict[str, tuple] = {
     # -- new round-5 operators --
     "ogg_features": (q_ogg_features, SQL_OGG_FEATURES),
     "mjpeg_features": (q_mjpeg_features, SQL_MJPEG_FEATURES),
+    "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     # -- previously-verified operators (official green rows on record) --
     "doc_top_tags": (q_doc_top_tags, SQL_DOC_TOP_TAGS),
     "global_terms": (q_global_terms, SQL_GLOBAL_TERMS),
