@@ -4675,6 +4675,13 @@ def ogg_envelope_encode(
 
 VORBIS_MAX_SAMPLES = 1 << 22
 _VORBIS_MAX_BOOK_CELLS = 1 << 16  # entries*dims cap for precomputed VQ tables
+# Largest accepted blocksize from UNTRUSTED input (round-5 review): the
+# spec allows 8192, but the cached O(n^2) IMDCT basis for 8192 is a
+# ~268 MB ndarray pinned per worker process — a hostile-input memory
+# lever. 2048 covers every mainstream encoder default (libvorbis ships
+# 256/2048 long/short) at a ~16 MB worst-case basis; rarer 4096/8192
+# streams return None (documented subset, like floor0).
+VORBIS_MAX_BLOCK = 2048
 
 
 class _VBitWriter:
@@ -4826,9 +4833,16 @@ class _VCodebook:
                     lv += 1
             else:
                 lv = self.entries * self.dims
-            mults = [r.read(value_bits) for _ in range(lv)]
-            if self.entries * self.dims > _VORBIS_MAX_BOOK_CELLS:
+            # cap BEFORE the multiplicand read (round-5 review): for
+            # lookup type 2 lv = entries*dims reaches 2^40 from a small
+            # crafted header, and the read loop below is the work the
+            # cap exists to bound
+            if (
+                self.entries * self.dims > _VORBIS_MAX_BOOK_CELLS
+                or lv > _VORBIS_MAX_BOOK_CELLS
+            ):
                 raise ValueError("codebook too large")
+            mults = [r.read(value_bits) for _ in range(lv)]
             vq = []
             for e in range(self.entries):
                 vec = []
@@ -5275,8 +5289,8 @@ def _vorbis_parse_headers(packets: list) -> "_VSetup | None":
     r.read(32), r.read(32), r.read(32)  # bitrates
     bs0 = 1 << r.read(4)
     bs1 = 1 << r.read(4)
-    if not (64 <= bs0 <= bs1 <= 8192) or not r.read1():
-        return None
+    if not (64 <= bs0 <= bs1 <= VORBIS_MAX_BLOCK) or not r.read1():
+        return None  # >2048 = documented subset bound (see VORBIS_MAX_BLOCK)
     if s.channels < 1 or s.rate < 1:
         return None
     s.blocksizes = (bs0, bs1)
@@ -5946,8 +5960,14 @@ def decode_avi_mjpeg(data: bytes | None) -> dict | None:
         return None
     us_per_frame = [0]
     dims = [0, 0]
-    codec = [b""]
-    frames: list[tuple[int, int]] = []
+    # one entry per strh IN STREAM ORDER (stream number = strh index for
+    # every stream type, not just vids) — frame chunks carry their
+    # stream number in the chunk id, and a multi-stream AVI must not
+    # conflate another stream's chunks with the MJPG stream's (round-5
+    # review: a second non-JPEG vids stream rejected the whole file and
+    # inflated n_frames/fps/duration)
+    stream_codecs: list[bytes] = []
+    all_frames: list[tuple[int, int, int]] = []  # (stream_no, off, size)
 
     def walk(lo: int, hi: int, depth: int, budget: list) -> None:
         p = lo
@@ -5964,20 +5984,33 @@ def decode_avi_mjpeg(data: bytes | None) -> dict | None:
                 us_per_frame[0] = int.from_bytes(data[body : body + 4], "little")
                 dims[0] = int.from_bytes(data[body + 32 : body + 36], "little")
                 dims[1] = int.from_bytes(data[body + 36 : body + 40], "little")
-            elif cid == b"strh" and csz >= 8 and not codec[0]:
-                if data[body : body + 4] == b"vids":
-                    codec[0] = data[body + 4 : body + 8]
+            elif cid == b"strh" and csz >= 8:
+                typ = data[body : body + 4]
+                stream_codecs.append(
+                    data[body + 4 : body + 8] if typ == b"vids" else b""
+                )
             elif (
                 cid[:2].isdigit()
                 and cid[2:4] in (b"dc", b"db")
                 and csz > 0
-                and len(frames) < AVI_MAX_FRAMES
+                and len(all_frames) < AVI_MAX_FRAMES
             ):
-                frames.append((body, csz))
+                all_frames.append((int(cid[:2]), body, csz))
             p = body + csz + (csz & 1)  # chunks are word-aligned
 
     walk(12, min(len(data), 8 + int.from_bytes(data[4:8], "little")), 0, [4096])
-    if codec[0].strip(b"\x00 ").upper() not in (b"MJPG", b"MJPEG") or not frames:
+    target = next(
+        (
+            i
+            for i, c in enumerate(stream_codecs)
+            if c.strip(b"\x00 ").upper() in (b"MJPG", b"MJPEG")
+        ),
+        None,
+    )
+    if target is None:
+        return None
+    frames = [(off, csz) for s, off, csz in all_frames if s == target]
+    if not frames:
         return None
     n_frames = len(frames)
     k = min(VIDEO_SAMPLE_FRAMES, n_frames)

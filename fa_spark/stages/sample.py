@@ -40,10 +40,6 @@ def _hash_col(id_col: str):
     return F.md5(F.col(id_col).cast("string"))
 
 
-def _rank_window(strata: list, id_col: str) -> Window:
-    return Window.partitionBy(*strata).orderBy("_h", id_col)
-
-
 def stratified_sample(
     df: DataFrame,
     strata: list,
@@ -61,31 +57,48 @@ def stratified_sample(
         raise ValueError("n must be >= 1")
     if margin is None:
         margin = n + 6 * math.isqrt(n) + 16
-    counts = df.groupBy(*strata).agg(F.count("*").alias("_cnt"))
-    hashed = df.withColumn("_h", _hash_col(id_col))
+    # the strata key is a single STRUCT column: struct equality treats
+    # NULL members as equal, so NULL-valued strata survive every join
+    # below (a plain multi-column equi-join silently drops NULL keys —
+    # the round-4 dedup NULL-key bug class, round-5 review finding)
+    hashed = df.withColumn(
+        "_sk", F.struct(*[F.col(c) for c in strata])
+    ).withColumn("_h", _hash_col(id_col))
+    counts = hashed.groupBy("_sk").agg(F.count("*").alias("_cnt"))
     frac = F.conv(F.substring("_h", 1, 8), 16, 10).cast("double") / F.lit(
         _PREFIX_DENOM
     )
-    pruned = hashed.join(counts, strata).where(
+    pruned = hashed.join(counts, "_sk").where(
         (F.col("_cnt") <= F.lit(margin)) | (frac < F.lit(margin) / F.col("_cnt"))
     )
-    ranked = pruned.withColumn(
-        rank_col, F.row_number().over(_rank_window(strata, id_col))
-    ).where(F.col(rank_col) <= n)
+    w = Window.partitionBy("_sk").orderBy("_h", id_col)
+    # persisted: the audit action below and the caller's own action both
+    # consume this relation — without the cache the prune+window subplan
+    # (the operator's dominant stage) would run twice. The cached set is
+    # O(n * margin-factor) rows per stratum, tiny by construction; the
+    # caller may unpersist when done.
+    ranked = (
+        pruned.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= n)
+        .persist()
+    )
 
     # exactness audit (step 4): strata whose sample came up short
-    got = ranked.groupBy(*strata).agg(F.count("*").alias("_got"))
+    got = ranked.groupBy("_sk").agg(F.count("*").alias("_got"))
     short = (
-        counts.join(got, strata, "left")
+        counts.join(got, "_sk", "left")
         .where(F.coalesce(F.col("_got"), F.lit(0)) < F.least(F.lit(n), F.col("_cnt")))
-        .select(*strata)
+        .select("_sk")
     )
     if short.limit(1).count() > 0:  # <1e-9 tail per stratum at default margin
+        wf = Window.partitionBy("_sk").orderBy("_h", id_col)
         full = (
-            hashed.join(short, strata, "left_semi")
-            .withColumn(rank_col, F.row_number().over(_rank_window(strata, id_col)))
+            hashed.join(short, "_sk", "left_semi")
+            .withColumn(rank_col, F.row_number().over(wf))
             .where(F.col(rank_col) <= n)
         )
-        keep = ranked.join(short, strata, "left_anti")
-        return keep.drop("_h", "_cnt").unionByName(full.drop("_h"))
-    return ranked.drop("_h", "_cnt")
+        keep = ranked.join(short, "_sk", "left_anti")
+        return keep.drop("_h", "_cnt", "_sk").unionByName(
+            full.drop("_h", "_sk")
+        )
+    return ranked.drop("_h", "_cnt", "_sk")

@@ -875,3 +875,76 @@ def test_avi_mjpeg_total_on_hostile_bytes():
     bad = bytearray(avi)
     bad[-10] ^= 0xFF
     assert pure.decode_avi_mjpeg(bytes(bad)) is None
+
+
+def test_avi_mjpeg_multi_stream_selects_mjpg_stream():
+    """Round-5 review: frame chunks carry their stream number; a second
+    non-JPEG vids stream must neither reject the file nor inflate the
+    MJPG stream's frame count."""
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    jf = pure.jpeg_encode([[(70, 70, 70)] * 16] * 16)
+    avih = (
+        (40000).to_bytes(4, "little") + b"\x00" * 12
+        + (1).to_bytes(4, "little") + b"\x00" * 12
+        + (16).to_bytes(4, "little") + (16).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", b"vids" + b"MJPG" + b"\x00" * 48))
+        + lst(b"strl", chunk(b"strh", b"vids" + b"XVID" + b"\x00" * 48)),
+    )
+    movi = lst(b"movi", chunk(b"00dc", jf) + chunk(b"01dc", b"not a jpeg"))
+    body = b"AVI " + hdrl + movi
+    d = pure.decode_avi_mjpeg(b"RIFF" + len(body).to_bytes(4, "little") + body)
+    assert d is not None
+    assert d["n_frames"] == 1 and d["frame_means"] == [70.0]
+    # MJPG as the SECOND stream also resolves (chunk ids filter by number)
+    hdrl2 = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", b"auds" + b"\x00" * 52))
+        + lst(b"strl", chunk(b"strh", b"vids" + b"MJPG" + b"\x00" * 48)),
+    )
+    movi2 = lst(b"movi", chunk(b"00wb", b"audio") + chunk(b"01dc", jf))
+    body2 = b"AVI " + hdrl2 + movi2
+    d2 = pure.decode_avi_mjpeg(
+        b"RIFF" + len(body2).to_bytes(4, "little") + body2
+    )
+    assert d2 is not None and d2["n_frames"] == 1
+
+
+def test_vorbis_blocksize_cap_and_codebook_cap():
+    """Round-5 review: blocksizes past VORBIS_MAX_BLOCK are a documented
+    subset bound (hostile-input IMDCT-basis memory lever), and oversized
+    lookup-type-2 codebooks are rejected BEFORE the multiplicand read."""
+    blob = bytearray(pure.vorbis_tone_encode(2, 0.5, 4))
+    # the id header's blocksize byte (0x88 = 256/256) lives in page 0;
+    # patch it to 0xDD (8192/8192) and re-CRC the page
+    i = blob.find(b"\x88")
+    assert i > 0
+    blob[i] = 0xDD
+    nsegs = blob[26]
+    page_len = 27 + nsegs + sum(blob[27 : 27 + nsegs])
+    page = bytearray(blob[:page_len])
+    page[22:26] = b"\x00" * 4
+    blob[22:26] = pure._ogg_crc(bytes(page)).to_bytes(4, "little")
+    assert pure.decode_vorbis(bytes(blob)) is None
+    # oversized type-2 codebook: header parse must raise, not loop
+    w = pure._VBitWriter()
+    w.write(0x564342, 24)
+    w.write(1 << 15, 16)  # dims
+    w.write(1 << 23, 24)  # entries -> entries*dims = 2^38 cells
+    w.write(1, 1)  # ordered
+    w.write(0, 5)  # current length 1
+    import pytest as _pytest
+
+    with _pytest.raises((ValueError, EOFError)):
+        pure._VCodebook(pure._VBitReader(w.getvalue() + b"\x00" * 64))

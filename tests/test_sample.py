@@ -67,3 +67,17 @@ def test_partitioning_invariant(spark):
         map(tuple, stratified_sample(df.repartition(13), ["lang"], 6).collect())
     )
     assert a == b
+
+
+def test_null_strata_survive(spark):
+    """Round-5 review: NULL stratum values must sample like any other
+    stratum (struct-key joins; a plain multi-column equi-join drops
+    NULL keys — the dedup NULL-key bug class)."""
+    rows = [(i, None if i % 3 == 0 else "en") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_sample(df, ["lang"], 5).collect()
+    nulls = [r for r in got if r["lang"] is None]
+    ens = [r for r in got if r["lang"] == "en"]
+    assert len(nulls) == 5 and len(ens) == 5
+    exp = _expected(rows, lambda r: r[1], 5)
+    assert sorted(r["doc_id"] for r in nulls) == sorted(exp[None])
