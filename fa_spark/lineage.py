@@ -260,8 +260,14 @@ def commit_lineage(
     non_stub_ogg = (ct == "ogg") & (
         F.coalesce(F.col("meta").getItem("ogg:codec"), F.lit("")) == "vorbis"
     )
+    # mp4 is non-stub for MJPEG sample entries (round 5, decode_mp4_mjpeg)
+    non_stub_mp4 = (ct == "mp4") & F.coalesce(
+        F.col("meta").getItem("mp4:codec"), F.lit("")
+    ).isin("jpeg", "mjpa")
     stub_ct = F.when(
-        ct.isin(*STUB_CONTAINER_TYPES) & ~non_stub_riff & ~non_stub_ogg, ct
+        ct.isin(*STUB_CONTAINER_TYPES)
+        & ~non_stub_riff & ~non_stub_ogg & ~non_stub_mp4,
+        ct,
     )
     # two-level agg: (bucket, stub type) partial-aggregates map-side, then
     # the tiny per-bucket rollup folds the breakdown into one map column —

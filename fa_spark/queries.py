@@ -2773,6 +2773,69 @@ FROM documents
 """
 
 
+def _mp4_mjpeg_batch(doc_id: pd.Series) -> pd.Series:
+    """MJPEG-in-MP4 fixture: 2 + doc_id%5 solid-gray frames at luminance
+    30 + 7*(doc_id%25) + frame_index, full sample-table machinery
+    (stsd/stts/stsc/stsz/stco) resolved by the decoder."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        n = 2 + did % 5
+        base = 30 + 7 * (did % 25)
+        frames = [
+            pure.jpeg_encode([[(base + k,) * 3] * VID_SIDE] * VID_SIDE)
+            for k in range(n)
+        ]
+        out.append(pure.mp4_mjpeg_encode(frames, VID_FPS, VID_SIDE, VID_SIDE))
+    return pd.Series(out)
+
+
+mp4_mjpeg_udf = F.pandas_udf(_mp4_mjpeg_batch, BinaryType())
+
+
+def q_mp4_frames(spark, sf_dir):
+    """REAL MJPEG-in-MP4 decode round trip (round 5 — the mp4 payload
+    path: ISO BMFF sample tables resolved to absolute byte ranges, each
+    sampled frame decoded as a complete JPEG): value-check frame count,
+    geometry, duration, and first/last sampled-frame luminance."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        mp4_mjpeg_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    fd = _feat_d
+    last_slot = (F.element_at(F.col("feature"), 6) + F.lit(6.0)).cast("int")
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        "width",
+        "height",
+        fd(1).alias("n_frames"),
+        fd(5).alias("duration_s"),
+        fd(7).alias("mean_first"),
+        F.round(
+            F.element_at(F.col("feature"), last_slot).cast("double"), 6
+        ).alias("mean_last"),
+    )
+
+
+SQL_MP4_FRAMES = f"""
+SELECT doc_id,
+       'mp4' AS content_type,
+       'decoded' AS decode_status,
+       {VID_SIDE} AS width, {VID_SIDE} AS height,
+       CAST(2 + doc_id % 5 AS DOUBLE) AS n_frames,
+       ROUND(CAST(2 + doc_id % 5 AS DOUBLE) / {VID_FPS}, 6) AS duration_s,
+       CAST(30 + 7 * (doc_id % 25) AS DOUBLE) AS mean_first,
+       CAST(30 + 7 * (doc_id % 25) + (2 + doc_id % 5) - 1 AS DOUBLE) AS mean_last
+FROM documents
+"""
+
+
 def _audio_container_batch(doc_id: pd.Series) -> pd.Series:
     """Per-doc audio container rotating mp3 / ogg / flac (round 4 —
     exiftool-parity envelope metadata). Geometries chosen so every
@@ -3232,6 +3295,7 @@ REGISTRY: dict[str, tuple] = {
     "ogg_features": (q_ogg_features, SQL_OGG_FEATURES),
     "mjpeg_features": (q_mjpeg_features, SQL_MJPEG_FEATURES),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
+    "mp4_frames": (q_mp4_frames, SQL_MP4_FRAMES),
     # -- previously-verified operators (official green rows on record) --
     "doc_top_tags": (q_doc_top_tags, SQL_DOC_TOP_TAGS),
     "global_terms": (q_global_terms, SQL_GLOBAL_TERMS),

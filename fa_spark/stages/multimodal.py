@@ -214,6 +214,18 @@ def media_features_fn(mode: str = "describe"):
                     else:
                         status = "decode_error"
                         feature = _fake_decode(b, target)
+                elif ct == "mp4" and meta.get("mp4:codec") in ("jpeg", "mjpa"):
+                    # round 5: MJPEG-in-MP4 decodes for real — sample
+                    # tables resolved, frames through the JPEG decoder
+                    # (pure.decode_mp4_mjpeg); other mp4 codecs stub
+                    vid = pure.decode_mp4_mjpeg(b)
+                    if vid is not None:
+                        status = "decoded"
+                        width, height = vid["width"], vid["height"]
+                        feature = _real_y4m_features(vid)
+                    else:
+                        status = "decode_error"
+                        feature = _fake_decode(b, target)
                 elif ct == "ogg" and meta.get("ogg:codec") == "vorbis":
                     # round 5: real Vorbis decode (floor1 + residue +
                     # IMDCT, pure.decode_vorbis) — ogg leaves the stub

@@ -948,3 +948,38 @@ def test_vorbis_blocksize_cap_and_codebook_cap():
 
     with _pytest.raises((ValueError, EOFError)):
         pure._VCodebook(pure._VBitReader(w.getvalue() + b"\x00" * 64))
+
+
+def test_mp4_mjpeg_roundtrip_and_hostility():
+    """Round 5: MJPEG-in-MP4 — full sample-table resolution
+    (stsd/stts/stsc/stsz/stco) into per-sample byte ranges, each frame a
+    real JPEG decode; solid frames give closed-form means."""
+    frames = [_gray_jpeg(30 + i) for i in range(6)]
+    mp4 = pure.mp4_mjpeg_encode(frames, fps=25, width=16, height=16)
+    assert pure.sniff_bytes(mp4)["content_type"] == "mp4"
+    assert pure.extract_metadata(mp4)["mp4:codec"] == "jpeg"
+    d = pure.decode_mp4_mjpeg(mp4)
+    assert d is not None
+    assert d["n_frames"] == 6 and d["width"] == 16 and d["height"] == 16
+    assert d["fps"] == 25.0 and abs(d["duration_s"] - 0.24) < 1e-12
+    assert d["frame_means"] == [30.0, 31.0, 32.0, 33.0, 34.0, 35.0]
+    # sampling budget respected with first+last included
+    many = pure.mp4_mjpeg_encode([_gray_jpeg(10 + i) for i in range(20)])
+    d = pure.decode_mp4_mjpeg(many)
+    assert d["n_frames"] == 20
+    assert len(d["sampled_frames"]) == pure.VIDEO_SAMPLE_FRAMES
+    assert d["frame_means"][0] == 10.0 and d["frame_means"][-1] == 29.0
+    # hostility: truncations, bit flips, non-MJPEG codec, None
+    import random
+
+    rng = random.Random(4)
+    for cut in range(0, len(mp4), 23):
+        r = pure.decode_mp4_mjpeg(mp4[:cut])
+        assert r is None or r["n_frames"] >= 1
+    for _ in range(40):
+        b = bytearray(mp4)
+        b[rng.randrange(len(b))] ^= 0xFF
+        r = pure.decode_mp4_mjpeg(bytes(b))
+        assert r is None or isinstance(r, dict)
+    assert pure.decode_mp4_mjpeg(None) is None
+    assert pure.decode_mp4_mjpeg(pure.mp4_envelope_encode(1.0)) is None
