@@ -500,6 +500,97 @@ WHERE sample_rank <= 7
 """
 
 
+def q_doc_surprisal(spark, sf_dir):
+    """Unigram-surprisal quality score (round 5 — the perplexity-proxy
+    filter of the Gopher/CCNet family, computable without a model): the
+    corpus's own unigram distribution scores each doc by mean
+    -log2 p(token); high surprisal = rare-token-heavy (gibberish/OCR
+    noise), low = boilerplate. Scale shape: token counts are an
+    explode -> partial-agg groupBy; the per-doc mean is a second
+    partial agg after an equi-join of the exploded relation with the
+    vocabulary-sized count relation (AQE may broadcast it); the scalar
+    total joins via one broadcast cross join. mean surprisal =
+    log2(N) - mean(log2 cnt) — no per-token division."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_expr("text")).alias("t"))
+    counts = toks.groupBy("t").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_n"))
+    per_doc = (
+        toks.join(counts, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.log2("cnt")).alias("_slc"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log2("_n") - F.col("_slc") / F.col("n_tokens"), 3
+        ).alias("mean_surprisal"),
+    )
+
+
+SQL_DOC_SURPRISAL = f"""
+WITH toks AS (SELECT doc_id, UNNEST({TOKEN_SQL}) AS t FROM documents),
+counts AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY t),
+tot AS (SELECT SUM(cnt) AS n FROM counts),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(LOG2(cnt)) AS slc
+  FROM toks JOIN counts USING (t) GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       ROUND(LOG2(tot.n) - slc / n_tokens, 3) AS mean_surprisal
+FROM per_doc, tot
+"""
+
+
+def q_latest_snapshot(spark, sf_dir):
+    """Latest-crawl election (round 5): the same url recrawled across
+    snapshots keeps only its newest version — the standard Common-Crawl
+    multi-snapshot compaction that runs BEFORE content dedup. Election
+    is two-phase (partial-agg max(ts) + join back) — the skew-safe
+    shape exact_dedup uses, never a per-url window. Fixture: 3 variants
+    per doc with a per-doc winning variant ((v + doc_id) %% 3 is a
+    permutation of {{0,1,2}}, so the max is unique and closed-form)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    snaps = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("variant"),
+    ).select(
+        "doc_id",
+        "variant",
+        F.concat(
+            F.lit("http://snap.example/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.to_timestamp(
+            F.date_add(
+                F.lit("2025-01-01").cast("date"),
+                (
+                    (F.col("doc_id") % 7)
+                    + ((F.col("variant") + F.col("doc_id")) % 3) * 5
+                ).cast("int"),
+            )
+        ).alias("warc_ts"),
+    )
+    latest = snaps.groupBy("url").agg(F.max("warc_ts").alias("_max_ts"))
+    return (
+        snaps.join(latest, "url")
+        .where(F.col("warc_ts") == F.col("_max_ts"))
+        .select("doc_id", "url", "variant", "warc_ts")
+    )
+
+
+SQL_LATEST_SNAPSHOT = """
+SELECT doc_id,
+       'http://snap.example/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST((2 - doc_id % 3 + 3) % 3 AS INT) AS variant,
+       TIMESTAMP '2025-01-01 00:00:00'
+         + INTERVAL (doc_id % 7 + 10) DAY AS warc_ts
+FROM documents
+"""
+
+
 # DuckDB has no base-16 conv(); the same 4 md5 hex digits are decoded by
 # digit position instead — value-identical to Spark's conv(...,16,10)
 _HEX_DIGIT = "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
@@ -3296,6 +3387,8 @@ REGISTRY: dict[str, tuple] = {
     "mjpeg_features": (q_mjpeg_features, SQL_MJPEG_FEATURES),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "mp4_frames": (q_mp4_frames, SQL_MP4_FRAMES),
+    "doc_surprisal": (q_doc_surprisal, SQL_DOC_SURPRISAL),
+    "latest_snapshot": (q_latest_snapshot, SQL_LATEST_SNAPSHOT),
     # -- previously-verified operators (official green rows on record) --
     "doc_top_tags": (q_doc_top_tags, SQL_DOC_TOP_TAGS),
     "global_terms": (q_global_terms, SQL_GLOBAL_TERMS),
