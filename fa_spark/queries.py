@@ -591,6 +591,70 @@ FROM documents
 """
 
 
+PR_HOSTS = 40
+PR_ITERS = 3
+PR_DAMPING = 0.85
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Host-graph PageRank (round 5 — the Common-Crawl web-graph
+    centrality op; CC publishes host-level ranks over exactly this edge
+    relation). Deterministic synthetic host graph (two out-edges per
+    host, modular arithmetic), 3 damped power iterations via
+    stages/graph.pagerank — each iteration one edge-equi-join + one
+    partial-agg, no windows, no driver-side graph. The oracle replays
+    the same iterations as SQL CTEs; (1 - 0.85)/N is written
+    identically on both sides so the float arithmetic matches bit for
+    bit before the 6-dp round."""
+    from fa_spark.stages.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select((F.col("doc_id") % PR_HOSTS).alias("h")).distinct()
+    e1 = hosts.select(
+        F.col("h").alias("src"), ((F.col("h") + 1) % PR_HOSTS).alias("dst")
+    )
+    e2 = hosts.select(
+        F.col("h").alias("src"), ((F.col("h") * 3 + 7) % PR_HOSTS).alias("dst")
+    )
+    edges = e1.unionByName(e2).distinct()
+    pr = pagerank(
+        edges, iters=PR_ITERS, damping=PR_DAMPING, vertices=hosts
+    )
+    return pr.select(
+        F.col("id").alias("host"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _pagerank_sql(iters: int = PR_ITERS, n: int = PR_HOSTS, d: float = PR_DAMPING):
+    ctes = [
+        f"hosts AS (SELECT DISTINCT doc_id % {n} AS h FROM documents)",
+        (
+            f"edges AS (SELECT h AS src, (h + 1) % {n} AS dst FROM hosts "
+            f"UNION SELECT h AS src, (h * 3 + 7) % {n} AS dst FROM hosts)"
+        ),
+        "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)",
+        f"r0 AS (SELECT h, 1.0/{n} AS r FROM hosts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT hs.h AS h,
+         (1 - {d})/{n} + {d} * COALESCE(SUM(r{i - 1}.r / deg.d), 0) AS r
+  FROM hosts hs
+  LEFT JOIN edges e ON e.dst = hs.h
+  LEFT JOIN deg ON deg.src = e.src
+  LEFT JOIN r{i - 1} ON r{i - 1}.h = e.src
+  GROUP BY hs.h)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h AS host, ROUND(r, 6) AS rank FROM r{iters}"
+    )
+
+
+SQL_HOST_PAGERANK = _pagerank_sql()
+
+
 # DuckDB has no base-16 conv(); the same 4 md5 hex digits are decoded by
 # digit position instead — value-identical to Spark's conv(...,16,10)
 _HEX_DIGIT = "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
@@ -3389,6 +3453,7 @@ REGISTRY: dict[str, tuple] = {
     "mp4_frames": (q_mp4_frames, SQL_MP4_FRAMES),
     "doc_surprisal": (q_doc_surprisal, SQL_DOC_SURPRISAL),
     "latest_snapshot": (q_latest_snapshot, SQL_LATEST_SNAPSHOT),
+    "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     # -- previously-verified operators (official green rows on record) --
     "doc_top_tags": (q_doc_top_tags, SQL_DOC_TOP_TAGS),
     "global_terms": (q_global_terms, SQL_GLOBAL_TERMS),

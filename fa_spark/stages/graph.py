@@ -106,3 +106,81 @@ def connected_components(
         F.col("lbl").alias("cluster_id"),
         (F.col("id") == F.col("lbl")).alias("is_canonical"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Host-level PageRank (round 5 — the Common-Crawl web-graph
+    centrality operator: CC publishes host-graph ranks computed over
+    exactly this edge relation). Returns (id, rank) after ``iters``
+    power iterations with the standard damping formulation:
+
+        rank(v) <- (1-d)/N + d * (sum over in-edges rank(u)/outdeg(u)
+                                  + dangling_mass/N)
+
+    Scale shape: every iteration is ONE equi-join of the edge relation
+    with the (id, rank) relation plus ONE partial-agg groupBy on dst —
+    no window, no cartesian, no driver-side graph. Dangling mass (one
+    tiny aggregate over the rank relation) is redistributed uniformly,
+    so ranks sum to 1 every iteration. Plans are localCheckpointed per
+    round like connected_components (iterative-plan growth lesson).
+    N comes from one count() action on the vertex relation."""
+    if vertices is None:
+        vertices = (
+            edges.select(F.col(src).alias("id"))
+            .unionByName(edges.select(F.col(dst).alias("id")))
+            .distinct()
+        )
+    else:
+        vertices = vertices.select(F.col(vertices.columns[0]).alias("id"))
+    vertices = vertices.localCheckpoint(eager=True)
+    n = vertices.count()
+    if n == 0:
+        return vertices.withColumn("rank", F.lit(0.0))
+    deg = (
+        edges.groupBy(F.col(src).alias("id"))
+        .agg(F.count("*").alias("_deg"))
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    ranks = vertices.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        with_deg = ranks.join(deg, "id", "left")
+        # dangling vertices (no out-edges) leak their mass -> collect it
+        # and spread uniformly (one scalar aggregate)
+        dangling = (
+            with_deg.where(F.col("_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            e.join(
+                with_deg.where(F.col("_deg").isNotNull()).select(
+                    F.col("id").alias("_src"),
+                    (F.col("rank") / F.col("_deg")).alias("_share"),
+                ),
+                "_src",
+            )
+            .groupBy(F.col("_dst").alias("id"))
+            .agg(F.sum("_share").alias("_in"))
+        )
+        ranks = (
+            vertices.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

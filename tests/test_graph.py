@@ -92,3 +92,35 @@ def test_no_cartesian_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_pagerank_sums_to_one_and_ranks_hubs(spark):
+    """Round 5: damped power iteration — ranks stay a distribution every
+    iteration (dangling mass redistributed), and an in-degree hub
+    outranks leaf vertices."""
+    from fa_spark.stages.graph import pagerank
+
+    # star into 0, plus a dangling vertex 9 (no out-edges)
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 9)], "src long, dst long"
+    )
+    pr = {r["id"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    # 9 receives the hub's ENTIRE rank (0's only out-edge), the hub
+    # receives the five leaves' shares, the leaves only the base term
+    assert pr[9] > pr[0] > pr[1]
+    assert all(abs(pr[i] - pr[1]) < 1e-12 for i in range(2, 6))
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """A directed cycle is rank-symmetric: every vertex gets exactly
+    1/N at every iteration."""
+    from fa_spark.stages.graph import pagerank
+
+    n = 8
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    pr = pagerank(edges, iters=4)
+    for r in pr.collect():
+        assert abs(r["rank"] - 1.0 / n) < 1e-12
