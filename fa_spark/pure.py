@@ -1621,16 +1621,213 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> bytearray | None:
     return out
 
 
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    return (
+        _struct.pack(">I", len(body))
+        + typ
+        + body
+        + _struct.pack(">I", zlib.crc32(typ + body))
+    )
+
+
+def _png_pack_row(vals: list, depth: int) -> bytes:
+    """Pack single-sample values at ``depth`` bits, MSB-first."""
+    if depth == 8:
+        return bytes(vals)
+    per_byte = 8 // depth
+    out = bytearray((len(vals) + per_byte - 1) // per_byte)
+    for i, v in enumerate(vals):
+        shift = 8 - depth * (i % per_byte + 1)
+        out[i // per_byte] |= (v & ((1 << depth) - 1)) << shift
+    return bytes(out)
+
+
+def png_encode_palette(
+    index_rows: list, palette: list, depth: int = 8, interlace: bool = False
+) -> bytes:
+    """Palette (color type 3) PNG writer — fixtures for the round-5
+    general decode path: PLTE + index scanlines at 1/2/4/8 bits
+    MSB-first, optional Adam7 interlace, filter 0 rows."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("palette depth must be 1/2/4/8")
+    h = len(index_rows)
+    w = len(index_rows[0]) if h else 0
+    plte = b"".join(bytes(c) for c in palette)
+    passes = _PNG_ADAM7 if interlace else ((0, 0, 1, 1),)
+    raw = bytearray()
+    for xs, ys, xstep, ystep in passes:
+        for y in range(ys, h, ystep):
+            vals = [index_rows[y][x] for x in range(xs, w, xstep)]
+            if vals:
+                raw += b"\x00" + _png_pack_row(vals, depth)
+    ihdr = _struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_encode_interlaced(rows: list) -> bytes:
+    """Adam7-interlaced RGB8 PNG writer (fixtures): the 7 passes'
+    filter-0 scanlines in spec order."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    raw = bytearray()
+    for xs, ys, xstep, ystep in _PNG_ADAM7:
+        for y in range(ys, h, ystep):
+            cells = [rows[y][x] for x in range(xs, w, xstep)]
+            if cells:
+                raw += b"\x00" + bytes(v for px in cells for v in px)
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# Adam7 interlace passes: (xstart, ystart, xstep, ystep)
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+# samples per pixel by color type (0 gray, 2 RGB, 3 palette idx, 6 RGBA)
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 6: (8, 16)}
+
+
+def _png_unfilter_rows(raw: bytes, pos: int, h: int, rowbytes: int, bpp: int):
+    """Byte-level scanline unfilter for the general decode path
+    (palette / sub-byte depths / Adam7 passes — small images; the
+    depth-8 straight path keeps the vectorized _png_unfilter).
+    Returns (bytes, next_pos) or None."""
+    if len(raw) - pos < h * (rowbytes + 1):
+        return None
+    out = bytearray(h * rowbytes)
+    prev = bytes(rowbytes)
+    p = pos
+    for y in range(h):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + rowbytes])
+        p += rowbytes
+        if f == 0:
+            pass
+        elif f == 1:
+            for i in range(bpp, rowbytes):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(rowbytes):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(rowbytes):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(rowbytes):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pr = a + b - c
+                pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            return None
+        out[y * rowbytes : (y + 1) * rowbytes] = line
+        prev = bytes(line)
+    return bytes(out), p
+
+
+def _png_row_samples(row: bytes, w: int, depth: int, spx: int) -> list | None:
+    """Unpack one unfiltered scanline into per-pixel sample tuples
+    (depth < 8: MSB-first bit packing; depth 16: high byte)."""
+    out = []
+    if depth == 8:
+        for i in range(w):
+            out.append(tuple(row[i * spx : (i + 1) * spx]))
+    elif depth == 16:
+        for i in range(w):
+            base = i * spx * 2
+            out.append(tuple(row[base + 2 * j] for j in range(spx)))
+    else:  # 1/2/4 — single-sample pixels only (gray or palette index)
+        per_byte = 8 // depth
+        mask = (1 << depth) - 1
+        for i in range(w):
+            b = row[i // per_byte]
+            shift = 8 - depth * (i % per_byte + 1)
+            out.append(((b >> shift) & mask,))
+    return out
+
+
+def _decode_png_general(
+    raw: bytes, w: int, h: int, depth: int, ctype: int, inter: int,
+    palette: bytes,
+) -> bytearray | None:
+    """Palette / sub-byte-depth / 16-bit / Adam7 decode (round 5 — the
+    PNG shapes real crawls actually contain beyond straight 8-bit:
+    palette icons are the most common PNG form on the web). Output is
+    the shared raster dict's pixel layout: gray stays 1 channel (depth
+    < 8 scaled to 0..255, 16-bit takes the high byte), palette expands
+    through PLTE to RGB, RGB(A) 16-bit narrows to 8."""
+    spx = _PNG_SAMPLES[ctype]
+    out_ch = 3 if ctype == 3 else _PNG_CHANNELS[ctype]
+    n_pal = len(palette) // 3
+    if ctype == 3 and n_pal == 0:
+        return None
+    maxv = (1 << depth) - 1
+    px = bytearray(w * h * out_ch)
+    passes = _PNG_ADAM7 if inter else ((0, 0, 1, 1),)
+    pos = 0
+    for xs, ys, xstep, ystep in passes:
+        pw = (w - xs + xstep - 1) // xstep
+        ph = (h - ys + ystep - 1) // ystep
+        if pw <= 0 or ph <= 0:
+            continue
+        bits = depth * spx
+        rowbytes = (pw * bits + 7) // 8
+        bpp = max(1, bits // 8)
+        res = _png_unfilter_rows(raw, pos, ph, rowbytes, bpp)
+        if res is None:
+            return None
+        rows_data, pos = res
+        for ry in range(ph):
+            row = rows_data[ry * rowbytes : (ry + 1) * rowbytes]
+            samples = _png_row_samples(row, pw, depth, spx)
+            y = ys + ry * ystep
+            for rx, s in enumerate(samples):
+                x = xs + rx * xstep
+                off = (y * w + x) * out_ch
+                if ctype == 3:
+                    idx = s[0]
+                    if idx >= n_pal:
+                        return None
+                    px[off : off + 3] = palette[idx * 3 : idx * 3 + 3]
+                elif ctype == 0 and depth < 8:
+                    px[off] = s[0] * 255 // maxv
+                else:  # gray8/16, RGB(A) 8/16 — depth-16 already high-byte
+                    px[off : off + out_ch] = bytes(s)
+    return px
+
+
 def decode_png(data: bytes | None) -> dict | None:
-    """Real PNG decode: 8-bit gray/RGB/RGBA, non-interlaced. Returns
-    {width, height, channels, pixels(bytearray, row-major)} or None on any
-    malformed/unsupported input (caller records decode_error)."""
+    """Real PNG decode. Straight 8-bit gray/RGB/RGBA stays on the
+    vectorized fast path; palette (PLTE -> RGB), sub-byte and 16-bit
+    depths, and Adam7 interlace decode through the general path
+    (round 5). Returns {width, height, channels, pixels(bytearray,
+    row-major)} or None on malformed/unsupported input (caller records
+    decode_error)."""
     if not data or not data.startswith(_PNG_SIG):
         return None
     pos = 8
     n = len(data)
     w = h = -1
-    ch = 0
+    depth = ctype = inter = 0
+    palette = b""
     idat = bytearray()
     while pos + 8 <= n:
         (length,) = _struct.unpack(">I", data[pos : pos + 4])
@@ -1645,17 +1842,20 @@ def decode_png(data: bytes | None) -> dict | None:
                 ">IIBBBBB", body[:13]
             )
             if (
-                depth != 8
-                or ctype not in _PNG_CHANNELS
+                ctype not in _PNG_DEPTHS
+                or depth not in _PNG_DEPTHS[ctype]
                 or comp != 0
                 or filt != 0
-                or inter != 0
+                or inter not in (0, 1)
                 or w <= 0
                 or h <= 0
                 or w * h > PNG_MAX_PIXELS
             ):
                 return None
-            ch = _PNG_CHANNELS[ctype]
+        elif typ == b"PLTE":
+            if length % 3 or length > 768:
+                return None
+            palette = bytes(body)
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
@@ -1663,14 +1863,31 @@ def decode_png(data: bytes | None) -> dict | None:
         pos += 12 + length
     if w <= 0 or not idat:
         return None
+    spx = _PNG_SAMPLES[ctype]
+    if inter:
+        need = 0
+        for xs, ys, xstep, ystep in _PNG_ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw > 0 and ph > 0:
+                need += ph * ((pw * depth * spx + 7) // 8 + 1)
+    else:
+        need = h * ((w * depth * spx + 7) // 8 + 1)
     try:
-        raw = zlib.decompressobj().decompress(bytes(idat), h * (w * ch + 1))
+        raw = zlib.decompressobj().decompress(bytes(idat), need)
     except zlib.error:
         return None
-    px = _png_unfilter(raw, w, h, ch)
+    if depth == 8 and ctype in (0, 2, 6) and not inter:
+        ch = _PNG_CHANNELS[ctype]
+        px = _png_unfilter(raw, w, h, ch)
+        if px is None:
+            return None
+        return {"width": w, "height": h, "channels": ch, "pixels": px}
+    px = _decode_png_general(raw, w, h, depth, ctype, inter, palette)
     if px is None:
         return None
-    return {"width": w, "height": h, "channels": ch, "pixels": px}
+    out_ch = 3 if ctype == 3 else _PNG_CHANNELS[ctype]
+    return {"width": w, "height": h, "channels": out_ch, "pixels": px}
 
 
 AHASH_GRID = 8

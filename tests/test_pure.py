@@ -983,3 +983,85 @@ def test_mp4_mjpeg_roundtrip_and_hostility():
         assert r is None or isinstance(r, dict)
     assert pure.decode_mp4_mjpeg(None) is None
     assert pure.decode_mp4_mjpeg(pure.mp4_envelope_encode(1.0)) is None
+
+
+# ---- PNG general decode path (round 5): palette / sub-byte / Adam7 ----
+
+def test_png_palette_roundtrip_all_depths():
+    """Palette PNGs (the most common PNG form on the web) decode through
+    PLTE to exact RGB at every legal index depth, plain and Adam7."""
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    for depth in (8, 4, 2, 1):
+        k = min(4, 1 << depth)
+        rows = [[(x + y) % k for x in range(9)] for y in range(7)]
+        for inter in (False, True):
+            d = pure.decode_png(
+                pure.png_encode_palette(rows, pal, depth=depth, interlace=inter)
+            )
+            assert d is not None and d["channels"] == 3, (depth, inter)
+            for y in range(7):
+                for x in range(9):
+                    off = (y * 9 + x) * 3
+                    assert tuple(d["pixels"][off : off + 3]) == pal[(x + y) % k]
+
+
+def test_png_adam7_rgb_roundtrip():
+    rgb = [
+        [(x * 10 % 256, y * 20 % 256, (x + y) % 256) for x in range(11)]
+        for y in range(6)
+    ]
+    d = pure.decode_png(pure.png_encode_interlaced(rgb))
+    assert d is not None and d["channels"] == 3
+    for y in range(6):
+        for x in range(11):
+            off = (y * 11 + x) * 3
+            assert tuple(d["pixels"][off : off + 3]) == rgb[y][x]
+
+
+def test_png_gray_subbyte_and_hostility():
+    import random
+    import struct
+    import zlib as z
+
+    def gray_png(vals_rows, depth, inter=0):
+        h, w = len(vals_rows), len(vals_rows[0])
+        raw = bytearray()
+        passes = pure._PNG_ADAM7 if inter else ((0, 0, 1, 1),)
+        for xs, ys, xst, yst in passes:
+            for y in range(ys, h, yst):
+                v = [vals_rows[y][x] for x in range(xs, w, xst)]
+                if v:
+                    raw += b"\x00" + pure._png_pack_row(v, depth)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, inter)
+        return (
+            pure._PNG_SIG + pure._png_chunk(b"IHDR", ihdr)
+            + pure._png_chunk(b"IDAT", z.compress(bytes(raw)))
+            + pure._png_chunk(b"IEND", b"")
+        )
+
+    g = [[(x + y) % 16 for x in range(10)] for y in range(5)]
+    d = pure.decode_png(gray_png(g, 4))
+    assert d is not None and d["channels"] == 1
+    # sub-byte gray scales to full range: v * 255 // 15
+    assert d["pixels"][1] == 255 // 15 and d["pixels"][9] == 9 * 255 // 15
+    d2 = pure.decode_png(gray_png(g, 4, inter=1))
+    assert bytes(d2["pixels"]) == bytes(d["pixels"])  # interlace-invariant
+
+    png = pure.png_encode_palette(
+        [[(x + y) % 4 for x in range(9)] for y in range(7)],
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)],
+        depth=4, interlace=True,
+    )
+    rng = random.Random(2)
+    for cut in range(0, len(png), 7):
+        r = pure.decode_png(png[:cut])
+        assert r is None or r["width"] == 9
+    for _ in range(60):
+        b = bytearray(png)
+        b[rng.randrange(len(b))] ^= 0xFF
+        r = pure.decode_png(bytes(b))
+        assert r is None or isinstance(r, dict)
+    # out-of-range palette index refuses (strict per spec)
+    assert pure.decode_png(
+        pure.png_encode_palette([[5]], [(1, 2, 3)], depth=8)
+    ) is None
