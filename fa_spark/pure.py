@@ -3282,8 +3282,9 @@ def bmp_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
 
 
 def decode_bmp(data: bytes | None) -> dict | None:
-    """Real BMP decode: uncompressed 24/32-bit BI_RGB. Returns the shared
-    raster dict {width, height, channels=3, pixels} or None on malformed /
+    """Real BMP decode: uncompressed BI_RGB at 24/32-bit truecolor or
+    8-bit palette (round 5). Returns the shared raster dict
+    {width, height, channels=3, pixels} or None on malformed /
     unsupported / over-cap input."""
     if not data or len(data) < 54 or data[:2] != b"BM":
         return None
@@ -3300,7 +3301,7 @@ def decode_bmp(data: bytes | None) -> dict | None:
     h = abs(h)
     if (
         planes != 1
-        or bpp not in (24, 32)
+        or bpp not in (8, 24, 32)
         or comp != 0
         or w <= 0
         or h == 0
@@ -3309,6 +3310,32 @@ def decode_bmp(data: bytes | None) -> dict | None:
         or off > len(data)
     ):
         return None
+    if bpp == 8:
+        # 8-bit palette BMP (round 5 — the common legacy indexed form):
+        # BGRA color table follows the info header; used-colors field 0
+        # means the full 256 entries
+        n_colors = int.from_bytes(data[46:50], "little") or 256
+        tbl_off = 14 + hdr_size
+        if n_colors > 256 or tbl_off + n_colors * 4 > len(data):
+            return None
+        tbl = data[tbl_off : tbl_off + n_colors * 4]
+        stride = (w + 3) & ~3
+        if off + stride * h > len(data):
+            return None
+        raw = _np.frombuffer(data, dtype=_np.uint8, count=stride * h, offset=off)
+        idx = raw.reshape(h, stride)[:, :w]
+        if int(idx.max(initial=0)) >= n_colors:
+            return None
+        if not top_down:
+            idx = idx[::-1]
+        pal = _np.frombuffer(tbl, dtype=_np.uint8).reshape(n_colors, 4)
+        rgb = pal[idx][:, :, [2, 1, 0]]  # BGRA entries -> RGB
+        return {
+            "width": w,
+            "height": h,
+            "channels": 3,
+            "pixels": bytearray(_np.ascontiguousarray(rgb).tobytes()),
+        }
     nch = bpp // 8
     stride = (w * nch + 3) & ~3
     if off + stride * h > len(data):

@@ -1065,3 +1065,78 @@ def test_png_gray_subbyte_and_hostility():
     assert pure.decode_png(
         pure.png_encode_palette([[5]], [(1, 2, 3)], depth=8)
     ) is None
+
+
+def test_bmp_8bit_palette_roundtrip():
+    """Round 5: 8-bit palette BMP (the common legacy indexed form) —
+    BGRA color table expanded to RGB, bottom-up rows, 4-byte stride."""
+    import struct
+
+    w, h = 5, 3
+    pal = [(200, 10, 30), (0, 255, 0), (12, 34, 56)]
+    tbl = b"".join(bytes([b, g, r, 0]) for r, g, b in pal) + bytes(
+        4 * (256 - len(pal))
+    )
+    idx_rows = [[(x + y) % 3 for x in range(w)] for y in range(h)]
+    stride = (w + 3) & ~3
+    # BMP stores rows bottom-up
+    px = b"".join(
+        bytes(idx_rows[y]) + bytes(stride - w) for y in reversed(range(h))
+    )
+    off = 14 + 40 + len(tbl)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(px), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, 0, 0, 0, 256, 0)
+    bmp = hdr + info + tbl + px
+    d = pure.decode_bmp(bmp)
+    assert d is not None and d["channels"] == 3
+    for y in range(h):
+        for x in range(w):
+            o = (y * w + x) * 3
+            assert tuple(d["pixels"][o : o + 3]) == pal[(x + y) % 3]
+    # out-of-range index refuses
+    bad_px = b"\x09" + bytes(stride - 1)
+    info1 = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 0, 0, 0, 3, 0)
+    small_tbl = tbl[: 3 * 4]
+    off1 = 14 + 40 + len(small_tbl)
+    bad = (
+        b"BM" + struct.pack("<IHHI", off1 + len(bad_px), 0, 0, off1)
+        + info1 + small_tbl + bad_px
+    )
+    assert pure.decode_bmp(bad) is None
+
+
+def test_media_stage_fuzz_round5_decoders(spark):
+    """Integration-level totality: heavy mutations of every round-5
+    media fixture type pushed through the REAL feature stage — the
+    stage must classify every row, never raise."""
+    import random
+
+    from fa_spark.stages.multimodal import extract_media_features
+
+    rng = random.Random(55)
+    fixtures = [
+        pure.vorbis_tone_encode(3, 0.5, 6),
+        pure.avi_mjpeg_encode([pure.jpeg_encode([[(90,) * 3] * 16] * 16)]),
+        pure.mp4_mjpeg_encode([pure.jpeg_encode([[(91,) * 3] * 16] * 16)]),
+        pure.png_encode_palette(
+            [[x % 4 for x in range(8)]] * 8,
+            [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)],
+            depth=4, interlace=True,
+        ),
+    ]
+    rows = []
+    i = 0
+    for fx in fixtures:
+        for _ in range(12):
+            b = bytearray(fx)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            rows.append((f"m{i}", bytes(b)))
+            i += 1
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    out = extract_media_features(df, mode="describe").collect()
+    assert len(out) == len(rows)
+    assert all(
+        r["decode_status"] in ("decoded", "decode_error", "stubbed", "skipped")
+        for r in out
+    )
