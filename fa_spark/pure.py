@@ -3365,6 +3365,171 @@ def decode_bmp(data: bytes | None) -> dict | None:
 # ---------------------------------------------------------------------------
 
 
+GIF_MAX_FRAMES = 1 << 12
+
+
+def decode_gif_frames(data: bytes | None) -> dict | None:
+    """Animated GIF decode (round 5) — RESTRICTED to animations whose
+    every frame covers the full logical screen (left = top = 0, frame
+    dims == screen dims): such frames compose independently, so no
+    disposal/partial-patch state machine is needed; any partial frame
+    returns None rather than composing WRONGLY (documented subset, the
+    same honesty rule as floor0/blocksize in Vorbis). Returns the
+    decode_y4m clip dict: frame count, fps/duration from the Graphic
+    Control Extension delays (1/100 s, default 10 fps), per-sampled-
+    frame mean luminance (sum of palette-mapped RGB over 3n — the
+    decode_avi_mjpeg convention; order-invariant, so interlaced frames
+    need no row reordering). Only the sampled frames run LZW."""
+    if not data or len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    if sw <= 0 or sh <= 0 or sw * sh > PNG_MAX_PIXELS:
+        return None
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(data):
+            return None
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    frames = []  # (palette, min_code_size, lzw_bytes)
+    delays: list[int] = []
+    cur_delay = 0
+    while pos < len(data) and len(frames) < GIF_MAX_FRAMES:
+        b = data[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:  # extension
+            if pos + 2 > len(data):
+                return None
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                cur_delay = int.from_bytes(data[pos + 2 : pos + 4], "little")
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C or pos + 10 > len(data):
+            return None
+        left = int.from_bytes(data[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(data[pos + 3 : pos + 5], "little")
+        w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+        iflags = data[pos + 9]
+        pos += 10
+        if left != 0 or top != 0 or w != sw or h != sh:
+            return None  # partial frame: out of the documented subset
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(data):
+                return None
+            pal = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None or pos >= len(data):
+            return None
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            if pos + 1 + ln > len(data):
+                return None
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # block terminator
+        frames.append((pal, mcs, bytes(lzw)))
+        delays.append(cur_delay)
+        cur_delay = 0
+    if not frames:
+        return None
+    n_frames = len(frames)
+    k = min(VIDEO_SAMPLE_FRAMES, n_frames)
+    if k == 1:
+        sampled = [0]
+    else:
+        sampled = sorted({i * (n_frames - 1) // (k - 1) for i in range(k)})
+    npx = sw * sh
+    means = []
+    for i in sampled:
+        pal, mcs, lzw = frames[i]
+        indices = _lzw_decode_gif(lzw, mcs, npx)
+        if indices is None or len(indices) < npx:
+            return None
+        idx = _np.frombuffer(bytes(indices[:npx]), dtype=_np.uint8)
+        if int(idx.max(initial=0)) * 3 + 2 >= len(pal):
+            return None
+        pal_arr = _np.frombuffer(pal, dtype=_np.uint8).reshape(-1, 3)
+        sums = pal_arr.astype(_np.int64).sum(axis=1)
+        means.append(float(sums[idx].sum()) / (3 * npx))
+    total_cs = sum(delays)
+    if total_cs > 0:
+        duration = total_cs / 100.0
+        fps = n_frames / duration
+    else:
+        fps = 10.0
+        duration = n_frames / fps
+    return {
+        "width": sw,
+        "height": sh,
+        "n_frames": n_frames,
+        "fps": fps,
+        "duration_s": duration,
+        "sampled_frames": sampled,
+        "frame_means": means,
+    }
+
+
+def gif_animate_encode(
+    frame_rows: list, delays_cs: list | None = None
+) -> bytes:
+    """Animated GIF89a writer (fixtures): full-screen frames sharing a
+    global palette built from all frames' distinct colors, one Graphic
+    Control Extension (delay in 1/100 s) per frame, real LZW."""
+    if not frame_rows:
+        raise ValueError("need at least one frame")
+    h = len(frame_rows[0])
+    w = len(frame_rows[0][0])
+    palette: dict[tuple, int] = {}
+    for rows in frame_rows:
+        for r in rows:
+            for px in r:
+                if px not in palette:
+                    palette[px] = len(palette)
+    if len(palette) > 256:
+        raise ValueError("more than 256 distinct colors")
+    depth = max(1, (len(palette) - 1).bit_length())
+    n_entries = 1 << depth
+    mcs = max(2, depth)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    pal_bytes = bytearray()
+    for px, _ in sorted(palette.items(), key=lambda kv: kv[1]):
+        pal_bytes += bytes(px)
+    pal_bytes += bytes(3 * (n_entries - len(palette)))
+    out += pal_bytes
+    delays = delays_cs or [10] * len(frame_rows)
+    for rows, delay in zip(frame_rows, delays):
+        out += bytes([0x21, 0xF9, 4, 0]) + int(delay).to_bytes(2, "little")
+        out += bytes([0, 0])  # transparent idx + terminator
+        out += bytes([0x2C]) + (0).to_bytes(2, "little") * 2
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        indices = bytes(palette[px] for r in rows for px in r)
+        out += bytes([mcs])
+        lzw = _lzw_encode_gif(indices, mcs)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
 def _lzw_decode_gif(data: bytes, min_code_size: int, max_out: int) -> bytearray | None:
     if not 2 <= min_code_size <= 8:
         return None

@@ -2991,6 +2991,77 @@ FROM documents
 """
 
 
+def _gif_anim_batch(doc_id: pd.Series) -> pd.Series:
+    """Animated-GIF fixture: 2 + doc_id%6 full-screen solid frames at
+    luminance 15 + 11*(doc_id%20) + k, 4 cs per frame (25 fps)."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        n = 2 + did % 6
+        base = 15 + 11 * (did % 20)
+        frames = [
+            [[(base + k,) * 3] * VID_SIDE for _ in range(VID_SIDE)]
+            for k in range(n)
+        ]
+        out.append(pure.gif_animate_encode(frames, delays_cs=[4] * n))
+    return pd.Series(out)
+
+
+gif_anim_udf = F.pandas_udf(_gif_anim_batch, BinaryType())
+
+
+def q_gif_frames(spark, sf_dir):
+    """Animated-GIF clip decode (round 5 — pure.decode_gif_frames:
+    full-screen-frame subset, GCE delays, LZW only on sampled frames):
+    value-check frame count, fps/duration from the delay chain, and
+    first/last sampled-frame mean luminance. The raster stage keeps the
+    reference's single-frame GIF semantics; animation is this dedicated
+    clip operator."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+
+    schema = (
+        "doc_id long, n_frames double, fps double, duration_s double, "
+        "mean_first double, mean_last double"
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                d = pure.decode_gif_frames(bytes(blob))
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_frames": float(d["n_frames"]),
+                        "fps": round(d["fps"], 6),
+                        "duration_s": round(d["duration_s"], 6),
+                        "mean_first": round(d["frame_means"][0], 6),
+                        "mean_last": round(d["frame_means"][-1], 6),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "fps", "duration_s",
+                    "mean_first", "mean_last",
+                ],
+            )
+
+    media = docs.select("doc_id", gif_anim_udf("doc_id").alias("content"))
+    return media.mapInPandas(fn, schema)
+
+
+SQL_GIF_FRAMES = f"""
+SELECT doc_id,
+       CAST(2 + doc_id % 6 AS DOUBLE) AS n_frames,
+       CAST(25 AS DOUBLE) AS fps,
+       ROUND(CAST(2 + doc_id % 6 AS DOUBLE) * 0.04, 6) AS duration_s,
+       CAST(15 + 11 * (doc_id % 20) AS DOUBLE) AS mean_first,
+       CAST(15 + 11 * (doc_id % 20) + (2 + doc_id % 6) - 1 AS DOUBLE) AS mean_last
+FROM documents
+"""
+
+
 def _audio_container_batch(doc_id: pd.Series) -> pd.Series:
     """Per-doc audio container rotating mp3 / ogg / flac (round 4 —
     exiftool-parity envelope metadata). Geometries chosen so every
@@ -3454,6 +3525,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_surprisal": (q_doc_surprisal, SQL_DOC_SURPRISAL),
     "latest_snapshot": (q_latest_snapshot, SQL_LATEST_SNAPSHOT),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
+    "gif_frames": (q_gif_frames, SQL_GIF_FRAMES),
     # -- previously-verified operators (official green rows on record;
     #    the block's tail past position 50 falls outside the driver
     #    window but keeps its r1-r4 records and the pytest oracle) --

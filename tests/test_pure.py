@@ -1140,3 +1140,45 @@ def test_media_stage_fuzz_round5_decoders(spark):
         r["decode_status"] in ("decoded", "decode_error", "stubbed", "skipped")
         for r in out
     )
+
+
+def test_gif_animation_roundtrip_and_subset_rule():
+    """Round 5: animated GIF clip decode — full-screen-frame subset,
+    GCE delay chain, sample-budgeted LZW; partial frames refuse."""
+    frames = [[[(40 + i,) * 3] * 12 for _ in range(8)] for i in range(5)]
+    gif = pure.gif_animate_encode(frames, delays_cs=[5] * 5)
+    d = pure.decode_gif_frames(gif)
+    assert d is not None
+    assert d["n_frames"] == 5 and d["width"] == 12 and d["height"] == 8
+    assert d["frame_means"] == [40.0, 41.0, 42.0, 43.0, 44.0]
+    assert abs(d["duration_s"] - 0.25) < 1e-12 and abs(d["fps"] - 20.0) < 1e-12
+    # the single-frame decoder still reads frame 0
+    assert pure.decode_gif(gif)["width"] == 12
+    # over-budget animations sample first and last
+    many = pure.gif_animate_encode(
+        [[[(i % 200,) * 3] * 6 for _ in range(6)] for i in range(20)]
+    )
+    d = pure.decode_gif_frames(many)
+    assert d["n_frames"] == 20
+    assert len(d["sampled_frames"]) == pure.VIDEO_SAMPLE_FRAMES
+    assert d["frame_means"][0] == 0.0 and d["frame_means"][-1] == 19.0
+    # partial frame (descriptor not covering the screen) -> None
+    partial = bytearray(gif)
+    # the first image descriptor sits right after the first GCE (8 bytes)
+    i = partial.index(b"\x21\xf9") + 8
+    assert partial[i] == 0x2C
+    partial[i + 5 : i + 7] = (6).to_bytes(2, "little")
+    assert pure.decode_gif_frames(bytes(partial)) is None
+    # hostility
+    import random
+
+    rng = random.Random(7)
+    for cut in range(0, len(gif), 9):
+        r = pure.decode_gif_frames(gif[:cut])
+        assert r is None or r["n_frames"] >= 1
+    for _ in range(80):
+        b = bytearray(gif)
+        b[rng.randrange(len(b))] ^= 0xFF
+        r = pure.decode_gif_frames(bytes(b))
+        assert r is None or isinstance(r, dict)
+    assert pure.decode_gif_frames(None) is None
