@@ -3761,17 +3761,44 @@ def decode_gif(data: bytes | None) -> dict | None:
 # ---------------------------------------------------------------------------
 
 
-def tiff_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
-    """Minimal little-endian single-strip RGB TIFF writer."""
+def tiff_encode(
+    rows: list[list[tuple[int, int, int]]],
+    compression: int = 1,
+    predictor: int = 1,
+) -> bytes:
+    """Minimal little-endian single-strip RGB TIFF writer. Round 5:
+    optional compression (5 LZW, 8 Deflate, 32773 PackBits) and the
+    horizontal-differencing predictor — the fixture side of the
+    decoder's common-compression support."""
+    if compression not in (1, 5, 8, 32773) or predictor not in (1, 2):
+        raise ValueError("unsupported compression/predictor")
     h = len(rows)
     w = len(rows[0]) if h else 0
-    px = bytes(v for r in rows for p in r for v in p)
+    px = bytearray(v for r in rows for p in r for v in p)
+    if predictor == 2:
+        rowlen = w * 3
+        for r in range(h):
+            base = r * rowlen
+            for i in range(rowlen - 1, 2, -1):
+                px[base + i] = (px[base + i] - px[base + i - 3]) & 0xFF
+    if compression == 5:
+        strip = _tiff_lzw_encode(bytes(px))
+    elif compression == 8:
+        strip = zlib.compress(bytes(px))
+    elif compression == 32773:
+        strip = bytearray()
+        for i in range(0, len(px), 128):
+            run = px[i : i + 128]
+            strip += bytes([len(run) - 1]) + run
+        strip = bytes(strip)
+    else:
+        strip = bytes(px)
 
     def le(v, n):
         return int(v).to_bytes(n, "little")
 
     # layout: header(8) | IFD | bits-per-sample(6) | pixels
-    n_entries = 9
+    n_entries = 10 if predictor == 2 else 9
     ifd_off = 8
     bps_off = ifd_off + 2 + n_entries * 12 + 4
     px_off = bps_off + 6
@@ -3783,19 +3810,137 @@ def tiff_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
     ifd += entry(256, 4, 1, le(w, 4))  # ImageWidth
     ifd += entry(257, 4, 1, le(h, 4))  # ImageLength
     ifd += entry(258, 3, 3, le(bps_off, 4))  # BitsPerSample -> offset
-    ifd += entry(259, 3, 1, le(1, 2) + le(0, 2))  # Compression: none
+    ifd += entry(259, 3, 1, le(compression, 2) + le(0, 2))  # Compression
     ifd += entry(262, 3, 1, le(2, 2) + le(0, 2))  # Photometric: RGB
     ifd += entry(273, 4, 1, le(px_off, 4))  # StripOffsets
     ifd += entry(277, 3, 1, le(3, 2) + le(0, 2))  # SamplesPerPixel
     ifd += entry(278, 4, 1, le(h, 4))  # RowsPerStrip
-    ifd += entry(279, 4, 1, le(len(px), 4))  # StripByteCounts
+    ifd += entry(279, 4, 1, le(len(strip), 4))  # StripByteCounts
+    if predictor == 2:
+        ifd += entry(317, 3, 1, le(2, 2) + le(0, 2))  # Predictor
     ifd += le(0, 4)  # no next IFD
-    return b"II*\x00" + le(ifd_off, 4) + ifd + le(8, 2) * 3 + px
+    return b"II*\x00" + le(ifd_off, 4) + ifd + le(8, 2) * 3 + strip
+
+
+def _packbits_decode(src: bytes, max_out: int) -> bytearray | None:
+    """Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    while i < len(src) and len(out) < max_out:
+        n = src[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(src):
+                return None
+            out += src[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(src):
+                return None
+            out += bytes([src[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    return out
+
+
+def _tiff_lzw_decode(src: bytes, max_out: int) -> bytearray | None:
+    """TIFF LZW (compression 5): MSB-first codes, clear=256, EOI=257,
+    EARLY code-width change (one entry before the GIF rule), 12-bit cap."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    code_size = 9
+
+    def reset():
+        nonlocal table, code_size
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        code_size = 9
+
+    reset()
+    total = len(src) * 8
+    bitpos = 0
+    prev: bytes | None = None
+    while bitpos + code_size <= total and len(out) <= max_out:
+        code = 0
+        for _ in range(code_size):
+            code = (code << 1) | ((src[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4094:
+            table.append(prev + entry[:1])
+        prev = entry
+        # TIFF early change, decoder side: the decoder's table lags the
+        # encoder by one entry (it adds entry i only when reading code
+        # i+1), so it must widen one entry EARLIER than table fullness
+        # suggests — at next-free == 2^bits - 2
+        if len(table) + 2 >= (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out if len(out) <= max_out else None
+
+
+def _tiff_lzw_encode(src: bytes) -> bytes:
+    """Inverse of _tiff_lzw_decode (fixtures): MSB-first, early change."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int):
+        nonlocal acc, nbits
+        acc = (acc << size) | code
+        nbits += size
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    code_size = 9
+    emit(clear, code_size)
+    cur = b""
+    for byte in src:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], code_size)
+        if next_code < 4094:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code + 1 >= (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            code_size = 9
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 def decode_tiff(data: bytes | None) -> dict | None:
-    """Real baseline TIFF decode (uncompressed, 8-bit gray/RGB, II or MM).
-    Returns the shared raster dict or None."""
+    """Real baseline TIFF decode: 8-bit gray/RGB, II or MM, uncompressed
+    plus the common compressions (round 5): LZW (5, with its early
+    code-width change), Deflate (8/32946), PackBits (32773), and the
+    horizontal-differencing predictor (tag 317 = 2). Returns the shared
+    raster dict or None."""
     if not data or len(data) < 8:
         return None
     if data[:4] == b"II*\x00":
@@ -3839,13 +3984,15 @@ def decode_tiff(data: bytes | None) -> dict | None:
         offsets = values(273)
         counts = values(279)
         rps = values(278, [h])[0]
+        predictor = values(317, [1])[0]
     except ValueError:
         return None
     if (
         photo is None
         or offsets is None
         or counts is None
-        or comp != 1
+        or comp not in (1, 5, 8, 32773, 32946)
+        or predictor not in (1, 2)
         or photo[0] not in (1, 2)
         or w <= 0
         or h <= 0
@@ -3858,11 +4005,44 @@ def decode_tiff(data: bytes | None) -> dict | None:
     ):
         return None
     need = w * h * spp
+    rowlen = w * spp
     buf = bytearray()
+    rows_done = 0
     for off, cnt in zip(offsets, counts):
-        if off + cnt > len(data) or len(buf) + cnt > need:
+        if off + cnt > len(data):
             return None
-        buf += data[off : off + cnt]
+        strip_rows = min(rps, h - rows_done)
+        if strip_rows <= 0:
+            return None
+        strip_need = strip_rows * rowlen
+        raw = data[off : off + cnt]
+        if comp == 1:
+            strip = bytearray(raw)
+        elif comp == 5:
+            strip = _tiff_lzw_decode(raw, strip_need)
+        elif comp in (8, 32946):
+            try:
+                strip = bytearray(
+                    zlib.decompressobj().decompress(raw, strip_need)
+                )
+            except zlib.error:
+                return None
+        else:  # 32773 PackBits
+            strip = _packbits_decode(raw, strip_need)
+        if strip is None or len(strip) < strip_need:
+            return None
+        strip = strip[:strip_need]
+        if predictor == 2:  # horizontal differencing, per row per channel
+            for r in range(strip_rows):
+                base = r * rowlen
+                for i in range(spp, rowlen):
+                    strip[base + i] = (
+                        strip[base + i] + strip[base + i - spp]
+                    ) & 0xFF
+        buf += strip
+        rows_done += strip_rows
+        if len(buf) > need:
+            return None
     if len(buf) != need:
         return None
     if spp == 1:

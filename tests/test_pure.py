@@ -1182,3 +1182,41 @@ def test_gif_animation_roundtrip_and_subset_rule():
         r = pure.decode_gif_frames(bytes(b))
         assert r is None or isinstance(r, dict)
     assert pure.decode_gif_frames(None) is None
+
+
+def test_tiff_compressions_roundtrip():
+    """Round 5: LZW (with the early code-width change), Deflate, and
+    PackBits TIFF strips — with and without the horizontal predictor —
+    decode to the exact uncompressed pixels."""
+    import random
+
+    rng = random.Random(12)
+    rows = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+         for _ in range(40)]
+        for _ in range(30)
+    ]
+    base = pure.decode_tiff(pure.tiff_encode(rows))
+    assert base is not None
+    for comp in (1, 5, 8, 32773):
+        for pred in (1, 2):
+            d = pure.decode_tiff(
+                pure.tiff_encode(rows, compression=comp, predictor=pred)
+            )
+            assert d is not None, (comp, pred)
+            assert bytes(d["pixels"]) == bytes(base["pixels"]), (comp, pred)
+    # LZW raw stream: width transitions + the 4094-entry table reset
+    data = bytes(rng.randrange(256) for _ in range(40000))
+    assert bytes(pure._tiff_lzw_decode(pure._tiff_lzw_encode(data), len(data))) == data
+    pat = b"abcabcdeffedxyz" * 4000
+    assert bytes(pure._tiff_lzw_decode(pure._tiff_lzw_encode(pat), len(pat))) == pat
+    # hostility on a compressed+predicted file
+    t = pure.tiff_encode(rows, compression=5, predictor=2)
+    for cut in range(0, len(t), 31):
+        r = pure.decode_tiff(t[:cut])
+        assert r is None or r["width"] == 40
+    for _ in range(80):
+        b = bytearray(t)
+        b[rng.randrange(len(b))] ^= 0xFF
+        r = pure.decode_tiff(bytes(b))
+        assert r is None or isinstance(r, dict)
