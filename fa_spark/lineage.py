@@ -260,10 +260,14 @@ def commit_lineage(
     non_stub_ogg = (ct == "ogg") & (
         F.coalesce(F.col("meta").getItem("ogg:codec"), F.lit("")) == "vorbis"
     )
-    # mp4 is non-stub for MJPEG sample entries (round 5, decode_mp4_mjpeg)
-    non_stub_mp4 = (ct == "mp4") & F.coalesce(
-        F.col("meta").getItem("mp4:codec"), F.lit("")
-    ).isin("jpeg", "mjpa")
+    # mp4 is non-stub when ANY trak carries an MJPEG sample entry
+    # (round 5, decode_mp4_mjpeg; mp4:codecs lists every trak's fourcc)
+    non_stub_mp4 = (ct == "mp4") & F.arrays_overlap(
+        F.split(
+            F.coalesce(F.col("meta").getItem("mp4:codecs"), F.lit("")), ","
+        ),
+        F.array(F.lit("jpeg"), F.lit("mjpa")),
+    )
     stub_ct = F.when(
         ct.isin(*STUB_CONTAINER_TYPES)
         & ~non_stub_riff & ~non_stub_ogg & ~non_stub_mp4,

@@ -3514,6 +3514,9 @@ def gif_animate_encode(
     pal_bytes += bytes(3 * (n_entries - len(palette)))
     out += pal_bytes
     delays = delays_cs or [10] * len(frame_rows)
+    if len(delays) != len(frame_rows):
+        # zip would silently truncate frames (round-5 review)
+        raise ValueError("delays_cs length must match frame count")
     for rows, delay in zip(frame_rows, delays):
         out += bytes([0x21, 0xF9, 4, 0]) + int(delay).to_bytes(2, "little")
         out += bytes([0, 0])  # transparent idx + terminator
@@ -6324,14 +6327,24 @@ def _parse_mp4_meta(data: bytes) -> dict[str, str]:
                     out["mp4:width"] = str(wq >> 16)
                     out["mp4:height"] = str(hq >> 16)
             elif (
-                btype == b"stsd" and "mp4:codec" not in out
+                btype == b"stsd"
                 # bound by the box's own extent, not the parent range — a
                 # truncated stsd (size < 24) must not read sibling bytes
                 and body + 16 <= p + size
             ):
                 fourcc = data[body + 12 : body + 16]
                 if fourcc.isalnum() or b" " in fourcc:
-                    out["mp4:codec"] = fourcc.decode("latin-1").strip()
+                    cc = fourcc.decode("latin-1").strip()
+                    # mp4:codec = first stsd (back-compat); mp4:codecs
+                    # lists EVERY trak's sample entry (round-5 review: a
+                    # leading audio trak must not hide an MJPEG video
+                    # trak from the decode gate)
+                    out.setdefault("mp4:codec", cc)
+                    prev_list = out.get("mp4:codecs", "")
+                    if len(prev_list) < 256:
+                        out["mp4:codecs"] = (
+                            f"{prev_list},{cc}" if prev_list else cc
+                        )
             p += size
 
     walk(0, len(data))
@@ -6731,7 +6744,7 @@ def decode_mp4_mjpeg(data: bytes | None) -> dict | None:
         return None
     n_data = len(data)
     state: dict = {}
-    budget = [4096]
+    budget = [MP4_MAX_BOXES]  # shared with _parse_mp4_meta's walk bound
 
     def walk(lo: int, hi: int) -> None:
         p = lo
@@ -6817,6 +6830,16 @@ def decode_mp4_mjpeg(data: bytes | None) -> dict | None:
                     and sizes
                     and stco
                     and stsc
+                    # chunk numbers are 1-BASED and runs strictly
+                    # ascending — a first_chunk of 0 would make
+                    # stco[ci - 1] silently index the LAST chunk
+                    # (round-5 review); malformed tables resolve to
+                    # no frames -> None
+                    and all(fc >= 1 for fc, _ in stsc)
+                    and all(
+                        stsc[i][0] < stsc[i + 1][0]
+                        for i in range(len(stsc) - 1)
+                    )
                 ):
                     frames = []
                     si = 0

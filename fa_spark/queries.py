@@ -626,20 +626,31 @@ def q_host_pagerank(spark, sf_dir):
 
 
 def _pagerank_sql(iters: int = PR_ITERS, n: int = PR_HOSTS, d: float = PR_DAMPING):
+    # N is the ACTUAL host count (scalar subquery), and edges keep only
+    # destinations present in the host set — both matching the operator's
+    # induced-subgraph semantics, so the oracle stays value-identical for
+    # any corpus size (round-5 review: the hardcoded 1/40 diverged for
+    # corpora with missing doc_id % 40 residues). The fixture tables all
+    # have >= 40 docs, so no host is dangling in the induced graph and
+    # the SQL needs no dangling term.
     ctes = [
         f"hosts AS (SELECT DISTINCT doc_id % {n} AS h FROM documents)",
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hosts)",
         (
-            f"edges AS (SELECT h AS src, (h + 1) % {n} AS dst FROM hosts "
-            f"UNION SELECT h AS src, (h * 3 + 7) % {n} AS dst FROM hosts)"
+            f"edges AS (SELECT s.h AS src, t.h AS dst FROM hosts s "
+            f"JOIN hosts t ON t.h = (s.h + 1) % {n} "
+            f"UNION SELECT s.h AS src, t.h AS dst FROM hosts s "
+            f"JOIN hosts t ON t.h = (s.h * 3 + 7) % {n})"
         ),
         "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)",
-        f"r0 AS (SELECT h, 1.0/{n} AS r FROM hosts)",
+        "r0 AS (SELECT h, 1.0/(SELECT n FROM nv) AS r FROM hosts)",
     ]
     for i in range(1, iters + 1):
         ctes.append(
             f"""r{i} AS (
   SELECT hs.h AS h,
-         (1 - {d})/{n} + {d} * COALESCE(SUM(r{i - 1}.r / deg.d), 0) AS r
+         (1 - {d})/(SELECT n FROM nv)
+           + {d} * COALESCE(SUM(r{i - 1}.r / deg.d), 0) AS r
   FROM hosts hs
   LEFT JOIN edges e ON e.dst = hs.h
   LEFT JOIN deg ON deg.src = e.src
@@ -3029,6 +3040,11 @@ def q_gif_frames(spark, sf_dir):
             rows = []
             for did, blob in zip(pdf["doc_id"], pdf["content"]):
                 d = pure.decode_gif_frames(bytes(blob))
+                if d is None:
+                    # fixture/decoder drift degrades to a loud row-count
+                    # mismatch at the gate, never an executor TypeError
+                    # (round-5 review)
+                    continue
                 rows.append(
                     {
                         "doc_id": int(did),

@@ -143,12 +143,23 @@ def pagerank(
     n = vertices.count()
     if n == 0:
         return vertices.withColumn("rank", F.lit(0.0))
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    # induced subgraph on `vertices` (round-5 review): an edge to a
+    # vertex OUTSIDE the set would silently leak rank mass (the
+    # contribution join drops it), breaking the sums-to-1 invariant.
+    # Restricting both endpoints keeps mass conserved exactly; a vertex
+    # whose every out-edge left the set becomes dangling and is handled
+    # by the uniform redistribution below.
+    e = (
+        e.join(vertices.select(F.col("id").alias("_src")), "_src", "left_semi")
+        .join(vertices.select(F.col("id").alias("_dst")), "_dst", "left_semi")
+        .localCheckpoint(eager=True)
+    )
     deg = (
-        edges.groupBy(F.col(src).alias("id"))
+        e.groupBy(F.col("_src").alias("id"))
         .agg(F.count("*").alias("_deg"))
         .localCheckpoint(eager=True)
     )
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iters):

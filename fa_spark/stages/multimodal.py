@@ -214,7 +214,10 @@ def media_features_fn(mode: str = "describe"):
                     else:
                         status = "decode_error"
                         feature = _fake_decode(b, target)
-                elif ct == "mp4" and meta.get("mp4:codec") in ("jpeg", "mjpa"):
+                elif ct == "mp4" and (
+                    set(meta.get("mp4:codecs", "").split(","))
+                    & {"jpeg", "mjpa"}
+                ):
                     # round 5: MJPEG-in-MP4 decodes for real — sample
                     # tables resolved, frames through the JPEG decoder
                     # (pure.decode_mp4_mjpeg); other mp4 codecs stub

@@ -124,3 +124,18 @@ def test_pagerank_uniform_on_cycle(spark):
     pr = pagerank(edges, iters=4)
     for r in pr.collect():
         assert abs(r["rank"] - 1.0 / n) < 1e-12
+
+
+def test_pagerank_induced_subgraph_conserves_mass(spark):
+    """Round-5 review: an edge to a vertex outside a caller-supplied
+    vertex set must not leak rank mass — the graph is induced on the
+    set, and a vertex whose only out-edge left the set goes dangling."""
+    from fa_spark.stages.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(0,), (1,)], "id long")
+    pr = {r["id"]: r["rank"] for r in pagerank(edges, iters=4, vertices=verts).collect()}
+    assert set(pr) == {0, 1}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9

@@ -1220,3 +1220,36 @@ def test_tiff_compressions_roundtrip():
         b[rng.randrange(len(b))] ^= 0xFF
         r = pure.decode_tiff(bytes(b))
         assert r is None or isinstance(r, dict)
+
+
+def test_mp4_multi_trak_codecs_and_malformed_stsc():
+    """Round-5 review: a leading audio trak must not hide the MJPEG
+    video trak (mp4:codecs lists every trak), and a 0-based stsc
+    first_chunk (chunks are 1-based) refuses instead of indexing
+    stco[-1]."""
+    def box(t, body):
+        return (len(body) + 8).to_bytes(4, "big") + t + body
+
+    mp4 = pure.mp4_mjpeg_encode([_gray_jpeg(50)])
+    stsd_a = box(
+        b"stsd",
+        b"\x00" * 4 + (1).to_bytes(4, "big") + box(b"mp4a", b"\x00" * 28),
+    )
+    trak_a = box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stsd_a))))
+    i = mp4.find(b"moov")
+    moov_size = int.from_bytes(mp4[i - 4 : i], "big")
+    hybrid = mp4[: i - 4] + box(b"moov", trak_a + mp4[i + 4 : i - 4 + moov_size])
+    m = pure.extract_metadata(hybrid)
+    assert m["mp4:codec"] == "mp4a" and m["mp4:codecs"] == "mp4a,jpeg"
+    d = pure.decode_mp4_mjpeg(hybrid)
+    assert d is not None and d["n_frames"] == 1
+    # malformed sample-to-chunk table
+    j = mp4.find(b"stsc")
+    bad = bytearray(mp4)
+    bad[j + 12 : j + 16] = (0).to_bytes(4, "big")
+    assert pure.decode_mp4_mjpeg(bytes(bad)) is None
+    # encoder refuses mismatched delay lists
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="delays"):
+        pure.gif_animate_encode([[[(1, 1, 1)]]] * 3, delays_cs=[4])
