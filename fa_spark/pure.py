@@ -3407,7 +3407,7 @@ def decode_gif_frames(data: bytes | None) -> dict | None:
                 return None
             label = data[pos + 1]
             pos += 2
-            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+            if label == 0xF9 and pos + 4 <= len(data) and data[pos] >= 4:
                 cur_delay = int.from_bytes(data[pos + 2 : pos + 4], "little")
             while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
@@ -4250,8 +4250,14 @@ def ocr_image(
     scoring (_ocr_match_cells_soft) — the downsampled cells keep their
     FRACTIONAL ink coverage instead of being re-binarized at 0.5, so
     anti-aliased edge ramps contribute partial agreement; a cell reads
-    '?' below ``min_confidence``. On binary input soft scoring equals
-    the Hamming path exactly.
+    '?' below ``min_confidence``. On CLEAN binary input soft scoring
+    equals the exact path. On NOISY binary input it is deliberately more
+    tolerant than max_hamming=0 (round-5 ADVICE, intentional): a cell
+    whose agreement still clears ``min_confidence`` * nbits — up to
+    floor((1-min_confidence)*35) = 8 flipped bits at the default 0.75 —
+    reads as the nearest glyph where the exact path read '?'. Callers
+    needing the strict round-3 noisy-cell semantics should keep
+    soft=False (optionally with max_hamming) or raise min_confidence.
 
     Returns None when no scale fits even one glyph row."""
     if img is None:
@@ -5389,6 +5395,13 @@ class _VCodebook:
             raise ValueError("bad codebook sync")
         self.dims = r.read(16)
         self.entries = r.read(24)
+        # cap IMMEDIATELY after the raw 24-bit field (round-6 review): a
+        # crafted setup header can declare ~16.7M entries, and both the
+        # lengths allocation below and the Huffman codeword assignment are
+        # O(entries) — the work must be bounded before it happens, not in
+        # the VQ branch afterwards
+        if self.entries > _VORBIS_MAX_BOOK_CELLS:
+            raise ValueError("codebook too large")
         lengths = [0] * self.entries
         if r.read1():  # ordered
             cur_len = r.read(5) + 1
@@ -5887,7 +5900,17 @@ def _vorbis_parse_headers(packets: list) -> "_VSetup | None":
         return None
     s.blocksizes = (bs0, bs1)
     r = _VBitReader(setup[7:])
-    s.books = [_VCodebook(r) for _ in range(r.read(8) + 1)]
+    # header-wide cap: up to 256 books, each individually bounded — bound
+    # the running aggregate too so a maxed-out header can't stack 256
+    # worst cases before we notice
+    s.books = []
+    total_entries = 0
+    for _ in range(r.read(8) + 1):
+        book = _VCodebook(r)
+        total_entries += book.entries
+        if total_entries > 4 * _VORBIS_MAX_BOOK_CELLS:
+            return None
+        s.books.append(book)
     for _ in range(r.read(6) + 1):  # time transforms (placeholders)
         if r.read(16) != 0:
             return None

@@ -33,6 +33,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fa_spark.stages.dedup import _PAIR_CACHES
+
 _PREFIX_DENOM = float(16**8)
 
 
@@ -75,13 +77,16 @@ def stratified_sample(
     # persisted: the audit action below and the caller's own action both
     # consume this relation — without the cache the prune+window subplan
     # (the operator's dominant stage) would run twice. The cached set is
-    # O(n * margin-factor) rows per stratum, tiny by construction; the
-    # caller may unpersist when done.
+    # O(n * margin-factor) rows per stratum, tiny by construction; it
+    # registers with the shared release mechanism so long-lived sessions
+    # (the driver's registry sweep) reclaim it like the signature caches
+    # do (round-5 ADVICE: q_corpus_sample never unpersisted).
     ranked = (
         pruned.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= n)
         .persist()
     )
+    _PAIR_CACHES.append(ranked)
 
     # exactness audit (step 4): strata whose sample came up short
     got = ranked.groupBy("_sk").agg(F.count("*").alias("_got"))
