@@ -268,9 +268,16 @@ def commit_lineage(
         ),
         F.array(F.lit("jpeg"), F.lit("mjpa")),
     )
+    # mp3 is non-stub when every frame sits inside decode_mp3's documented
+    # subset (round 6, pure.decode_mp3; the envelope walk publishes the
+    # side-info verdict as meta['mp3:l3_subset'] so this stays in sync
+    # with the stage's decode gate without re-decoding here)
+    non_stub_mp3 = (ct == "mp3") & (
+        F.coalesce(F.col("meta").getItem("mp3:l3_subset"), F.lit("")) == "1"
+    )
     stub_ct = F.when(
         ct.isin(*STUB_CONTAINER_TYPES)
-        & ~non_stub_riff & ~non_stub_ogg & ~non_stub_mp4,
+        & ~non_stub_riff & ~non_stub_ogg & ~non_stub_mp4 & ~non_stub_mp3,
         ct,
     )
     # two-level agg: (bucket, stub type) partial-aggregates map-side, then

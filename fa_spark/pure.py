@@ -5092,6 +5092,7 @@ def _parse_mp3_meta(data: bytes) -> dict[str, str]:
     total_samples = 0
     rate = bitrate = None
     vbr = False
+    subset = True
     while p + 4 <= len(data) and n_frames < MP3_MAX_FRAMES:
         fr = _mp3_frame(data, p)
         if fr is None:
@@ -5101,6 +5102,8 @@ def _parse_mp3_meta(data: bytes) -> dict[str, str]:
             rate, bitrate = r, br
         elif br != bitrate:
             vbr = True
+        if subset:
+            subset = _mp3_l3_subset_frame(data, p, flen)
         total_samples += samples
         n_frames += 1
         p += flen
@@ -5110,16 +5113,59 @@ def _parse_mp3_meta(data: bytes) -> dict[str, str]:
     out["mp3:sample_rate"] = str(rate)
     out["mp3:bitrate_kbps"] = ("vbr~" if vbr else "") + str(bitrate)
     out["mp3:duration_s"] = f"{total_samples / rate:.3f}"
+    # round 6: decode-subset verdict from the side-info walk — '1' iff
+    # every frame sits inside decode_mp3's documented subset (9c⁵ section
+    # header). The multimodal stage and lineage stub accounting both gate
+    # on this key (the ogg:codec pattern), so the two stay in sync.
+    out["mp3:l3_subset"] = "1" if subset else "0"
     return out
+
+
+def _mp3_l3_subset_frame(data: bytes, p: int, flen: int) -> bool:
+    """True iff the frame at p is inside decode_mp3's documented subset,
+    judged from header + side info alone (conservative: a granule that
+    COULD enter the count1 region with table A, or could select a big
+    Huffman table, fails). Cheap — ~17/32 bytes of bit reads per frame."""
+    b1, b3 = data[p + 1], data[p + 3]
+    if (b1 >> 3) & 3 != 3 or 4 - ((b1 >> 1) & 3) != 3:
+        return False  # MPEG-1 Layer III only
+    mode = (b3 >> 6) & 3
+    if mode == 1:
+        return False  # joint stereo
+    nch = 1 if mode == 3 else 2
+    body = p + 4 + (0 if (b1 & 1) else 2)
+    side_len = 17 if nch == 1 else 32
+    if body + side_len > min(p + flen, len(data)):
+        return False
+    try:
+        r = _FBitReader(data, body)
+        _mdb, _scfsi, grans = _mp3_side_info(r, nch)
+    except EOFError:
+        return False
+    for chs in grans:
+        for g in chs:
+            if g["block_type"] == 2:
+                return False
+            if g["big_values"] and any(
+                t not in (0, 1) for t in g["table_select"]
+            ):
+                return False
+            if g["count1table"] == 0 and g["part2_3_length"]:
+                return False
+    return True
 
 
 def mp3_envelope_encode(
     n_frames: int, bitrate_kbps: int = 128, rate: int = 44100,
     title: str | None = None, artist: str | None = None,
+    joint_stereo: bool = False,
 ) -> bytes:
-    """Valid CBR MPEG1-Layer-III frame headers with silent (zero) payloads
-    + optional ID3v2.3 tag — deterministic envelope fixtures (the codec
-    payload itself stays stubbed, documented)."""
+    """Valid CBR MPEG1-Layer-III frame headers with all-zero payloads +
+    optional ID3v2.3 tag — deterministic envelope fixtures. Since round
+    6 an all-zero payload is a legitimately DECODABLE Layer III stream
+    (part2_3_length 0 = digital silence, decode_mp3); pass
+    ``joint_stereo=True`` for a fixture that stays in the stubbed tier
+    (joint stereo is outside decode_mp3's documented subset)."""
     out = bytearray()
     if title or artist:
         frames = bytearray()
@@ -5132,7 +5178,10 @@ def mp3_envelope_encode(
         out += b"ID3\x03\x00\x00" + ss + frames
     br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
     sr_idx = _MP3_RATES[1].index(rate)
-    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00])
+    hdr = bytes([
+        0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2),
+        0x40 if joint_stereo else 0x00,
+    ])
     flen = 144 * bitrate_kbps * 1000 // rate
     frame = hdr + b"\x00" * (flen - 4)
     for _ in range(n_frames):
@@ -7036,6 +7085,418 @@ def webm_envelope_encode(
     seg_body = elem(0x1549A966, info) + elem(0x1654AE6B, elem(0xAE, track))
     header = elem(0x4282, b"webm")  # DocType inside the EBML header
     return elem(0x1A45DFA3, header) + elem(0x18538067, seg_body)
+
+
+# ---------------------------------------------------------------------------
+# 9c⁵. MPEG-1 Layer III (MP3) payload decode (round 6 — VERDICT r5 #1: the
+# largest remaining stubbed tier by real-crawl frequency. The reference
+# reaches mp3 through exiftool/binwalk envelopes only
+# (/root/reference/src/core/analyzer.py:140-313); this decodes the PAYLOAD:
+# frame sync + side info, bit reservoir, scalefactors (scfsi, long blocks),
+# Huffman spectrum decode, requantization, alias reduction, 18-point IMDCT
+# with overlap-add, frequency inversion, and a 32-band polyphase synthesis.
+#
+# DOCUMENTED SUBSET (out-of-scope streams return None and stay in the
+# honest `stubbed` lineage tier, exactly like floor0 Vorbis):
+#   * MPEG-1 only (mono / stereo / dual; joint stereo and MPEG-2/2.5 LSF
+#     are out of scope),
+#   * long blocks only (block_type 0/1/3; short/mixed windows return None),
+#   * big_values Huffman tables 0 and 1 plus count1 table B — the small
+#     tables whose (hlen, hcod) rows this module states with confidence;
+#     frames selecting other tables return None rather than mis-decode,
+#   * the synthesis stage keeps the ISO matrixing cos((16+i)(2k+1)π/64)
+#     and windowed overlap-add STRUCTURE but substitutes an exact
+#     perfect-reconstruction sine-prototype (64-tap, factor 2/32 — proven
+#     PR in tests) for the ISO Table B.3 512-tap near-PR prototype, whose
+#     512 tabulated coefficients are not reproduced here. Decoded PCM
+#     therefore differs from ISO decoders by that prototype's stop-band
+#     shape only; every stage before the filterbank is spec-exact.
+# ---------------------------------------------------------------------------
+
+MP3_MAX_DECODE_FRAMES = 2048  # ~2.36M samples — per-row hostile-input cap
+
+# scalefac_compress -> (slen1, slen2) [ISO 11172-3 2.4.2.7]
+_MP3_SLEN = [
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+]
+# preflag pretab per long scalefactor band [ISO Table B.6]
+_MP3_PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2]
+# long-block scalefactor band boundaries (line index), MPEG-1 [Table B.8]
+_MP3_SFB_LONG = {
+    44100: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+            134, 162, 196, 238, 288, 342, 418, 576],
+    48000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576],
+    32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+            156, 194, 240, 296, 364, 448, 550, 576],
+}
+# alias-reduction butterfly coefficients ci [ISO 2.4.3.4.10.1]
+_MP3_CI = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
+
+# big_values pair tables implemented: 0 (all-zero region, zero bits) and
+# 1 (2x2). Keyed (codeword_len, codeword) -> (x, y); MSB-first.
+_MP3_HUFF_BV: dict[int, dict] = {
+    0: {},
+    1: {(1, 0b1): (0, 0), (2, 0b01): (1, 0), (3, 0b001): (0, 1),
+        (3, 0b000): (1, 1)},
+}
+_MP3_HUFF_MAXLEN = {0: 0, 1: 3}
+
+_MP3_DSP_CACHE: dict = {}
+
+
+def _mp3_dsp() -> dict:
+    """Lazy trig tables (built once per interpreter, numpy float64).
+    The integer grids multiply INSIDE the outer product so the float op
+    sequence is (π/const) * exact-int — mirrored verbatim by the SQL
+    oracle in queries.SQL_MP3_FEATURES."""
+    if _MP3_DSP_CACHE:
+        return _MP3_DSP_CACHE
+    p = _np.arange(36)
+    m = _np.arange(18)
+    imdct = _np.cos(_np.pi / 72.0 * _np.outer(2 * p + 19, 2 * m + 1))
+    w_long = _np.sin(_np.pi * (2 * p + 1) / 72.0)
+    w_start = w_long.copy()
+    w_start[18:24] = 1.0
+    w_start[24:30] = _np.sin(_np.pi * (2 * (p[24:30] - 18) + 1) / 24.0)
+    w_start[30:] = 0.0
+    w_stop = w_start[::-1].copy()
+    j = _np.arange(32)
+    k = _np.arange(32)
+    syn_a = _np.cos(_np.pi / 128.0 * _np.outer(2 * j + 33, 2 * k + 1))
+    syn_b = _np.cos(_np.pi / 128.0 * _np.outer(2 * j + 97, 2 * k + 1))
+    w64 = _np.sin(_np.pi * (2 * _np.arange(64) + 1) / 128.0)
+    ci = _np.array(_MP3_CI)
+    cs = 1.0 / _np.sqrt(1.0 + ci * ci)
+    ca = ci / _np.sqrt(1.0 + ci * ci)
+    _MP3_DSP_CACHE.update(
+        imdct=imdct, windows={0: w_long, 1: w_start, 3: w_stop},
+        syn_a=syn_a, syn_b=syn_b, w64=w64, cs=cs, ca=ca,
+    )
+    return _MP3_DSP_CACHE
+
+
+def _mp3_side_info(r: "_FBitReader", nch: int):
+    """Side info parse [ISO 2.4.1.7]: 17 bytes mono / 32 stereo."""
+    main_data_begin = r.read(9)
+    r.read(5 if nch == 1 else 3)  # private bits
+    scfsi = [[r.read(1) for _ in range(4)] for _ in range(nch)]
+    grans = []
+    for _gr in range(2):
+        chs = []
+        for _ch in range(nch):
+            g = {
+                "part2_3_length": r.read(12),
+                "big_values": r.read(9),
+                "global_gain": r.read(8),
+                "scalefac_compress": r.read(4),
+            }
+            if r.read(1):  # window_switching_flag
+                g["block_type"] = r.read(2)
+                g["mixed"] = r.read(1)
+                g["table_select"] = [r.read(5), r.read(5), 0]
+                g["subblock_gain"] = [r.read(3) for _ in range(3)]
+                # implicit region split [ISO 2.4.2.7 region_address]
+                g["region0"] = 7
+                g["region1"] = 36
+            else:
+                g["block_type"] = 0
+                g["mixed"] = 0
+                g["table_select"] = [r.read(5) for _ in range(3)]
+                g["region0"] = r.read(4)
+                g["region1"] = r.read(3)
+            g["preflag"] = r.read(1)
+            g["scalefac_scale"] = r.read(1)
+            g["count1table"] = r.read(1)
+            chs.append(g)
+        grans.append(chs)
+    return main_data_begin, scfsi, grans
+
+
+def _mp3_scalefactors(r, g, gr, scfsi_ch, prev_sf):
+    """Long-block scalefactors with scfsi reuse -> (sf[21], bits_read)."""
+    slen1, slen2 = _MP3_SLEN[g["scalefac_compress"]]
+    groups = ((0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2))
+    sf = [0] * 21
+    bits = 0
+    for gi, (lo, hi, slen) in enumerate(groups):
+        if gr == 1 and scfsi_ch[gi] and prev_sf is not None:
+            sf[lo:hi] = prev_sf[lo:hi]
+        else:
+            for b in range(lo, hi):
+                sf[b] = r.read(slen) if slen else 0
+                bits += slen
+    return sf, bits
+
+
+def _mp3_huffman(r, g, sfb_long, start_bit):
+    """Spectrum decode -> int list is[576] or None on unsupported table.
+    Consumes exactly part2_3_length - part2 bits (stuffing skipped by the
+    caller via absolute positioning)."""
+    is_ = [0] * 576
+    bv_lines = min(g["big_values"] * 2, 576)
+    r0_end = sfb_long[min(g["region0"] + 1, 22)]
+    r1_end = sfb_long[min(g["region0"] + 1 + g["region1"] + 1, 22)]
+    end_bit = start_bit + g["part2_3_length"]
+
+    def bitpos():
+        return r.pos * 8 + r.bit
+
+    line = 0
+    while line < bv_lines:
+        region = 0 if line < r0_end else (1 if line < r1_end else 2)
+        tsel = g["table_select"][region]
+        tbl = _MP3_HUFF_BV.get(tsel)
+        if tbl is None:
+            return None  # documented subset: big tables unsupported
+        if not tbl:  # table 0: all-zero region, zero bits
+            line += 2
+            continue
+        code, ln = 0, 0
+        maxlen = _MP3_HUFF_MAXLEN[tsel]
+        pair = None
+        while ln < maxlen:
+            code = (code << 1) | r.read(1)
+            ln += 1
+            pair = tbl.get((ln, code))
+            if pair is not None:
+                break
+        if pair is None:
+            raise ValueError("bad huffman code")
+        x, y = pair
+        if x:
+            if r.read(1):
+                x = -x
+        if y:
+            if r.read(1):
+                y = -y
+        is_[line], is_[line + 1] = x, y
+        line += 2
+    # count1 region: quads of |v| <= 1 until part2_3_length is exhausted
+    if g["count1table"] == 0:
+        # count1 table A not implemented (documented subset) — only an
+        # issue when the region is actually entered
+        if bitpos() < end_bit and line <= 572:
+            return None
+    while bitpos() < end_bit and line <= 572:
+        nib = r.read(4) ^ 0xF
+        vals = []
+        for b in range(4):
+            v = (nib >> (3 - b)) & 1
+            if v and r.read(1):
+                v = -v
+            vals.append(v)
+        if bitpos() > end_bit:
+            break  # spec: a quad overrunning part2_3_length is discarded
+        for b in range(4):
+            is_[line + b] = vals[b]
+        line += 4
+    return is_
+
+
+def _mp3_requantize(is_, g, sf, sfb_long):
+    """xr[i] = sign·|is|^(4/3) · 2^((gg-210)/4) · 2^(-mult·(sf+pretab))."""
+    xr = _np.zeros(576)
+    vals = _np.array(is_, dtype=_np.float64)
+    gain = 2.0 ** ((g["global_gain"] - 210) / 4.0)
+    mult = 0.5 * (g["scalefac_scale"] + 1)
+    mag = _np.sign(vals) * _np.abs(vals) ** (4.0 / 3.0) * gain
+    for b in range(21):
+        lo, hi = sfb_long[b], sfb_long[b + 1]
+        s = sf[b] + (g["preflag"] * _MP3_PRETAB[b])
+        xr[lo:hi] = mag[lo:hi] * (2.0 ** (-mult * s))
+    xr[sfb_long[21]:] = mag[sfb_long[21]:]
+    return xr
+
+
+def _mp3_granule_pcm(xr, block_type, tails, fifo, ch):
+    """Alias reduction -> IMDCT/OLA -> frequency inversion -> synthesis.
+    Returns 576 PCM samples; mutates tails[ch] (32x18) and fifo[ch] (32)."""
+    d = _mp3_dsp()
+    cs, ca = d["cs"], d["ca"]
+    for sb in range(1, 32):
+        for i in range(8):
+            lo, hi = 18 * sb - 1 - i, 18 * sb + i
+            a, b = xr[lo], xr[hi]
+            xr[lo] = a * cs[i] - b * ca[i]
+            xr[hi] = b * cs[i] + a * ca[i]
+    X = xr.reshape(32, 18)  # long blocks: 18 lines per subband
+    Z = d["imdct"] @ X.T  # (36, 32)
+    ZW = Z * d["windows"][block_type][:, None]
+    S = ZW[:18, :] + tails[ch]  # (18 time slots, 32 subbands)
+    tails[ch] = ZW[18:, :]
+    # frequency inversion: odd time samples of odd subbands
+    S[1::2, 1::2] *= -1.0
+    P1 = S @ d["syn_a"].T
+    Sprev = _np.vstack([fifo[ch][None, :], S[:-1]])
+    P2 = Sprev @ d["syn_b"].T
+    fifo[ch] = S[-1].copy()
+    w64 = d["w64"]
+    return ((P1 * w64[:32]) + (P2 * w64[32:])).ravel() / 16.0
+
+
+def decode_mp3(data: bytes | None) -> dict | None:
+    """Real MPEG-1 Layer III decode -> the decode_wav feature dict shape
+    (rate, n_channels, n_samples, duration_s, rms, peak, zero_crossings),
+    float PCM channels averaged to mono. None on malformed or
+    out-of-subset input (see the 9c⁵ section header for the documented
+    subset) — those rows stay in the honest `stubbed` lineage tier."""
+    if not data:
+        return None
+    p = _id3v2_size(data)
+    if p + 4 > len(data) or data[p] != 0xFF or (data[p + 1] & 0xE0) != 0xE0:
+        return None
+    try:
+        resv = bytearray()
+        chunks = []
+        rate = nch = None
+        n_frames = 0
+        n_out = 0
+        tails = fifo = None
+        while p + 4 <= len(data) and n_frames < MP3_MAX_DECODE_FRAMES:
+            fr = _mp3_frame(data, p)
+            if fr is None:
+                break
+            flen = fr[0]
+            b1, b2, b3 = data[p + 1], data[p + 2], data[p + 3]
+            if (b1 >> 3) & 3 != 3 or 4 - ((b1 >> 1) & 3) != 3:
+                return None  # MPEG-1 Layer III only (documented subset)
+            mode = (b3 >> 6) & 3
+            if mode == 1:
+                return None  # joint stereo out of subset
+            f_nch = 1 if mode == 3 else 2
+            f_rate = fr[2]
+            if rate is None:
+                rate, nch = f_rate, f_nch
+                tails = [_np.zeros((18, 32)) for _ in range(nch)]
+                fifo = [_np.zeros(32) for _ in range(nch)]
+            elif (f_rate, f_nch) != (rate, nch):
+                return None
+            body = p + 4
+            if not (b1 & 1):  # protection bit 0 -> 16-bit CRC present
+                body += 2
+            side_len = 17 if nch == 1 else 32
+            if body + side_len > min(p + flen, len(data)):
+                return None
+            sr = _FBitReader(data, body)
+            main_data_begin, scfsi, grans = _mp3_side_info(sr, nch)
+            main = data[body + side_len : min(p + flen, len(data))]
+            start = len(resv) - main_data_begin
+            resv += main
+            if start >= 0:
+                mr = _FBitReader(bytes(resv))
+                mr.pos = start
+                sfb_long = _MP3_SFB_LONG[rate]
+                prev_sf = [None] * nch
+                for gr in range(2):
+                    outs = []
+                    for ch in range(nch):
+                        g = grans[gr][ch]
+                        if g["block_type"] == 2:
+                            return None  # short/mixed blocks out of subset
+                        gr_start = mr.pos * 8 + mr.bit
+                        sf, p2bits = _mp3_scalefactors(
+                            mr, g, gr, scfsi[ch], prev_sf[ch]
+                        )
+                        prev_sf[ch] = sf
+                        is_ = _mp3_huffman(mr, g, sfb_long, gr_start)
+                        if is_ is None:
+                            return None
+                        # absolute reposition past stuffing bits
+                        total = gr_start + g["part2_3_length"]
+                        mr.pos, mr.bit = total >> 3, total & 7
+                        xr = _mp3_requantize(is_, g, sf, sfb_long)
+                        outs.append(
+                            _mp3_granule_pcm(
+                                xr, g["block_type"], tails, fifo, ch
+                            )
+                        )
+                    mono = outs[0] if nch == 1 else (outs[0] + outs[1]) / 2.0
+                    chunks.append(mono)
+                    n_out += len(mono)
+                    if n_out > VORBIS_MAX_SAMPLES:
+                        return None
+            if len(resv) > 511:  # max main_data_begin lookback
+                resv = resv[-511:]
+            n_frames += 1
+            p += flen
+        if not chunks:
+            return None
+        pcm = _np.concatenate(chunks)
+        n = len(pcm)
+        rms = float(_np.sqrt(_np.mean(pcm * pcm)))
+        peak = float(_np.max(_np.abs(pcm)))
+        pos_sign = pcm >= 0
+        zc = int(_np.count_nonzero(pos_sign[1:] != pos_sign[:-1]))
+        return {
+            "rate": rate,
+            "n_channels": nch,
+            "n_samples": n,
+            "duration_s": n / rate,
+            "rms": rms,
+            "peak": peak,
+            "zero_crossings": zc,
+        }
+    except (ValueError, EOFError, IndexError, KeyError, ZeroDivisionError):
+        return None
+
+
+def mp3_tone_encode(
+    bin_k: int, amp_exp: int, rate: int = 32000, bitrate_kbps: int = 32
+) -> bytes:
+    """Deterministic single-frame MPEG-1 Layer III stream (fixture +
+    oracle): granule 0 is digital silence (part2_3_length 0), granule 1
+    carries exactly one +1 count1-region value at spectral line ``bin_k``
+    (0 <= bin_k <= 7, subband 0 away from alias butterflies) with
+    global_gain 210 - 4*amp_exp, so the requantized spectrum is the exact
+    dyadic 2^-amp_exp at one line. The decoded 1152-sample PCM is
+    closed-form: 576 zeros then
+      p[32t+j] = (2^-amp_exp/16) * ( w64[j]·cos(π(2j+33)/128)·h(t)
+                                   + w64[j+32]·cos(π(2j+97)/128)·h(t-1) )
+    with h(t) = sin(π(2t+1)/72)·cos(π/72·(2t+19)(2·bin_k+1)), h(-1)=0 —
+    re-derived independently by queries.SQL_MP3_FEATURES."""
+    if not 0 <= bin_k <= 7:
+        raise ValueError("bin_k outside the closed-form subband-0 range")
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[1].index(rate)
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC4])
+    flen = 144 * bitrate_kbps * 1000 // rate
+
+    quad, pos_in_quad = divmod(bin_k, 4)
+    # quad codes: 4-bit one's-complement nibble + 1 sign bit per nonzero
+    p23 = 5 + 4 * quad
+
+    w = _FBitWriter()
+    w.write(0, 9)  # main_data_begin
+    w.write(0, 5)  # private
+    w.write(0, 4)  # scfsi
+    for gr_p23 in (0, p23):
+        w.write(gr_p23, 12)  # part2_3_length
+        w.write(0, 9)  # big_values
+        w.write(210 - 4 * amp_exp, 8)  # global_gain
+        w.write(0, 4)  # scalefac_compress
+        w.write(0, 1)  # window_switching_flag
+        for _ in range(3):
+            w.write(0, 5)  # table_select
+        w.write(0, 4)  # region0_count
+        w.write(0, 3)  # region1_count
+        w.write(0, 1)  # preflag
+        w.write(0, 1)  # scalefac_scale
+        w.write(1, 1)  # count1table_select -> table B
+    side = w.bytes()
+    assert len(side) == 17
+
+    m = _FBitWriter()
+    for _ in range(quad):
+        m.write(0xF, 4)  # all-zero quad (one's complement of 0000)
+    nib = 1 << (3 - pos_in_quad)
+    m.write(nib ^ 0xF, 4)
+    m.write(0, 1)  # sign: positive
+    main = m.bytes()
+
+    frame = hdr + side + main
+    return frame + b"\x00" * (flen - len(frame))
 
 
 # ---------------------------------------------------------------------------

@@ -229,6 +229,16 @@ def media_features_fn(mode: str = "describe"):
                     else:
                         status = "decode_error"
                         feature = _fake_decode(b, target)
+                elif ct == "mp3" and (aud := pure.decode_mp3(b)) is not None:
+                    # round 6: real MPEG-1 Layer III decode (side info +
+                    # bit reservoir + Huffman + requantize + alias
+                    # reduction + IMDCT + synthesis, pure.decode_mp3).
+                    # Out-of-subset streams (joint stereo, short blocks,
+                    # big Huffman tables — pure.py 9c⁵ header) return
+                    # None and keep the honest stubbed tier below; the
+                    # gate is the decode itself, like ogg's codec gate.
+                    status = "decoded"
+                    feature = _real_wav_features(aud)
                 elif ct == "ogg" and meta.get("ogg:codec") == "vorbis":
                     # round 5: real Vorbis decode (floor1 + residue +
                     # IMDCT, pure.decode_vorbis) — ogg leaves the stub

@@ -244,12 +244,16 @@ def test_stub_counters_in_lineage(spark, pages_df, base):
     so the 100-TB drop rule is auditable, like dedup's bucket-cap drops."""
     from fa_spark import pure
 
-    mp3 = pure.mp3_envelope_encode(2)
+    # joint stereo is outside decode_mp3's documented subset -> stub;
+    # an in-subset Layer III stream (round 6) decodes for real
+    mp3 = pure.mp3_envelope_encode(2, joint_stereo=True)
     mp4 = pure.mp4_envelope_encode(1.5)
     wav = pure.wav_encode([0, 80, -80, 40] * 200)
     media_rows = [
         ("http://m.example/a.mp3", TS1, mp3, None, "en"),
         ("http://m.example/b.mp3", TS1, mp3 + b"\x00", None, "en"),
+        ("http://m.example/i.mp3", TS1,
+         pure.mp3_tone_encode(3, 1), None, "en"),  # decodes (r6), NOT a stub
         ("http://m.example/c.mp4", TS1, mp4, None, "en"),
         ("http://m.example/d.wav", TS1, wav, None, "en"),  # decodable, NOT a stub
         # vorbis decodes for real (round 5) — NOT a stub; opus is one
@@ -276,8 +280,8 @@ def test_stub_counters_in_lineage(spark, pages_df, base):
     agg = counters.agg(
         F.sum("stubbed_rows").alias("n"),
     ).collect()[0]
-    # two mp3 + one mp4 + one opus + one xvid-avi; wav, vorbis and
-    # mjpeg-avi decode for real
+    # two joint-stereo mp3 + one mp4 + one opus + one xvid-avi; wav,
+    # vorbis, mjpeg-avi and the in-subset mp3 decode for real
     assert agg["n"] == 5
     by_type: dict[str, int] = {}
     for row in counters.collect():

@@ -231,3 +231,30 @@ def test_mjpeg_avi_decodes_other_codecs_stay_stubbed(spark):
     assert f[0] == 4.0  # n_frames
     assert f[6] == 50.0  # first sampled mean
     assert out["xv"]["decode_status"] == "stubbed"
+
+
+def test_mp3_decodes_joint_stereo_stays_stubbed(spark):
+    """Round 6: in-subset MPEG-1 Layer III payloads decode for REAL
+    through the stage (pure.decode_mp3); out-of-subset mp3 (joint
+    stereo) keeps decode_status stubbed — the gate is the decode itself,
+    so the stage and the lineage mp3:l3_subset accounting agree."""
+    from fa_spark import pure
+
+    rows = [
+        ("tone", pure.mp3_tone_encode(3, 1)),
+        ("sil", pure.mp3_envelope_encode(2, 128, 44100)),
+        ("js", pure.mp3_envelope_encode(2, joint_stereo=True)),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    out = {
+        r["media_id"]: r
+        for r in extract_media_features(df, mode="describe").collect()
+    }
+    assert out["tone"]["content_type"] == "mp3"
+    assert out["tone"]["decode_status"] == "decoded"
+    f = out["tone"]["feature"]
+    assert f[3] == 1152.0 and f[4] == 32000.0  # n_samples, rate
+    assert 0 < f[0] < f[1] < 1  # rms < peak of a 2^-1 dyadic line
+    assert out["sil"]["decode_status"] == "decoded"
+    assert out["sil"]["feature"][0] == 0.0  # digital silence
+    assert out["js"]["decode_status"] == "stubbed"

@@ -1253,3 +1253,87 @@ def test_mp4_multi_trak_codecs_and_malformed_stsc():
 
     with _pytest.raises(ValueError, match="delays"):
         pure.gif_animate_encode([[[(1, 1, 1)]]] * 3, delays_cs=[4])
+
+
+# ---- MPEG-1 Layer III (mp3) decode (round 6) ----
+
+def test_mp3_roundtrip_matches_closed_form():
+    """decode_mp3 on the single-line tone fixture must equal the
+    IMDCT+synthesis closed form to float64 exactness — the same identity
+    the SQL oracle of mp3_features recomputes independently (granule 0 is
+    digital silence, granule 1 one dyadic spectral line in subband 0)."""
+    import numpy as np
+
+    t = np.arange(18)
+    j = np.arange(32)
+    w_long = np.sin(np.pi * (2 * t + 1) / 72.0)
+    A = np.cos(np.pi / 128.0 * (2 * j + 33))
+    B = np.cos(np.pi / 128.0 * (2 * j + 97))
+    w64 = np.sin(np.pi * (2 * np.arange(64) + 1) / 128.0)
+    for k, e in [(0, 0), (1, 2), (3, 1), (5, 3), (7, 2)]:
+        blob = pure.mp3_tone_encode(k, e)
+        assert pure.sniff_bytes(blob)["content_type"] == "mp3"
+        assert pure.extract_metadata(blob)["mp3:l3_subset"] == "1"
+        d = pure.decode_mp3(blob)
+        assert d is not None and d["n_samples"] == 1152
+        v = 2.0 ** -e
+        h = w_long * (np.cos(np.pi / 72.0 * ((2 * t + 19) * (2 * k + 1))) * v)
+        pcm = np.zeros(1152)
+        for ti in range(18):
+            hp = h[ti - 1] if ti > 0 else 0.0
+            pcm[576 + 32 * ti : 608 + 32 * ti] = (
+                (h[ti] * A) * w64[:32] + (hp * B) * w64[32:]
+            ) / 16.0
+        assert d["rms"] == float(np.sqrt(np.mean(pcm * pcm)))
+        assert d["peak"] == float(np.max(np.abs(pcm)))
+        pos = pcm >= 0
+        assert d["zero_crossings"] == int(np.count_nonzero(pos[1:] != pos[:-1]))
+        assert d["rate"] == 32000 and d["n_channels"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bin_k"):
+        pure.mp3_tone_encode(8, 1)
+
+
+def test_mp3_subset_gate_and_silence():
+    """All-zero Layer III payloads are legitimate digital silence and now
+    decode; joint stereo stays outside the documented subset (None +
+    mp3:l3_subset='0') so the stage keeps it in the honest stubbed tier."""
+    sil = pure.mp3_envelope_encode(3, 128, 44100)
+    d = pure.decode_mp3(sil)
+    assert d is not None and d["rms"] == 0.0 and d["peak"] == 0.0
+    assert d["n_samples"] == 3 * 1152 and d["n_channels"] == 2
+    assert pure.extract_metadata(sil)["mp3:l3_subset"] == "1"
+    js = pure.mp3_envelope_encode(3, joint_stereo=True)
+    assert pure.decode_mp3(js) is None
+    assert pure.extract_metadata(js)["mp3:l3_subset"] == "0"
+    # ID3v2 tag is skipped before the first frame sync
+    tagged = pure.mp3_envelope_encode(2, title="T", artist="A")
+    assert pure.decode_mp3(tagged) is not None
+
+
+def test_mp3_total_on_hostile_bytes():
+    """decode_mp3 must never raise: truncations at every byte, random
+    byte flips, random bytes, and a bitrate/samplerate mix mid-stream all
+    return None or a valid dict."""
+    import random
+
+    blob = pure.mp3_tone_encode(4, 2) + pure.mp3_tone_encode(2, 1)
+    for cut in range(0, len(blob), 3):
+        r = pure.decode_mp3(blob[:cut])
+        assert r is None or r["n_samples"] > 0
+    rng = random.Random(11)
+    for _ in range(80):
+        b = bytearray(blob)
+        b[rng.randrange(len(b))] ^= 0xFF
+        r = pure.decode_mp3(bytes(b))
+        assert r is None or isinstance(r, dict)
+    assert pure.decode_mp3(None) is None
+    assert pure.decode_mp3(b"") is None
+    assert pure.decode_mp3(bytes(rng.randrange(256) for _ in range(400))) is None
+    # a frame whose (rate, channels) disagrees with the first is rejected
+    mixed = pure.mp3_tone_encode(1, 1, 32000, 32) + pure.mp3_envelope_encode(
+        1, 128, 44100
+    )
+    r = pure.decode_mp3(mixed)
+    assert r is None or r["n_samples"] == 1152
