@@ -275,9 +275,16 @@ def commit_lineage(
     non_stub_mp3 = (ct == "mp3") & (
         F.coalesce(F.col("meta").getItem("mp3:l3_subset"), F.lit("")) == "1"
     )
+    # mpeg (MPEG-1 video elementary stream) is non-stub when the envelope
+    # walk verdicts the stream inside decode_mpeg1's I-frame subset
+    # (round 6, meta['mpeg:i_subset'] — same shared-gate pattern)
+    non_stub_mpeg = (ct == "mpeg") & (
+        F.coalesce(F.col("meta").getItem("mpeg:i_subset"), F.lit("")) == "1"
+    )
     stub_ct = F.when(
         ct.isin(*STUB_CONTAINER_TYPES)
-        & ~non_stub_riff & ~non_stub_ogg & ~non_stub_mp4 & ~non_stub_mp3,
+        & ~non_stub_riff & ~non_stub_ogg & ~non_stub_mp4 & ~non_stub_mp3
+        & ~non_stub_mpeg,
         ct,
     )
     # two-level agg: (bucket, stub type) partial-aggregates map-side, then

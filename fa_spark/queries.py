@@ -3182,6 +3182,73 @@ FROM documents
 """
 
 
+def _mpeg1_batch(doc_id: pd.Series) -> pd.Series:
+    """MPEG-1 video fixture: 2 + doc_id%7 solid-gray 16x16 I pictures at
+    luminance 21 + 10*(doc_id%22) + frame_index. Solid frames are
+    DC-only and round-trip EXACTLY through the intra codec (dct_recon =
+    dct_zz*8, no oddification on DC), so every sampled-frame mean is
+    closed-form; n <= 8 = VIDEO_SAMPLE_FRAMES keeps every frame
+    sampled."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        n = 2 + did % 7
+        base = 21 + 10 * (did % 22)
+        frames = [
+            [[base + k] * VID_SIDE for _ in range(VID_SIDE)] for k in range(n)
+        ]
+        out.append(pure.mpeg1_encode(frames, VID_FPS))
+    return pd.Series(out)
+
+
+mpeg1_udf = F.pandas_udf(_mpeg1_batch, BinaryType())
+
+
+def q_mpeg1_frames(spark, sf_dir):
+    """REAL MPEG-1 video I-frame decode round trip (round 6 — the
+    compressed-video family beyond MJPEG, via pure.decode_mpeg1:
+    start-code walk -> sequence header -> slice/macroblock/block parse
+    with DC prediction and run-level AC VLCs -> intra dequant -> exact
+    int64 IDCT): value-check frame count, geometry, duration, and
+    first/last sampled-frame luminance against closed forms."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        mpeg1_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    fd = _feat_d
+    last_slot = (F.element_at(F.col("feature"), 6) + F.lit(6.0)).cast("int")
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        "width",
+        "height",
+        fd(1).alias("n_frames"),
+        fd(5).alias("duration_s"),
+        fd(7).alias("mean_first"),
+        F.round(
+            F.element_at(F.col("feature"), last_slot).cast("double"), 6
+        ).alias("mean_last"),
+    )
+
+
+SQL_MPEG1_FRAMES = f"""
+SELECT doc_id,
+       'mpeg' AS content_type,
+       'decoded' AS decode_status,
+       {VID_SIDE} AS width, {VID_SIDE} AS height,
+       CAST(2 + doc_id % 7 AS DOUBLE) AS n_frames,
+       ROUND(CAST(2 + doc_id % 7 AS DOUBLE) / {VID_FPS}, 6) AS duration_s,
+       CAST(21 + 10 * (doc_id % 22) AS DOUBLE) AS mean_first,
+       CAST(21 + 10 * (doc_id % 22) + (2 + doc_id % 7) - 1 AS DOUBLE) AS mean_last
+FROM documents
+"""
+
+
 def _audio_container_batch(doc_id: pd.Series) -> pd.Series:
     """Per-doc audio container rotating mp3 / ogg / flac (round 4 —
     exiftool-parity envelope metadata). Geometries chosen so every
@@ -3626,6 +3693,7 @@ REGISTRY: dict[str, tuple] = {
     #
     # -- new round-6 operators --
     "mp3_features": (q_mp3_features, SQL_MP3_FEATURES),
+    "mpeg1_frames": (q_mpeg1_frames, SQL_MPEG1_FRAMES),
     # -- last official green r04; rotated back into the window --
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),

@@ -57,7 +57,7 @@ MODE_RESOLUTION = {"describe": 512, "detect": 384, "document": 768}
 # only for non-Vorbis codecs (opus etc.) — Vorbis decodes for real as of
 # round 5 via pure.decode_vorbis. Shared with lineage stub accounting
 # (lineage.commit_lineage) so the two stay in sync.
-STUB_CONTAINER_TYPES = ("ogg", "riff", "mp3", "mp4", "webm")
+STUB_CONTAINER_TYPES = ("ogg", "riff", "mp3", "mp4", "webm", "mpeg")
 
 MEDIA_FEATURES = T.StructType(
     [
@@ -222,6 +222,23 @@ def media_features_fn(mode: str = "describe"):
                     # tables resolved, frames through the JPEG decoder
                     # (pure.decode_mp4_mjpeg); other mp4 codecs stub
                     vid = pure.decode_mp4_mjpeg(b)
+                    if vid is not None:
+                        status = "decoded"
+                        width, height = vid["width"], vid["height"]
+                        feature = _real_y4m_features(vid)
+                    else:
+                        status = "decode_error"
+                        feature = _fake_decode(b, target)
+                elif ct == "mpeg" and meta.get("mpeg:i_subset") == "1":
+                    # round 6: real MPEG-1 video I-frame decode (slice/
+                    # macroblock/block parse, DC prediction, run-level
+                    # AC VLCs, intra dequant, exact int64 IDCT —
+                    # pure.decode_mpeg1). The envelope walk publishes the
+                    # subset verdict (I-only elementary stream, mod-16
+                    # geometry) as meta['mpeg:i_subset'], the same
+                    # stage/lineage shared gate as mp3:l3_subset; P/B
+                    # streams fall through to the stub branch below.
+                    vid = pure.decode_mpeg1(b)
                     if vid is not None:
                         status = "decoded"
                         width, height = vid["width"], vid["height"]

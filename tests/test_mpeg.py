@@ -1,0 +1,295 @@
+"""MPEG-1 video I-frame codec (pure.decode_mpeg1 / pure.mpeg1_encode).
+
+Round 6 — VERDICT r5 #5: the compressed-video family beyond MJPEG.
+Covers: exact solid-frame round trips (DC-only path), a hand-written
+bitstream with a known AC coefficient checked against independently
+computed IDCT pixel values, escape-coding forms, subset gates (P
+pictures, geometry, truncation), envelope metadata, sniffing, and the
+multimodal stage dispatch. Adversarial bit-reader cases per VERDICT r5
+#8 (bounds bugs breed in bit-cursor code).
+"""
+
+import numpy as np
+import pytest
+
+from fa_spark import pure
+
+
+def _solid(v, n=1, side=16):
+    return [[[v + k] * side for _ in range(side)] for k in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# round trips
+# ---------------------------------------------------------------------------
+
+
+def test_solid_roundtrip_exact():
+    es = pure.mpeg1_encode(_solid(21, n=4), fps=25.0)
+    d = pure.decode_mpeg1(es)
+    assert d is not None
+    assert (d["width"], d["height"], d["n_frames"]) == (16, 16, 4)
+    assert d["fps"] == 25.0
+    assert d["duration_s"] == pytest.approx(4 / 25)
+    assert d["sampled_frames"] == [0, 1, 2, 3]
+    assert d["frame_means"] == [21.0, 22.0, 23.0, 24.0]
+
+
+def test_solid_extremes_exact():
+    # DC differentials at both ends of the predictor (128) range
+    for v in (0, 1, 127, 128, 129, 254, 255):
+        d = pure.decode_mpeg1(pure.mpeg1_encode(_solid(v)))
+        assert d is not None and d["frame_means"] == [float(v)], v
+
+
+def test_multi_macroblock_geometry():
+    # 48x32 = 3x2 macroblocks, per-MB distinct value, one slice
+    frame = [
+        [(17 + 40 * ((y // 16) * 3 + (x // 16))) for x in range(48)]
+        for y in range(32)
+    ]
+    d = pure.decode_mpeg1(pure.mpeg1_encode([frame]))
+    assert d is not None
+    assert (d["width"], d["height"]) == (48, 32)
+    assert d["frame_means"] == [pytest.approx(np.mean(frame))]
+
+
+def test_textured_roundtrip_close():
+    # gradient exercises AC table rows; quantization error is bounded
+    g = [[(x * 3 + y * 2) % 200 for x in range(32)] for y in range(32)]
+    d = pure.decode_mpeg1(pure.mpeg1_encode([g], qs=2))
+    assert d is not None
+    assert d["frame_means"][0] == pytest.approx(np.mean(g), abs=2.0)
+
+
+def test_noise_roundtrip_exercises_escapes():
+    rng = np.random.default_rng(11)
+    n = rng.integers(0, 256, size=(16, 16)).tolist()
+    d = pure.decode_mpeg1(pure.mpeg1_encode([n], qs=1))
+    assert d is not None
+    assert d["frame_means"][0] == pytest.approx(np.mean(n), abs=4.0)
+
+
+def test_frame_sampling_cap():
+    es = pure.mpeg1_encode(_solid(50, n=12))
+    d = pure.decode_mpeg1(es)
+    assert d is not None and d["n_frames"] == 12
+    assert len(d["sampled_frames"]) <= pure.VIDEO_SAMPLE_FRAMES
+    assert d["sampled_frames"][0] == 0 and d["sampled_frames"][-1] == 11
+    assert d["frame_means"][0] == 50.0 and d["frame_means"][-1] == 61.0
+
+
+# ---------------------------------------------------------------------------
+# hand-written bitstream: known AC coefficient -> exact pixels
+# ---------------------------------------------------------------------------
+
+
+def _handmade_stream(qs, blocks_bits):
+    """Minimal 16x16 single-I-picture stream with hand-supplied block
+    payload bits (list of (value, nbits) after the slice's first MB's
+    address+type)."""
+    bw = pure._FBitWriter()
+    bw.write(16, 12)
+    bw.write(16, 12)
+    bw.write(1, 4)
+    bw.write(3, 4)  # 25 fps
+    bw.write(0x3FFFF, 18)
+    bw.write(1, 1)
+    bw.write(0, 10)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    out = bytearray(b"\x00\x00\x01\xb3" + bw.bytes())
+    bw = pure._FBitWriter()
+    bw.write(0, 10)
+    bw.write(1, 3)
+    bw.write(0xFFFF, 16)
+    bw.write(0, 1)
+    out += b"\x00\x00\x01\x00" + bw.bytes()
+    bw = pure._FBitWriter()
+    bw.write(qs, 5)
+    bw.write(0, 1)
+    bw.write(1, 1)  # mba 1
+    bw.write(1, 1)  # intra
+    for v, n in blocks_bits:
+        bw.write(v, n)
+    out += b"\x00\x00\x01\x01" + bw.bytes()
+    out += b"\x00\x00\x01\xb7"
+    return bytes(out)
+
+
+def test_handmade_ac_coefficient_exact():
+    # Y block 0: DC size 2 diff +2 (dc=130) then AC row (0,1) positive,
+    # EOB; remaining 3 Y blocks + chroma: DC diff 0, EOB.
+    qs = 8
+    bits = [
+        (0b01, 2), (0b10, 2),       # dc size 2, diff +2
+        (0b11, 2), (0, 1),          # (0,1) positive
+        (0b10, 2),                  # EOB
+    ]
+    for _ in range(3):  # remaining luma blocks: diff 0
+        bits += [(0b100, 3), (0b10, 2)]
+    for _ in range(2):  # chroma blocks: diff 0
+        bits += [(0b00, 2), (0b10, 2)]
+    d = pure.decode_mpeg1(_handmade_stream(qs, bits))
+    assert d is not None
+    # expected: block0 has F00 = 130*8 = 1040 and F at zigzag idx 1
+    # (raster (0,1)) = oddified (2*1*8*16)>>4 = 16 -> 15
+    # DC prediction chains across the Y blocks: blocks 1-3 carry diff 0,
+    # inheriting block 0's cumulative 130 — not the slice-start 128
+    zz = np.zeros((4, 64), dtype=np.int64)
+    zz[:, 0] = 130 * 8
+    zz[0, 1] = 15
+    planes = pure._mpeg_idct_blocks(zz)
+    expect = float(np.mean(planes.reshape(4, 64)))
+    assert d["frame_means"][0] == pytest.approx(expect)
+
+
+def test_handmade_escape_negative_level():
+    # escape run=1 level=-130 (double-byte negative form) in Y block 0
+    qs = 2
+    bits = [
+        (0b100, 3),                  # dc size 0
+        (0b000001, 6), (1, 6),       # escape, run 1
+        (0b10000000, 8), (126, 8),   # level = 126 - 256 = -130
+        (0b10, 2),                   # EOB
+    ]
+    for _ in range(3):
+        bits += [(0b100, 3), (0b10, 2)]
+    for _ in range(2):
+        bits += [(0b00, 2), (0b10, 2)]
+    d = pure.decode_mpeg1(_handmade_stream(qs, bits))
+    assert d is not None
+    zz = np.zeros((4, 64), dtype=np.int64)
+    zz[:, 0] = 1024
+    zz[0, 2] = pure._mpeg_dequant_ac(-130, qs, 16)  # zigzag idx 2, q=16
+    expect = float(np.mean(pure._mpeg_idct_blocks(zz).reshape(4, 64)))
+    assert d["frame_means"][0] == pytest.approx(expect)
+
+
+def test_dequant_oddification_and_clamp():
+    assert pure._mpeg_dequant_ac(1, 8, 16) == 15      # 16 even -> 15
+    assert pure._mpeg_dequant_ac(-1, 8, 16) == -15
+    assert pure._mpeg_dequant_ac(1, 1, 8) == 1        # (2*1*1*8)>>4 = 1, odd
+    assert pure._mpeg_dequant_ac(255, 31, 83) == 2047  # saturation
+    assert pure._mpeg_dequant_ac(-255, 31, 83) == -2048
+
+
+# ---------------------------------------------------------------------------
+# subset gates and adversarial inputs
+# ---------------------------------------------------------------------------
+
+
+def _flip_picture_type(es, newtype):
+    i = es.find(b"\x00\x00\x01\x00")
+    b = bytearray(es)
+    # picture header: tr(10) type(3) -> type occupies bits 2..4 of the
+    # second payload byte
+    b[i + 5] = (b[i + 5] & 0b11000111) | (newtype << 3)
+    return bytes(b)
+
+
+def test_p_picture_rejected_and_verdicted():
+    es = pure.mpeg1_encode(_solid(40, n=2))
+    pes = _flip_picture_type(es, 2)
+    assert pure.decode_mpeg1(pes) is None
+    meta = pure._parse_mpeg_meta(pes)
+    assert meta["mpeg:i_subset"] == "0"
+    assert "P" in meta["mpeg:picture_types"]
+    assert pure._parse_mpeg_meta(es)["mpeg:i_subset"] == "1"
+
+
+def test_non_mod16_geometry_rejected():
+    with pytest.raises(ValueError):
+        pure.mpeg1_encode([[[1] * 8 for _ in range(8)]])
+    # craft a 24x16 header (24 % 16 != 0)
+    es = bytearray(pure.mpeg1_encode(_solid(10)))
+    es[4] = 0x01
+    es[5] = 0x80  # width 24 (12 bits: 0x018)
+    assert pure.decode_mpeg1(bytes(es)) is None
+
+
+def test_truncation_never_raises():
+    es = pure.mpeg1_encode(_solid(60, n=3))
+    for cut in range(0, len(es), 7):
+        assert pure.decode_mpeg1(es[:cut]) in (None,) or True
+        d = pure.decode_mpeg1(es[:cut])
+        assert d is None or d["n_frames"] <= 3
+
+
+def test_garbage_slice_rejected():
+    es = bytearray(pure.mpeg1_encode(_solid(60)))
+    i = bytes(es).find(b"\x00\x00\x01\x01")
+    es[i + 4 :] = b"\xff" * (len(es) - i - 4)
+    assert pure.decode_mpeg1(bytes(es)) is None
+
+
+def test_program_stream_not_sniffed():
+    ps = b"\x00\x00\x01\xba" + b"\x44" * 64
+    assert pure.sniff_bytes(ps)["content_type"] != "mpeg"
+    assert pure.decode_mpeg1(ps) is None
+
+
+def test_quantizer_scale_zero_rejected():
+    d = pure.decode_mpeg1(_handmade_stream(0, [(0b100, 3), (0b10, 2)] * 1))
+    assert d is None
+
+
+def test_custom_quant_matrix_with_zero_rejected():
+    bw = pure._FBitWriter()
+    bw.write(16, 12)
+    bw.write(16, 12)
+    bw.write(1, 4)
+    bw.write(3, 4)
+    bw.write(0x3FFFF, 18)
+    bw.write(1, 1)
+    bw.write(0, 10)
+    bw.write(0, 1)
+    bw.write(1, 1)  # load intra matrix...
+    for _ in range(64):
+        bw.write(0, 8)  # ...all zeros: invalid
+    bw.write(0, 1)
+    es = b"\x00\x00\x01\xb3" + bw.bytes() + b"\x00\x00\x01\xb7"
+    assert pure.decode_mpeg1(es) is None
+
+
+def test_meta_envelope_fields():
+    es = pure.mpeg1_encode(_solid(33, n=5), fps=25.0)
+    m = pure.extract_metadata(es)
+    assert m["mpeg:kind"] == "video-es"
+    assert m["mpeg:width"] == "16" and m["mpeg:height"] == "16"
+    assert m["mpeg:fps"] == "25"
+    assert m["mpeg:n_pictures"] == "5"
+    assert m["mpeg:picture_types"] == "I"
+    assert m["mpeg:i_subset"] == "1"
+
+
+def test_sniff_magic():
+    es = pure.mpeg1_encode(_solid(9))
+    assert pure.sniff_bytes(es)["content_type"] == "mpeg"
+
+
+# ---------------------------------------------------------------------------
+# multimodal stage dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_stage_decodes_i_only_and_stubs_p(spark):
+    from fa_spark.stages.multimodal import extract_media_features
+
+    es = pure.mpeg1_encode(_solid(77, n=3))
+    pes = _flip_picture_type(es, 3)  # B picture -> out of subset
+    df = spark.createDataFrame(
+        [("i", bytearray(es)), ("p", bytearray(pes))],
+        "media_id string, content binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_media_features(df, mode="describe").collect()
+    }
+    assert rows["i"]["decode_status"] == "decoded"
+    assert rows["i"]["width"] == 16 and rows["i"]["height"] == 16
+    feat = rows["i"]["feature"]
+    assert feat[0] == 3.0  # n_frames
+    assert feat[6] == 77.0  # first sampled mean
+    assert rows["p"]["decode_status"] == "stubbed"
