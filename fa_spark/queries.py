@@ -1437,7 +1437,13 @@ def _exact_jaccard(pairs, universe, n: int, min_jaccard: float):
     # same reasoning: no mandatory broadcast of the candidate-id set —
     # AQE broadcasts it when it is actually small
     cand_docs = universe.join(ids, "doc_id", "left_semi")
-    sets = ngram_sets(cand_docs, "doc_id", "text", n=n)
+    # persist the gram projection too (round 6, VERDICT r5 #7): ga and gb
+    # are two consumers of the same tokenize + n-gram + distinct pass —
+    # unpersisted, Spark re-executed the projection once per join branch,
+    # re-tokenizing every candidate doc twice per run. Bounded by the
+    # candidate-id set (never the universe), so scale-safe to cache.
+    sets = ngram_sets(cand_docs, "doc_id", "text", n=n).persist()
+    _PAIR_CACHES.append(sets)
     ga = sets.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
     gb = sets.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
