@@ -2526,13 +2526,22 @@ def _ocr_jpeg_batch(doc_id: pd.Series) -> pd.Series:
     a quarter of the fixtures are ANTI-ALIASED (3x3 box blur, gray edge
     ramps) at render scales 2 and 3 — read by the soft sub-cell
     confidence matcher (pure._ocr_match_cells_soft), which the exact
-    Hamming path cannot do."""
+    Hamming path cannot do. Round 6 (VERDICT r5 #6): two in five
+    fixtures render PROPORTIONAL (per-glyph advance widths,
+    pure.render_text_image_prop) — read back through the variable-pitch
+    ink-gap matcher under the stage's pitch='auto' selection, covering
+    both segmentation tiers in one oracle."""
     out = []
     for did in doc_id:
         did = int(did)
         ink, paper = (64, 224) if did % 2 == 0 else (0, 255)
         scale = 1 + did % 3
-        rows = pure.render_text_image(
+        render = (
+            pure.render_text_image_prop
+            if did % 5 in (2, 4)
+            else pure.render_text_image
+        )
+        rows = render(
             f"doc{did}", scale=scale, ink=ink, paper=paper,
             antialias=did % 4 == 1 and scale >= 2,
         )

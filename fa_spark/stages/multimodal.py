@@ -432,8 +432,12 @@ def ocr_media(
                         status = "decoded"
                         # soft sub-cell matcher (round 5): reads
                         # anti-aliased rasters; equal to the exact path
-                        # on clean binary input
-                        text = pure.ocr_image(img, soft=True)
+                        # on clean binary input. pitch='auto' (round 6):
+                        # also tries variable-pitch ink-gap segmentation
+                        # (pure._ocr_match_prop) and keeps whichever
+                        # reading has the higher normalized confidence —
+                        # proportional-font renders read too
+                        text = pure.ocr_image(img, soft=True, pitch="auto")
                     else:
                         status = "decode_error"
                 rows.append(

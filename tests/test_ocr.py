@@ -163,3 +163,97 @@ def test_soft_low_confidence_reads_question_mark():
     img = pure.decode_png(pure.png_encode(rows))
     got = pure.ocr_image(img, soft=True, scales=(1,))
     assert got is not None and got.endswith("b") and got[0] == "?"
+
+
+# ---------------------------------------------------------------------------
+# proportional (variable-pitch) tier — round 6, VERDICT r5 #6
+# ---------------------------------------------------------------------------
+
+
+def test_prop_font_structure():
+    """Widths 3/4/5; per-width patterns unique; every column carries a
+    vertically-adjacent ink pair (the blur-survivability densification
+    rule — a lone bit washes out under AA + midpoint threshold)."""
+    seen = {}
+    for ch in pure.OCR_CHARSET:
+        w, b = pure.PROP_FONT[ch]
+        assert w in (3, 4, 5)
+        assert (w, b) not in seen, (ch, seen[(w, b)])
+        seen[(w, b)] = ch
+        for gx in range(w):
+            rows = [gy for gy in range(pure.GLYPH_H) if b >> (gy * w + gx) & 1]
+            assert rows, (ch, gx)
+            assert any(y - x == 1 for x, y in zip(rows, rows[1:])), (ch, gx)
+
+
+def test_prop_roundtrip_scales_and_codecs():
+    for text in ("doc123", "hello world", "a1 b2 c3"):
+        for s in (1, 2, 3):
+            rows = pure.render_text_image_prop(text, scale=s)
+            for codec in ("png", "jpeg"):
+                blob = (
+                    pure.png_encode(rows) if codec == "png"
+                    else pure.jpeg_encode(rows)
+                )
+                img = (
+                    pure.decode_png(blob) if codec == "png"
+                    else pure.decode_jpeg(blob)
+                )
+                assert pure.ocr_image(img, soft=True, pitch="prop") == text, (
+                    text, s, codec,
+                )
+
+
+def test_prop_antialiased_full_charset():
+    txt = "abcdefghijklm nopqrstuvwxyz 0123456789"
+    for s in (2, 3):
+        rows = pure.render_text_image_prop(txt, scale=s, antialias=True)
+        img = pure.decode_jpeg(pure.jpeg_encode(rows))
+        assert pure.ocr_image(img, soft=True, pitch="prop") == txt, s
+
+
+def test_prop_gray_contrast():
+    rows = pure.render_text_image_prop("gray42", ink=64, paper=224, scale=2)
+    img = pure.decode_jpeg(pure.jpeg_encode(rows))
+    assert pure.ocr_image(img, soft=True, pitch="prop") == "gray42"
+
+
+def test_auto_pitch_selects_correctly():
+    """pitch='auto' must read BOTH render families — fixed-pitch images
+    keep their fixed reading (normalized-confidence tie goes to fixed),
+    proportional images win on confidence."""
+    for s, aa in ((1, False), (2, True), (3, True)):
+        fimg = pure.decode_jpeg(
+            pure.jpeg_encode(
+                pure.render_text_image("doc77", scale=s, antialias=aa)
+            )
+        )
+        pimg = pure.decode_jpeg(
+            pure.jpeg_encode(
+                pure.render_text_image_prop("doc77", scale=s, antialias=aa)
+            )
+        )
+        assert pure.ocr_image(fimg, soft=True, pitch="auto") == "doc77", (s, aa)
+        assert pure.ocr_image(pimg, soft=True, pitch="auto") == "doc77", (s, aa)
+
+
+def test_prop_unknown_width_run_reads_question_mark():
+    """A glyph run whose width matches no font width class reads '?' —
+    paint a 7-column solid block (widths are only 3/4/5)."""
+    import numpy as np
+
+    w = 2 * pure._OCR_MARGIN + 7
+    rows = [[(255, 255, 255)] * w for _ in range(pure.GLYPH_H + 2)]
+    for gy in range(pure.GLYPH_H):
+        for gx in range(7):
+            rows[1 + gy][1 + gx] = (0, 0, 0)
+    img = pure.decode_png(pure.png_encode(rows))
+    assert pure.ocr_image(img, soft=True, pitch="prop", scales=(1,)) == "?"
+
+
+def test_prop_space_collapse_and_word_gaps():
+    """Words separated by one space read back single-spaced; the matcher
+    collapses wider gaps to one space by contract."""
+    rows = pure.render_text_image_prop("ab  cd", scale=1)
+    img = pure.decode_png(pure.png_encode(rows))
+    assert pure.ocr_image(img, soft=True, pitch="prop") == "ab cd"
