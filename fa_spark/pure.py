@@ -8242,22 +8242,27 @@ def _mpeg_mba(r: "_FBitReader"):
 
 
 def _mpeg_seq_header(data: bytes, off: int):
-    """Sequence header at off -> (w, h, fps, intra_q_zigzag) or None."""
-    r = _FBitReader(data, off + 4)
-    w, h = r.read(12), r.read(12)
-    r.read(4)  # pel aspect ratio
-    fps = _MPEG_PICTURE_RATES.get(r.read(4))
-    r.read(18 + 1 + 10 + 1)  # bit_rate, marker, vbv_buffer_size, constrained
-    if r.read(1):  # load_intra_quantizer_matrix: 64 values in ZIGZAG order
-        intra_q = [r.read(8) for _ in range(64)]
-        if 0 in intra_q:
-            return None
-    else:
-        q = _MPEG_INTRA_Q
-        intra_q = [q[int(_ZZ_FLAT[i])] for i in range(64)]
-    if r.read(1):  # load_non_intra matrix — parsed past, unused for I
-        for _ in range(64):
-            r.read(8)
+    """Sequence header at off -> (w, h, fps, intra_q_zigzag) or None.
+    Truncated headers (e.g. a declared-but-cut quantizer matrix) return
+    None rather than leaking EOFError to callers."""
+    try:
+        r = _FBitReader(data, off + 4)
+        w, h = r.read(12), r.read(12)
+        r.read(4)  # pel aspect ratio
+        fps = _MPEG_PICTURE_RATES.get(r.read(4))
+        r.read(18 + 1 + 10 + 1)  # bit_rate, marker, vbv_buffer, constrained
+        if r.read(1):  # load_intra_quantizer_matrix: 64 values, ZIGZAG order
+            intra_q = [r.read(8) for _ in range(64)]
+            if 0 in intra_q:
+                return None
+        else:
+            q = _MPEG_INTRA_Q
+            intra_q = [q[int(_ZZ_FLAT[i])] for i in range(64)]
+        if r.read(1):  # load_non_intra matrix — parsed past, unused for I
+            for _ in range(64):
+                r.read(8)
+    except EOFError:
+        return None
     if fps is None or not w or not h:
         return None
     return w, h, fps, intra_q

@@ -293,3 +293,25 @@ def test_stage_decodes_i_only_and_stubs_p(spark):
     assert feat[0] == 3.0  # n_frames
     assert feat[6] == 77.0  # first sampled mean
     assert rows["p"]["decode_status"] == "stubbed"
+
+
+def test_truncated_seq_header_returns_none():
+    """A sequence header that declares a custom intra quantizer matrix
+    but is cut off mid-matrix must read as None/non-subset, not raise
+    (round-6 self-review: _mpeg_seq_header EOFError leak)."""
+    bits = (
+        format(16, "012b") + format(16, "012b") + format(1, "04b")
+        + format(3, "04b") + "0" * 18 + "1" + "0" * 10 + "0" + "1"
+    )
+    by = bytearray()
+    for i in range(0, (len(bits) // 8) * 8, 8):
+        by.append(int(bits[i : i + 8], 2))
+    rem = len(bits) % 8
+    if rem:
+        by.append(int(bits[-rem:].ljust(8, "1"), 2))
+    data = b"\x00\x00\x01\xb3" + bytes(by)
+    padded = data + b"\xff" * max(0, 17 - len(data))
+    assert pure.decode_mpeg1(data) is None
+    assert pure.decode_mpeg1(padded) is None
+    assert pure._parse_mpeg_meta(data)["mpeg:i_subset"] == "0"
+    assert pure._parse_mpeg_meta(padded)["mpeg:i_subset"] == "0"
