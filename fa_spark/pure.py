@@ -4540,12 +4540,16 @@ def wav_encode(samples: list[int], rate: int = 16000) -> bytes:
 
 
 def decode_wav(data: bytes | None) -> dict | None:
-    """Real PCM WAV decode -> deterministic audio features:
-    {rate, n_channels, n_samples, duration_s, rms, peak, zero_crossings}.
-    16-bit mono/stereo PCM only (stereo is averaged to mono with integer
-    division); None on malformed/unsupported input."""
+    """Real WAV decode -> deterministic audio features:
+    {rate, n_channels, n_samples, duration_s, rms, peak, zero_crossings,
+    codec}. 16-bit mono/stereo PCM via the stdlib path; IMA ADPCM and
+    G.711 μ-law/A-law (round 6, mono subset) via the manual chunk walk;
+    None on malformed/unsupported input."""
     if not data or len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
+    code = _wav_fmt_code(data)
+    if code in (0x0006, 0x0007, 0x0011):
+        return _decode_wav_compressed(data, code)
     try:
         with _wave.open(_io.BytesIO(data), "rb") as w:
             ch = w.getnchannels()
@@ -4568,6 +4572,13 @@ def decode_wav(data: bytes | None) -> dict | None:
         pcm = _array.array(
             "h", [(pcm[i] + pcm[i + 1]) // 2 for i in range(0, len(pcm) - 1, 2)]
         )
+    return _pcm_stats(pcm, rate, ch)
+
+
+def _pcm_stats(pcm, rate: int, nch: int, codec: int = 0) -> dict | None:
+    """Shared integer-PCM feature dict (the decode_wav output shape).
+    ``codec`` tags the source codec for the feature vector (0 pcm,
+    1 ima_adpcm, 2 mulaw, 3 alaw) — downstream verifies dispatch."""
     n = len(pcm)
     if n == 0:
         return None
@@ -4586,13 +4597,232 @@ def decode_wav(data: bytes | None) -> dict | None:
             prev_pos = pos
     return {
         "rate": rate,
-        "n_channels": ch,
+        "n_channels": nch,
         "n_samples": n,
         "duration_s": n / rate,
         "rms": (sq / n) ** 0.5,
         "peak": peak,
         "zero_crossings": zc,
+        "codec": codec,
     }
+
+
+# ---------------------------------------------------------------------------
+# 9c¹b. Compressed-in-WAV codecs (round 6): IMA ADPCM (fmt 0x0011) and
+# the G.711 companders μ-law (0x0007) / A-law (0x0006). These are the
+# most common non-PCM WAV payloads in the wild (telephony dumps, old
+# game/voice assets); all three are published ITU/IMA specs with exact
+# integer math, so the decode is REAL and closed-form-verifiable like
+# FLAC. Documented subset: mono only (stereo IMA interleaves 4-byte
+# channel words; stereo stays in decode_error). The stdlib `wave`
+# module only reads PCM, so the chunk walk here is manual.
+# ---------------------------------------------------------------------------
+
+# IMA ADPCM step-size and index-adaptation tables (IMA ADPCM reference,
+# also RFC 3551 DVI4)
+_ADPCM_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_ADPCM_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+_WAV_MAX_BLOCK_ALIGN = 4096
+
+
+def _g711_mulaw_val(c: int) -> int:
+    """ITU-T G.711 μ-law byte -> linear sample (the public expansion)."""
+    u = ~c & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if u & 0x80 else (t - 0x84)
+
+
+def _g711_alaw_val(c: int) -> int:
+    """ITU-T G.711 A-law byte -> linear sample (the public expansion)."""
+    a = c ^ 0x55
+    t = a & 0x0F
+    seg = (a & 0x70) >> 4
+    if seg:
+        t = (2 * t + 1 + 32) << (seg + 2)
+    else:
+        t = (2 * t + 1) << 3
+    return t if a & 0x80 else -t
+
+
+_G711_MULAW = tuple(_g711_mulaw_val(c) for c in range(256))
+_G711_ALAW = tuple(_g711_alaw_val(c) for c in range(256))
+
+
+def _riff_subchunks(data: bytes) -> list:
+    """[(fourcc, payload_off, size)] bounded walk of a RIFF-WAVE body;
+    sizes clamped to the buffer so truncated files parse as far as the
+    bytes go."""
+    out = []
+    p = 12
+    while p + 8 <= len(data) and len(out) < 64:
+        cid = data[p : p + 4]
+        sz = int.from_bytes(data[p + 4 : p + 8], "little")
+        if sz > len(data):  # declared size beyond any plausible extent
+            break
+        out.append((cid, p + 8, min(sz, len(data) - p - 8)))
+        p += 8 + sz + (sz & 1)
+    return out
+
+
+def _wav_fmt_code(data: bytes) -> int | None:
+    """The fmt chunk's format code, or None when no fmt chunk parses."""
+    for cid, off, sz in _riff_subchunks(data):
+        if cid == b"fmt " and sz >= 16:
+            return int.from_bytes(data[off : off + 2], "little")
+    return None
+
+
+def _adpcm_decode_block(payload: bytes, p: int, nbytes: int, out: list):
+    """One IMA ADPCM mono block at payload[p:]: 4-byte header (int16
+    predictor, step index, reserved) then two 4-bit codes per byte, low
+    nibble first. Appends decoded samples to ``out``; False on a
+    structurally bad header."""
+    pred = int.from_bytes(payload[p : p + 2], "little", signed=True)
+    idx = payload[p + 2]
+    if idx > 88:
+        return False
+    out.append(pred)
+    end = min(p + 4 + nbytes, len(payload))
+    steps, itab = _ADPCM_STEPS, _ADPCM_INDEX
+    for q in range(p + 4, end):
+        byte = payload[q]
+        for nib in (byte & 0x0F, byte >> 4):
+            step = steps[idx]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            if pred < -32768:
+                pred = -32768
+            elif pred > 32767:
+                pred = 32767
+            idx += itab[nib & 7]
+            if idx < 0:
+                idx = 0
+            elif idx > 88:
+                idx = 88
+            out.append(pred)
+    return True
+
+
+def _decode_wav_compressed(data: bytes, code: int) -> dict | None:
+    """fmt-code dispatch for the non-PCM WAV tiers. Mono only
+    (documented subset); None on structural violations — those rows
+    stay in decode_error, same contract as the PCM path."""
+    fmt_ch = fmt_rate = fmt_align = fmt_bits = None
+    data_off = data_sz = None
+    fact_n = None
+    for cid, off, sz in _riff_subchunks(data):
+        if cid == b"fmt " and sz >= 16 and fmt_ch is None:
+            fmt_ch = int.from_bytes(data[off + 2 : off + 4], "little")
+            fmt_rate = int.from_bytes(data[off + 4 : off + 8], "little")
+            fmt_align = int.from_bytes(data[off + 12 : off + 14], "little")
+            fmt_bits = int.from_bytes(data[off + 14 : off + 16], "little")
+        elif cid == b"fact" and sz >= 4:
+            fact_n = int.from_bytes(data[off : off + 4], "little")
+        elif cid == b"data" and data_off is None:
+            data_off, data_sz = off, sz
+    if (
+        fmt_ch != 1  # mono-only subset
+        or data_off is None
+        or not fmt_rate
+        or (fact_n is not None and not 0 < fact_n <= WAV_MAX_SAMPLES)
+    ):
+        return None
+    payload = data[data_off : data_off + data_sz]
+    if code in (0x0006, 0x0007):  # G.711: one byte per sample
+        if fmt_bits != 8:
+            return None
+        table = _G711_ALAW if code == 0x0006 else _G711_MULAW
+        n = min(len(payload), fact_n or len(payload), WAV_MAX_SAMPLES)
+        pcm = [table[b] for b in payload[:n]]
+        return _pcm_stats(pcm, fmt_rate, 1, codec=3 if code == 0x0006 else 2)
+    # IMA ADPCM
+    if (
+        fmt_bits != 4
+        or not fmt_align
+        or not 4 < fmt_align <= _WAV_MAX_BLOCK_ALIGN
+    ):
+        return None
+    out: list[int] = []
+    p = 0
+    cap = fact_n if fact_n is not None else WAV_MAX_SAMPLES
+    while p + 4 <= len(payload) and len(out) < cap:
+        if not _adpcm_decode_block(payload, p, fmt_align - 4, out):
+            return None
+        p += fmt_align
+    if not out:
+        return None
+    return _pcm_stats(out[:cap], fmt_rate, 1, codec=1)
+
+
+def _wav_container(
+    fmt_code: int, rate: int, bits: int, block_align: int,
+    payload: bytes, fact_n: int | None, fmt_ext: bytes = b"",
+) -> bytes:
+    """Minimal mono RIFF-WAVE wrapper (fixture side)."""
+    fmt = (
+        fmt_code.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")  # channels
+        + rate.to_bytes(4, "little")
+        + (rate * block_align).to_bytes(4, "little")  # nominal byte rate
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+        + fmt_ext
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if fact_n is not None:
+        body += b"fact" + (4).to_bytes(4, "little") + fact_n.to_bytes(4, "little")
+    body += b"data" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        body += b"\x00"
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def wav_adpcm_encode(
+    block_values: list[int], rate: int = 8000, block_align: int = 12,
+    nibbles: bytes | None = None,
+) -> bytes:
+    """IMA ADPCM WAV fixture: one block per entry of ``block_values``,
+    each block header planting that value as the predictor (step index
+    0) followed by all-zero codes — at step index 0 a zero nibble is an
+    exact zero delta, so each block decodes to its planted constant
+    repeated samples_per_block times, byte-exactly. ``nibbles``
+    (optional, len block_align-4) replaces the zero code bytes in EVERY
+    block for arithmetic-exercise fixtures (decode then follows the
+    step machine, no closed form)."""
+    nb = block_align - 4
+    spb = nb * 2 + 1
+    code_bytes = nibbles if nibbles is not None else b"\x00" * nb
+    if len(code_bytes) != nb:
+        raise ValueError("nibble payload must fill the block")
+    payload = b"".join(
+        int(v).to_bytes(2, "little", signed=True) + b"\x00\x00" + code_bytes
+        for v in block_values
+    )
+    ext = (2).to_bytes(2, "little") + spb.to_bytes(2, "little")
+    return _wav_container(
+        0x0011, rate, 4, block_align, payload, len(block_values) * spb, ext
+    )
+
+
+def wav_g711_encode(codes: bytes, law: str, rate: int = 8000) -> bytes:
+    """G.711 WAV fixture: the companded bytes are the payload verbatim
+    (one byte per sample); ``law`` is 'mulaw' or 'alaw'."""
+    code = 0x0007 if law == "mulaw" else 0x0006
+    return _wav_container(code, rate, 8, 1, bytes(codes), len(codes))
 
 
 # ---------------------------------------------------------------------------

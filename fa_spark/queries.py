@@ -2932,6 +2932,105 @@ FROM agg
 """
 
 
+def _wav_codec_batch(doc_id: pd.Series) -> pd.Series:
+    """Non-PCM WAV fixture per doc (round 6): doc_id%3 selects the codec
+    — 0: IMA ADPCM (4 constant blocks, magnitude 500+doc_id%1000 with
+    alternating sign; each block header plants the predictor and the
+    zero nibbles hold it exactly, pure.wav_adpcm_encode), 1: G.711 μ-law
+    (64 bytes of the constant code doc_id%256), 2: G.711 A-law (64 bytes
+    of (doc_id*7+3)%256). All decode losslessly, so every feature is a
+    closed form of doc_id."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        k = did % 3
+        if k == 0:
+            amp = 500 + did % 1000
+            out.append(pure.wav_adpcm_encode([amp, -amp, amp, -amp]))
+        elif k == 1:
+            out.append(pure.wav_g711_encode(bytes([did % 256]) * 64, "mulaw"))
+        else:
+            out.append(
+                pure.wav_g711_encode(bytes([(did * 7 + 3) % 256]) * 64, "alaw")
+            )
+    return pd.Series(out)
+
+
+wav_codec_udf = F.pandas_udf(_wav_codec_batch, BinaryType())
+
+
+def q_wav_codec_features(spark, sf_dir):
+    """REAL compressed-in-WAV decode round trip (round 6): IMA ADPCM +
+    G.711 μ-law/A-law WAVs per document through the distributed media
+    stage (pure._decode_wav_compressed — manual RIFF chunk walk, the
+    IMA step machine, the ITU expansion tables), value-checking
+    rms/peak/zcr/duration AND the dispatched codec id against closed
+    forms (the G.711 expansions re-derived arithmetically in SQL)."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        wav_codec_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    fd = _feat_d
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        fd(8).alias("codec_id"),
+        fd(1).alias("rms"),
+        fd(2).alias("peak"),
+        fd(3).alias("zcr"),
+        fd(4).alias("n_samples"),
+        fd(5).alias("sample_rate"),
+        fd(6).alias("duration_s"),
+    )
+
+
+# the G.711 expansions as integer arithmetic: μ-law u=255-c,
+# t=((u%16)*8+132)<<((u//16)%8), v=±(t-132); A-law a=c^0x55,
+# seg=(a%128)//16, t=(2*(a%16)+33)<<(seg+2) [seg>0] or (2*(a%16)+1)*8,
+# sign from bit 7. Constant-code streams make rms=|v| and peak=|v|
+# exact integers (float32-safe); the ADPCM staircase alternates ±amp so
+# rms=amp exactly and the 4 blocks yield 3 sign transitions.
+SQL_WAV_CODEC_FEATURES = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS k,
+         500 + doc_id % 1000 AS amp,
+         255 - (doc_id % 256) AS u,
+         xor((doc_id * 7 + 3) % 256, 85) AS a
+  FROM documents),
+v AS (
+  SELECT doc_id, k, amp,
+         CASE WHEN u >= 128
+              THEN 132 - ((((u % 16) * 8) + 132) << ((u // 16) % 8))
+              ELSE ((((u % 16) * 8) + 132) << ((u // 16) % 8)) - 132
+         END AS mv,
+         (CASE WHEN a >= 128 THEN 1 ELSE -1 END)
+           * (CASE WHEN (a % 128) // 16 > 0
+                   THEN (2 * (a % 16) + 33) << ((a % 128) // 16 + 2)
+                   ELSE (2 * (a % 16) + 1) * 8
+              END) AS av
+  FROM d)
+SELECT doc_id,
+       'riff' AS content_type,
+       'decoded' AS decode_status,
+       CAST(k + 1 AS DOUBLE) AS codec_id,
+       CAST(CASE k WHEN 0 THEN amp WHEN 1 THEN abs(mv) ELSE abs(av) END
+            AS DOUBLE) AS rms,
+       CAST(CASE k WHEN 0 THEN amp WHEN 1 THEN abs(mv) ELSE abs(av) END
+            AS DOUBLE) AS peak,
+       CASE WHEN k = 0 THEN ROUND(3.0 / 68, 6) ELSE 0.0 END AS zcr,
+       CAST(CASE WHEN k = 0 THEN 68 ELSE 64 END AS DOUBLE) AS n_samples,
+       CAST(8000 AS DOUBLE) AS sample_rate,
+       ROUND(CAST(CASE WHEN k = 0 THEN 68 ELSE 64 END AS DOUBLE) / 8000, 6)
+         AS duration_s
+FROM v
+"""
+
+
 VID_SIDE = 16
 VID_FPS = 25
 
@@ -3709,6 +3808,7 @@ REGISTRY: dict[str, tuple] = {
     # -- new round-6 operators --
     "mp3_features": (q_mp3_features, SQL_MP3_FEATURES),
     "mpeg1_frames": (q_mpeg1_frames, SQL_MPEG1_FRAMES),
+    "wav_codec_features": (q_wav_codec_features, SQL_WAV_CODEC_FEATURES),
     # -- last official green r04; rotated back into the window --
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),

@@ -153,6 +153,10 @@ def _real_wav_features(aud: dict) -> list[float]:
         float(aud["rate"]),
         round(aud["duration_s"], 6),
         float(aud["n_channels"]),
+        # round 6: source-codec tag (0 pcm/other, 1 ima_adpcm, 2 mulaw,
+        # 3 alaw) — lets the wav_codec_features oracle verify DISPATCH,
+        # not just feature values
+        float(aud.get("codec", 0)),
     ]
     return (vec + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
 

@@ -46,8 +46,9 @@ def test_matches_wav_decode_exactly():
     s = _square(2048, 1234)
     w = pure.decode_wav(pure.wav_encode(s, 8000))
     f = pure.decode_flac(pure.flac_encode(s, 8000))
-    assert {k: w[k] for k in w if k != "n_channels"} == {
-        k: f[k] for k in f if k != "n_channels"
+    skip = {"n_channels", "codec"}  # codec tags the WAV payload form only
+    assert {k: w[k] for k in w if k not in skip} == {
+        k: f[k] for k in f if k not in skip
     }
 
 
