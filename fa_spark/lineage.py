@@ -276,10 +276,11 @@ def commit_lineage(
         F.coalesce(F.col("meta").getItem("mp3:l3_subset"), F.lit("")) == "1"
     )
     # mpeg (MPEG-1 video elementary stream) is non-stub when the envelope
-    # walk verdicts the stream inside decode_mpeg1's I-frame subset
-    # (round 6, meta['mpeg:i_subset'] — same shared-gate pattern)
+    # walk verdicts the stream inside decode_mpeg1's I+P subset
+    # (round 6, meta['mpeg:ip_subset'] — same shared-gate pattern; B/D
+    # pictures keep the stream stubbed)
     non_stub_mpeg = (ct == "mpeg") & (
-        F.coalesce(F.col("meta").getItem("mpeg:i_subset"), F.lit("")) == "1"
+        F.coalesce(F.col("meta").getItem("mpeg:ip_subset"), F.lit("")) == "1"
     )
     stub_ct = F.when(
         ct.isin(*STUB_CONTAINER_TYPES)

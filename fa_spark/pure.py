@@ -8351,27 +8351,35 @@ def analyze_document(
 #
 # DOCUMENTED SUBSET (out-of-scope streams return None and stay in the
 # honest `stubbed` lineage tier, like mp3/vorbis; the envelope walk
-# publishes the verdict as meta['mpeg:i_subset'] so the stage and lineage
-# gates stay in sync without decoding payloads):
+# publishes the verdict as meta['mpeg:ip_subset'] — and the narrower
+# meta['mpeg:i_subset'] — so the stage and lineage gates stay in sync
+# without decoding payloads):
 #   * video ELEMENTARY streams only (0x000001B3 first; program streams,
 #     0x000001BA packs, stay envelope-only),
-#   * I pictures only — any P/B/D picture_coding_type fails the subset
-#     (the whole point of this tier is intra decode; motion compensation
-#     is out of pure-Python scope, exactly like H.26x),
+#   * I and (round-6 extension) P pictures — forward motion compensation
+#     at full/half pel with the spec's rounded-average interpolation,
+#     skip runs, CBP + non-intra residual blocks; P streams are further
+#     gated to forward_f_code == 1 (raw motion_code range ±16, no
+#     residual motion bits) and MPEG_MAX_DECODE_FRAMES total pictures
+#     (P chains decode sequentially off the previous frame). B/D
+#     pictures fail the subset — bidirectional prediction stays out of
+#     scope, like H.26x,
 #   * width/height multiples of 16 (no edge-macroblock crop),
 #   * the AC run-level rows below (ISO Table B.5c through the 8-bit
 #     group) plus the fully-general 000001 escape form; a stream
 #     selecting a longer tabulated code returns None rather than
 #     mis-decode (prefix-freeness of the implemented rows guarantees a
 #     clean miss, never an alias),
-#   * macroblock_address_increment rows 1..9 plus escape/stuffing (I
-#     pictures code every macroblock, so mid-slice increments are
-#     exactly 1; a larger increment means skipped macroblocks, which
-#     are illegal in I pictures and rejected).
+#   * macroblock_address_increment: the full Table B.1 (1..33) plus
+#     escape/stuffing; increments > 1 are skipped-macroblock copies in
+#     P pictures and rejected in I pictures (where they are illegal).
 # ---------------------------------------------------------------------------
 
 MPEG_MAX_PIXELS = JPEG_MAX_PIXELS
 MPEG_MAX_STARTCODES = 1 << 14
+# P pictures chain off the previous decoded frame, so an I+P stream must
+# decode every picture up to the last sampled one — bound that work
+MPEG_MAX_DECODE_FRAMES = 32
 
 # picture_rate code -> frames/sec [ISO 11172-2 2.4.3.2]
 _MPEG_PICTURE_RATES = {
@@ -8425,14 +8433,79 @@ _MPEG_AC_MAXLEN = 8
 _MPEG_AC_ENC = {rl: (ln, code) for (ln, code), rl in _MPEG_AC.items()}
 _MPEG_AC_ENC[(0, 1)] = (2, 0b11)
 
-# macroblock_address_increment rows 1..9 [ISO Table B.1]; escape
+# macroblock_address_increment, full Table B.1 (rows 1..33; round 6
+# extended past the original 1..9 for P-picture skip runs); escape
 # (00000001000, +33) and stuffing (00000001111) handled in-line.
 _MPEG_MBA = {
     (1, 0b1): 1, (3, 0b011): 2, (3, 0b010): 3, (4, 0b0011): 4,
     (4, 0b0010): 5, (5, 0b00011): 6, (5, 0b00010): 7,
     (7, 0b0000111): 8, (7, 0b0000110): 9,
+    (8, 0b00001011): 10, (8, 0b00001010): 11, (8, 0b00001001): 12,
+    (8, 0b00001000): 13, (8, 0b00000111): 14, (8, 0b00000110): 15,
+    (10, 0b0000010111): 16, (10, 0b0000010110): 17,
+    (10, 0b0000010101): 18, (10, 0b0000010100): 19,
+    (10, 0b0000010011): 20, (10, 0b0000010010): 21,
+    (11, 0b00000100011): 22, (11, 0b00000100010): 23,
+    (11, 0b00000100001): 24, (11, 0b00000100000): 25,
+    (11, 0b00000011111): 26, (11, 0b00000011110): 27,
+    (11, 0b00000011101): 28, (11, 0b00000011100): 29,
+    (11, 0b00000011011): 30, (11, 0b00000011010): 31,
+    (11, 0b00000011001): 32, (11, 0b00000011000): 33,
 }
 _MPEG_MBA_MAXLEN = 11
+_MPEG_MBA_ENC = {v: (ln, code) for (ln, code), v in _MPEG_MBA.items()}
+
+# macroblock_type, P pictures [ISO Table B.2b]:
+# (motion_forward, pattern, intra, quant)
+_MPEG_PMBTYPE = {
+    (1, 0b1): (1, 1, 0, 0), (2, 0b01): (0, 1, 0, 0),
+    (3, 0b001): (1, 0, 0, 0), (5, 0b00011): (0, 0, 1, 0),
+    (5, 0b00010): (1, 1, 0, 1), (5, 0b00001): (0, 1, 0, 1),
+    (6, 0b000001): (0, 0, 1, 1),
+}
+
+# motion_code magnitude VLC [ISO Table B.4, folded to |code| 0..16 with
+# a trailing sign bit for nonzero — the table's ±pairs differ only in
+# that final bit]
+_MPEG_MV = {
+    (1, 0b1): 0, (2, 0b01): 1, (3, 0b001): 2, (4, 0b0001): 3,
+    (6, 0b000011): 4, (7, 0b0000101): 5, (7, 0b0000100): 6,
+    (7, 0b0000011): 7, (9, 0b000001011): 8, (9, 0b000001010): 9,
+    (9, 0b000001001): 10, (10, 0b0000010001): 11, (10, 0b0000010000): 12,
+    (10, 0b0000001111): 13, (10, 0b0000001110): 14,
+    (10, 0b0000001101): 15, (10, 0b0000001100): 16,
+}
+_MPEG_MV_MAXLEN = 10
+_MPEG_MV_ENC = {v: (ln, code) for (ln, code), v in _MPEG_MV.items()}
+
+# coded_block_pattern VLC [ISO Table B.3]; bit 5..0 = Y0 Y1 Y2 Y3 Cb Cr
+_MPEG_CBP = {
+    (3, 0b111): 60,
+    (4, 0b1101): 4, (4, 0b1100): 8, (4, 0b1011): 16, (4, 0b1010): 32,
+    (5, 0b10011): 12, (5, 0b10010): 48, (5, 0b10001): 20,
+    (5, 0b10000): 40, (5, 0b01111): 28, (5, 0b01110): 44,
+    (5, 0b01101): 52, (5, 0b01100): 56, (5, 0b01011): 1,
+    (5, 0b01010): 61, (5, 0b01001): 2, (5, 0b01000): 62,
+    (6, 0b001111): 24, (6, 0b001110): 36, (6, 0b001101): 3,
+    (6, 0b001100): 63,
+    (7, 0b0010111): 5, (7, 0b0010110): 9, (7, 0b0010101): 17,
+    (7, 0b0010100): 33, (7, 0b0010011): 6, (7, 0b0010010): 10,
+    (7, 0b0010001): 18, (7, 0b0010000): 34,
+    (8, 0b00011111): 7, (8, 0b00011110): 11, (8, 0b00011101): 19,
+    (8, 0b00011100): 35, (8, 0b00011011): 13, (8, 0b00011010): 49,
+    (8, 0b00011001): 21, (8, 0b00011000): 41, (8, 0b00010111): 14,
+    (8, 0b00010110): 50, (8, 0b00010101): 22, (8, 0b00010100): 42,
+    (8, 0b00010011): 15, (8, 0b00010010): 51, (8, 0b00010001): 23,
+    (8, 0b00010000): 43, (8, 0b00001111): 25, (8, 0b00001110): 37,
+    (8, 0b00001101): 26, (8, 0b00001100): 38, (8, 0b00001011): 29,
+    (8, 0b00001010): 45, (8, 0b00001001): 53, (8, 0b00001000): 57,
+    (8, 0b00000111): 30, (8, 0b00000110): 46, (8, 0b00000101): 54,
+    (8, 0b00000100): 58,
+    (9, 0b000000111): 31, (9, 0b000000110): 47, (9, 0b000000101): 55,
+    (9, 0b000000100): 59, (9, 0b000000011): 27, (9, 0b000000010): 39,
+}
+_MPEG_CBP_MAXLEN = 9
+_MPEG_CBP_ENC = {v: (ln, code) for (ln, code), v in _MPEG_CBP.items()}
 
 
 def _mpeg_vlc(r: "_FBitReader", table: dict, maxlen: int):
@@ -8472,9 +8545,10 @@ def _mpeg_mba(r: "_FBitReader"):
 
 
 def _mpeg_seq_header(data: bytes, off: int):
-    """Sequence header at off -> (w, h, fps, intra_q_zigzag) or None.
-    Truncated headers (e.g. a declared-but-cut quantizer matrix) return
-    None rather than leaking EOFError to callers."""
+    """Sequence header at off -> (w, h, fps, intra_q_zigzag,
+    nonintra_q_zigzag) or None. Truncated headers (e.g. a
+    declared-but-cut quantizer matrix) return None rather than leaking
+    EOFError to callers."""
     try:
         r = _FBitReader(data, off + 4)
         w, h = r.read(12), r.read(12)
@@ -8488,14 +8562,17 @@ def _mpeg_seq_header(data: bytes, off: int):
         else:
             q = _MPEG_INTRA_Q
             intra_q = [q[int(_ZZ_FLAT[i])] for i in range(64)]
-        if r.read(1):  # load_non_intra matrix — parsed past, unused for I
-            for _ in range(64):
-                r.read(8)
+        if r.read(1):  # load_non_intra_quantizer_matrix (round 6: used by P)
+            nonintra_q = [r.read(8) for _ in range(64)]
+            if 0 in nonintra_q:
+                return None
+        else:
+            nonintra_q = [16] * 64  # default non-intra matrix is flat 16
     except EOFError:
         return None
     if fps is None or not w or not h:
         return None
-    return w, h, fps, intra_q
+    return w, h, fps, intra_q, nonintra_q
 
 
 def _mpeg_startcodes(data: bytes) -> list:
@@ -8536,6 +8613,46 @@ def _mpeg_dequant_ac(level: int, qs: int, q: int) -> int:
     return max(-2048, min(2047, v))
 
 
+def _mpeg_ac_zero_path(r: "_FBitReader"):
+    """The '0…' branch shared by every dct_coeff position: tabulated
+    run-level rows (sign bit appended) or the fully-general 000001
+    escape. Returns a SIGNED (run, level); raises on out-of-subset
+    codes."""
+    code, ln = 0, 1
+    hit = None
+    while ln < _MPEG_AC_MAXLEN:
+        code = (code << 1) | r.read(1)
+        ln += 1
+        if ln == 6 and code == 0b000001:
+            hit = "esc"
+            break
+        hit = _MPEG_AC.get((ln, code))
+        if hit is not None:
+            break
+    if hit is None:
+        raise ValueError("ac code outside the implemented subset")
+    if hit == "esc":
+        run = r.read(6)
+        lv = r.read(8)
+        if lv == 0:
+            level = r.read(8)  # double-byte positive: 128..255
+            if level < 128:
+                raise ValueError("non-canonical escape level")
+        elif lv == 128:
+            level = r.read(8) - 256  # double-byte negative
+            if not (-255 <= level <= -129):
+                raise ValueError("non-canonical escape level")
+        elif lv > 128:
+            level = lv - 256  # -127..-1
+        else:
+            level = lv  # 1..127
+        return run, level
+    run, level = hit
+    if r.read(1):
+        level = -level
+    return run, level
+
+
 def _mpeg_block_zz(r: "_FBitReader", dc: int, qs: int, intra_q) -> list:
     """One intra block -> dequantized coefficients in zigzag order.
     dc is the already-predicted cumulative DC in dct_zz units (so
@@ -8547,48 +8664,49 @@ def _mpeg_block_zz(r: "_FBitReader", dc: int, qs: int, intra_q) -> list:
         if r.read(1):
             if r.read(1) == 0:  # '10' -> end of block
                 return out
-            run, level = 0, 1  # '11' + sign -> (0, 1)
+            run, level = 0, (-1 if r.read(1) else 1)  # '11' + sign
         else:
-            code, ln = 0, 1
-            hit = None
-            while ln < _MPEG_AC_MAXLEN:
-                code = (code << 1) | r.read(1)
-                ln += 1
-                if ln == 6 and code == 0b000001:
-                    hit = "esc"
-                    break
-                hit = _MPEG_AC.get((ln, code))
-                if hit is not None:
-                    break
-            if hit is None:
-                raise ValueError("ac code outside the implemented subset")
-            if hit == "esc":
-                run = r.read(6)
-                lv = r.read(8)
-                if lv == 0:
-                    level = r.read(8)  # double-byte positive: 128..255
-                    if level < 128:
-                        raise ValueError("non-canonical escape level")
-                elif lv == 128:
-                    level = r.read(8) - 256  # double-byte negative
-                    if not (-255 <= level <= -129):
-                        raise ValueError("non-canonical escape level")
-                elif lv > 128:
-                    level = lv - 256  # -127..-1
-                else:
-                    level = lv  # 1..127
-                idx += run + 1
-                if idx > 63:
-                    raise ValueError("coefficient index overflow")
-                out[idx] = _mpeg_dequant_ac(level, qs, intra_q[idx])
-                continue
-            run, level = hit
-        if r.read(1):  # sign bit for tabulated rows
-            level = -level
+            run, level = _mpeg_ac_zero_path(r)
         idx += run + 1
         if idx > 63:
             raise ValueError("coefficient index overflow")
         out[idx] = _mpeg_dequant_ac(level, qs, intra_q[idx])
+
+
+def _mpeg_dequant_nonintra(level: int, qs: int, q: int) -> int:
+    """Non-intra reconstruction [ISO 2.4.4.2]: (2·level+sign)·qs·q/16
+    truncated toward zero, oddified toward zero, clamped."""
+    mag = ((2 * abs(level) + 1) * qs * q) >> 4
+    if mag and not (mag & 1):
+        mag -= 1
+    v = -mag if level < 0 else mag
+    return max(-2048, min(2047, v))
+
+
+def _mpeg_block_zz_nonintra(r: "_FBitReader", qs: int, nonintra_q) -> list:
+    """One coded NON-intra block -> dequantized coefficients in zigzag
+    order (round 6, P pictures). dct_coeff_first semantics: the leading
+    coefficient cannot be EOB, and a lone '1'+sign bit means (0, ±1);
+    every later position uses the dct_coeff_next table exactly as the
+    intra AC loop does."""
+    out = [0] * 64
+    idx = -1
+    first = True
+    while True:
+        if r.read(1):
+            if first:
+                run, level = 0, (-1 if r.read(1) else 1)
+            elif r.read(1) == 0:  # '10' -> end of block
+                return out
+            else:
+                run, level = 0, (-1 if r.read(1) else 1)
+        else:
+            run, level = _mpeg_ac_zero_path(r)
+        first = False
+        idx += run + 1
+        if idx > 63:
+            raise ValueError("coefficient index overflow")
+        out[idx] = _mpeg_dequant_nonintra(level, qs, nonintra_q[idx])
 
 
 def _mpeg_idct_blocks(zz: "_np.ndarray") -> "_np.ndarray":
@@ -8596,12 +8714,69 @@ def _mpeg_idct_blocks(zz: "_np.ndarray") -> "_np.ndarray":
     samples. Same exact int64 orthonormal basis as JPEG's _dequant_idct
     but WITHOUT the +128 level shift: MPEG intra coefficients already
     encode unshifted 0..255 samples."""
+    return _np.clip(_mpeg_idct_signed(zz), 0, 255).astype(_np.uint8)
+
+
+def _mpeg_idct_signed(zz: "_np.ndarray") -> "_np.ndarray":
+    """(n,64) zigzag coefficients -> (n,8,8) SIGNED int64 samples —
+    the unclamped core, used directly for P-picture residuals (which
+    are added to the motion-compensated prediction before clamping)."""
     blocks = _np.zeros((zz.shape[0], 64), dtype=_np.int64)
     blocks[:, _ZZ_FLAT] = zz
     blocks = blocks.reshape(-1, 8, 8)
     s = _DCT_K.T @ blocks @ _DCT_K
-    s = (s + (1 << 29)) >> 30
-    return _np.clip(s, 0, 255).astype(_np.uint8)
+    return (s + (1 << 29)) >> 30
+
+
+def _mpeg_motion_delta(r: "_FBitReader") -> int | None:
+    """One motion_code read (subset: forward_f_code == 1, so no residual
+    bits): magnitude VLC [Table B.4 folded] + sign bit. None on an
+    out-of-table codeword."""
+    mag = _mpeg_vlc(r, _MPEG_MV, _MPEG_MV_MAXLEN)
+    if mag is None:
+        return None
+    if mag and r.read(1):
+        mag = -mag
+    return mag
+
+
+def _mpeg_mv_recon(pred: int, delta: int) -> int:
+    """Forward-vector reconstruction for f_code 1: principal range
+    [-16, 15], modulo 32 wrap [ISO 2.4.4.3]."""
+    v = pred + delta
+    if v > 15:
+        v -= 32
+    elif v < -16:
+        v += 32
+    return v
+
+
+def _mpeg_mc_luma(ref: "_np.ndarray", x0: int, y0: int, mx: int, my: int):
+    """16x16 forward-MC luma prediction at half-pel displacement
+    (mx, my) from the int32 reference plane; half-pel samples use the
+    spec's round-to-nearest average ('//' in ISO 11172-2 rounds half
+    away from zero; all operands here are non-negative). None when the
+    referenced window leaves the picture (illegal stream)."""
+    ix, hx = mx >> 1, mx & 1
+    iy, hy = my >> 1, my & 1
+    xs, ys = x0 + ix, y0 + iy
+    h, w = ref.shape
+    if not (0 <= xs and xs + 16 + hx <= w and 0 <= ys and ys + 16 + hy <= h):
+        return None
+    a = ref[ys : ys + 16, xs : xs + 16]
+    if hx and hy:
+        return (
+            a
+            + ref[ys : ys + 16, xs + 1 : xs + 17]
+            + ref[ys + 1 : ys + 17, xs : xs + 16]
+            + ref[ys + 1 : ys + 17, xs + 1 : xs + 17]
+            + 2
+        ) >> 2
+    if hx:
+        return (a + ref[ys : ys + 16, xs + 1 : xs + 17] + 1) >> 1
+    if hy:
+        return (a + ref[ys + 1 : ys + 17, xs : xs + 16] + 1) >> 1
+    return a
 
 
 def _mpeg_at_slice_end(r: "_FBitReader", data: bytes, next_off: int) -> bool:
@@ -8696,30 +8871,164 @@ def _mpeg_decode_picture(
     return plane
 
 
+def _mpeg_decode_p_picture(
+    data: bytes, codes: list, ci: int, w: int, h: int,
+    intra_q, nonintra_q, full_pel: int, ref: "_np.ndarray",
+):
+    """Decode the P picture at codes[ci] against the previous decoded
+    luma plane ``ref`` (round 6 — forward motion compensation joins the
+    intra machinery). Per macroblock: type VLC [B.2b], optional new
+    quantizer_scale, forward motion vector (subset: f_code 1, so raw
+    motion_code, ±16 principal range), half- or full-pel MC from the
+    reference, CBP [B.3] + non-intra run-level residual blocks added to
+    the prediction, or full intra recode. Skipped macroblocks — address
+    increments > 1 and any macroblock no slice covers — reconstruct as
+    the zero-vector copy the spec defines, with DC and MV predictors
+    reset. Chroma residual blocks are parsed (the cursor must cross
+    them) but not reconstructed: only luma is reported. Returns the
+    (h,w) uint8 luma plane or None on structural/subset violations."""
+    mbw, mbh = w // 16, h // 16
+    total = mbw * mbh
+    refi = ref.astype(_np.int32)
+    plane = refi.copy()  # unseen macroblocks default to skip-copy
+    seen = [False] * total
+    j = ci + 1
+    while j < len(codes) and codes[j][1] in (0xB2, 0xB5):
+        j += 1
+    while j < len(codes) and 0x01 <= codes[j][1] <= 0xAF:
+        off, svp = codes[j]
+        next_off = codes[j + 1][0] if j + 1 < len(codes) else len(data)
+        r = _FBitReader(data, off + 4)
+        try:
+            qs = r.read(5)
+            if qs == 0:
+                return None
+            while r.read(1):  # extra_bit_slice
+                r.read(8)
+            addr = (svp - 1) * mbw - 1
+            dc_y = dc_cb = dc_cr = 128
+            mv_x = mv_y = 0
+            while not _mpeg_at_slice_end(r, data, next_off):
+                inc = _mpeg_mba(r)
+                if inc is None:
+                    return None
+                addr += inc
+                if not 0 <= addr < total or seen[addr]:
+                    return None
+                if inc != 1:  # skipped run: predictors reset; plane
+                    # already carries the zero-vector copies
+                    dc_y = dc_cb = dc_cr = 128
+                    mv_x = mv_y = 0
+                mbt = _mpeg_vlc(r, _MPEG_PMBTYPE, 6)
+                if mbt is None:
+                    return None
+                mf, pat, intra, quant = mbt
+                if quant:
+                    qs = r.read(5)
+                    if qs == 0:
+                        return None
+                if mf:
+                    dx = _mpeg_motion_delta(r)
+                    dy = _mpeg_motion_delta(r)
+                    if dx is None or dy is None:
+                        return None
+                    mv_x = _mpeg_mv_recon(mv_x, dx)
+                    mv_y = _mpeg_mv_recon(mv_y, dy)
+                elif not intra:
+                    mv_x = mv_y = 0
+                y0, x0 = (addr // mbw) * 16, (addr % mbw) * 16
+                if intra:
+                    mv_x = mv_y = 0
+                    zz4 = _np.zeros((4, 64), dtype=_np.int64)
+                    for bi in range(6):
+                        if bi < 4:
+                            dc_y += _mpeg_dc_diff(r, _MPEG_DC_LUMA)
+                            dc = dc_y
+                        elif bi == 4:
+                            dc_cb += _mpeg_dc_diff(r, _MPEG_DC_CHROMA)
+                            dc = dc_cb
+                        else:
+                            dc_cr += _mpeg_dc_diff(r, _MPEG_DC_CHROMA)
+                            dc = dc_cr
+                        zz = _mpeg_block_zz(r, dc, qs, intra_q)
+                        if bi < 4:
+                            zz4[bi] = zz
+                    blocks = _mpeg_idct_blocks(zz4).astype(_np.int32)
+                    mb = _np.empty((16, 16), dtype=_np.int32)
+                    mb[:8, :8] = blocks[0]
+                    mb[:8, 8:] = blocks[1]
+                    mb[8:, :8] = blocks[2]
+                    mb[8:, 8:] = blocks[3]
+                else:
+                    dc_y = dc_cb = dc_cr = 128
+                    hx = (mv_x << 1) if full_pel else mv_x
+                    hy = (mv_y << 1) if full_pel else mv_y
+                    mb = _mpeg_mc_luma(refi, x0, y0, hx, hy)
+                    if mb is None:
+                        return None
+                    mb = mb.copy()
+                    if pat:
+                        cbp = _mpeg_vlc(r, _MPEG_CBP, _MPEG_CBP_MAXLEN)
+                        if cbp is None:
+                            return None
+                        for bi in range(6):
+                            if not cbp & (1 << (5 - bi)):
+                                continue
+                            zz = _np.array(
+                                [_mpeg_block_zz_nonintra(r, qs, nonintra_q)],
+                                dtype=_np.int64,
+                            )
+                            if bi < 4:
+                                res = _mpeg_idct_signed(zz)[0]
+                                ry, rx = (bi >> 1) * 8, (bi & 1) * 8
+                                mb[ry : ry + 8, rx : rx + 8] += res.astype(
+                                    _np.int32
+                                )
+                    _np.clip(mb, 0, 255, out=mb)
+                plane[y0 : y0 + 16, x0 : x0 + 16] = mb
+                seen[addr] = True
+        except (EOFError, ValueError):
+            return None
+        j += 1
+    if not any(seen):  # a P picture with no coded macroblock at all
+        return None
+    return plane.astype(_np.uint8)
+
+
 def _parse_mpeg_meta(data: bytes) -> dict[str, str]:
     """MPEG-1 video elementary stream envelope: geometry, picture rate,
     picture count/types from the start-code walk — no payload decode.
-    Publishes meta['mpeg:i_subset'] ('1'/'0'), the decode_mpeg1 subset
-    verdict, so the multimodal stage and lineage stub accounting share
-    one gate (the mp3:l3_subset pattern)."""
+    Publishes the decode_mpeg1 subset verdicts so the multimodal stage
+    and lineage stub accounting share one gate (the mp3:l3_subset
+    pattern): meta['mpeg:i_subset'] (pure-I streams, the round-6 tier)
+    and meta['mpeg:ip_subset'] (I+P with forward MC — implied by
+    i_subset; the stage gates on this wider one)."""
     if len(data) < 12 or data[:4] != b"\x00\x00\x01\xb3":
         return {}
     out = {"mpeg:kind": "video-es"}
     hdr = _mpeg_seq_header(data, 0)
     codes = _mpeg_startcodes(data)
     n_pics = 0
+    seq: list[int] = []
     types: set[int] = set()
+    p_fcode_ok = True
     for off, c in codes:
         if c == 0x00:
             n_pics += 1
             try:
                 r = _FBitReader(data, off + 4)
                 r.read(10)  # temporal_reference
-                types.add(r.read(3))
+                pt = r.read(3)
+                if pt == 2:
+                    r.read(16 + 1)  # vbv_delay, full_pel_forward_vector
+                    if r.read(3) != 1:
+                        p_fcode_ok = False
             except EOFError:
-                types.add(0)
+                pt = 0
+            seq.append(pt)
+            types.add(pt)
     if hdr is not None:
-        w, h, fps, _ = hdr
+        w, h, fps = hdr[0], hdr[1], hdr[2]
         out["mpeg:width"] = str(w)
         out["mpeg:height"] = str(h)
         out["mpeg:fps"] = f"{fps:.3f}".rstrip("0").rstrip(".")
@@ -8729,35 +9038,46 @@ def _parse_mpeg_meta(data: bytes) -> dict[str, str]:
         out["mpeg:picture_types"] = ",".join(
             sorted(names.get(t, "?") for t in types)
         )
-    subset = (
+    geom_ok = (
         hdr is not None
         and n_pics > 0
-        and types == {1}
         and hdr[0] % 16 == 0
         and hdr[1] % 16 == 0
         and hdr[0] * hdr[1] <= MPEG_MAX_PIXELS
         and len(codes) < MPEG_MAX_STARTCODES
     )
-    out["mpeg:i_subset"] = "1" if subset else "0"
+    out["mpeg:i_subset"] = "1" if geom_ok and types == {1} else "0"
+    ip = (
+        geom_ok
+        and types <= {1, 2}
+        and seq[:1] == [1]
+        and (
+            types == {1}  # pure-I streams keep unbounded frame counts
+            or (p_fcode_ok and n_pics <= MPEG_MAX_DECODE_FRAMES)
+        )
+    )
+    out["mpeg:ip_subset"] = "1" if ip else "0"
     return out
 
 
 def decode_mpeg1(data: bytes | None) -> dict | None:
-    """Real MPEG-1 video I-frame decode (round 6): start-code walk ->
-    sequence header -> per-picture slice/macroblock/block parse with DC
-    prediction, run-level AC + escape decode, intra dequantization, and
-    the exact int64 IDCT. Returns the decode_y4m dict shape — even
-    frame-sampling bounded by VIDEO_SAMPLE_FRAMES, per-sampled-frame
-    mean LUMINANCE (the Y plane mean; for the solid-gray fixtures this
-    equals the RGB mean other video tiers report). None for non-MPEG
-    input or anything outside the documented subset (section header
-    above)."""
+    """Real MPEG-1 video decode (round 6): start-code walk -> sequence
+    header -> per-picture slice/macroblock/block parse. I pictures:
+    DC prediction, run-level AC + escape decode, intra dequantization,
+    exact int64 IDCT. P pictures (round-6 extension): forward motion
+    compensation at full/half pel off the previous decoded frame, skip
+    runs, non-intra residual blocks — B/D pictures stay out of subset.
+    Returns the decode_y4m dict shape — even frame-sampling bounded by
+    VIDEO_SAMPLE_FRAMES, per-sampled-frame mean LUMINANCE (the Y plane
+    mean; for the solid-gray fixtures this equals the RGB mean other
+    video tiers report). None for non-MPEG input or anything outside
+    the documented subset (section header above)."""
     if not data or len(data) < 16 or data[:4] != b"\x00\x00\x01\xb3":
         return None
     hdr = _mpeg_seq_header(data, 0)
     if hdr is None:
         return None
-    w, h, fps, intra_q = hdr
+    w, h, fps, intra_q, nonintra_q = hdr
     if w % 16 or h % 16 or w * h > MPEG_MAX_PIXELS:
         return None
     codes = _mpeg_startcodes(data)
@@ -8767,26 +9087,64 @@ def decode_mpeg1(data: bytes | None) -> dict | None:
     n_frames = len(pics)
     if not n_frames:
         return None
-    # subset gate: every picture must be intra (cheap header peek)
+    # subset gate: cheap header peek — I/P only, first picture I, P
+    # pictures restricted to forward_f_code 1 (no residual motion bits)
+    ptypes = []
+    fpels = []
     for ci in pics:
         try:
             r = _FBitReader(data, codes[ci][0] + 4)
             r.read(10)
-            if r.read(3) != 1:
-                return None
+            pt = r.read(3)
+            if pt == 2:
+                r.read(16)  # vbv_delay
+                fp = r.read(1)
+                if r.read(3) != 1:
+                    return None  # forward_f_code != 1: out of subset
+            else:
+                fp = 0
+            ptypes.append(pt)
+            fpels.append(fp)
         except EOFError:
             return None
+    if ptypes[0] != 1 or any(pt not in (1, 2) for pt in ptypes):
+        return None
+    has_p = any(pt == 2 for pt in ptypes)
+    if has_p and n_frames > MPEG_MAX_DECODE_FRAMES:
+        return None
     k = min(VIDEO_SAMPLE_FRAMES, n_frames)
     if k == 1:
         sampled = [0]
     else:
         sampled = sorted({i * (n_frames - 1) // (k - 1) for i in range(k)})
     means = []
-    for si in sampled:
-        plane = _mpeg_decode_picture(data, codes, pics[si], w, h, intra_q)
-        if plane is None:
-            return None
-        means.append(float(plane.mean()))
+    if not has_p:
+        # pure-I streams: every picture is independent, decode only the
+        # sampled ones (the original round-6 path)
+        for si in sampled:
+            plane = _mpeg_decode_picture(data, codes, pics[si], w, h, intra_q)
+            if plane is None:
+                return None
+            means.append(float(plane.mean()))
+    else:
+        # P chains: decode sequentially up to the last sampled picture,
+        # threading the reference plane
+        ref = None
+        want = set(sampled)
+        for fi in range(max(sampled) + 1):
+            if ptypes[fi] == 1:
+                ref = _mpeg_decode_picture(data, codes, pics[fi], w, h, intra_q)
+            else:
+                if ref is None:
+                    return None
+                ref = _mpeg_decode_p_picture(
+                    data, codes, pics[fi], w, h,
+                    intra_q, nonintra_q, fpels[fi], ref,
+                )
+            if ref is None:
+                return None
+            if fi in want:
+                means.append(float(ref.mean()))
     return {
         "width": w,
         "height": h,
@@ -8923,6 +9281,105 @@ def mpeg1_encode(frames: list, fps: float = 25.0, qs: int = 8) -> bytes:
                             bw.write(level + 256, 8)
                     run = 0
                 bw.write(0b10, 2)  # end of block
+        out += b"\x00\x00\x01\x01" + bw.bytes()
+    out += b"\x00\x00\x01\xb7"  # sequence_end
+    return bytes(out)
+
+
+def _mba_write(bw: "_FBitWriter", inc: int) -> None:
+    """macroblock_address_increment writer: escapes (+33) then the
+    Table B.1 row."""
+    while inc > 33:
+        bw.write(0b00000001000, 11)
+        inc -= 33
+    ln, code = _MPEG_MBA_ENC[inc]
+    bw.write(code, ln)
+
+
+def mpeg1_encode_ip(
+    first: list, specs: list, fps: float = 25.0, qs: int = 8
+) -> bytes:
+    """MPEG-1 elementary stream with one I picture (``first``, the
+    mpeg1_encode luminance-grid form) followed by one P picture per
+    ``specs`` entry — the fixture side of the round-6 forward-MC tier:
+      ('copy',)           zero-vector forward MC on the first and last
+                          macroblock, everything between skipped — the
+                          decoded frame equals the reference exactly
+      ('shift', dx)       full-pel horizontal vector dx (in [-16, 15])
+                          on every macroblock except column 0 (vector
+                          0 there, keeping every reference in-frame)
+      ('halfpel', dxh)    same geometry with full_pel 0 and dxh in
+                          HALF pels — odd dxh exercises the rounded
+                          half-pel interpolation path
+      ('residual', lvl)   no-MC coded macroblocks, cbp 60, one DC-only
+                          escape-coded residual `lvl` per luma block
+    All P pictures use forward_f_code 1 (the decode subset)."""
+    base = mpeg1_encode([first], fps, qs)
+    out = bytearray(base[: -4])  # strip sequence_end, re-added below
+    h, w = len(first), len(first[0])
+    mbw, mbh = w // 16, h // 16
+    total = mbw * mbh
+    for t, spec in enumerate(specs, start=1):
+        kind = spec[0]
+        full_pel = 1 if kind in ("copy", "shift") else 0
+        bw = _FBitWriter()
+        bw.write(t & 0x3FF, 10)  # temporal_reference
+        bw.write(2, 3)  # picture_coding_type: P
+        bw.write(0xFFFF, 16)  # vbv_delay
+        bw.write(full_pel, 1)
+        bw.write(1, 3)  # forward_f_code
+        bw.write(0, 1)  # extra_bit_picture
+        out += b"\x00\x00\x01\x00" + bw.bytes()
+        bw = _FBitWriter()
+        bw.write(qs, 5)
+        bw.write(0, 1)  # extra_bit_slice
+        if kind == "copy":
+            for inc in ([1] if total == 1 else [1, total - 1]):
+                _mba_write(bw, inc)
+                bw.write(0b001, 3)  # mc, not coded
+                bw.write(1, 1)  # horizontal motion_code 0
+                bw.write(1, 1)  # vertical motion_code 0
+        elif kind in ("shift", "halfpel"):
+            d = spec[1]
+            pred = 0
+            for a in range(total):
+                _mba_write(bw, 1)
+                bw.write(0b001, 3)  # mc, not coded
+                mv = 0 if a % mbw == 0 else d
+                diff = mv - pred
+                if diff > 16:
+                    diff -= 32
+                elif diff < -16:
+                    diff += 32
+                ln, code = _MPEG_MV_ENC[abs(diff)]
+                bw.write(code, ln)
+                if diff:
+                    bw.write(1 if diff < 0 else 0, 1)
+                bw.write(1, 1)  # vertical motion_code 0
+                pred = mv
+        elif kind == "residual":
+            level = spec[1]
+            if not -255 <= level <= 255 or level == 0:
+                raise ValueError("residual level out of range")
+            for a in range(total):
+                _mba_write(bw, 1)
+                bw.write(0b01, 2)  # no-mc, coded
+                ln, code = _MPEG_CBP_ENC[60]  # four luma blocks
+                bw.write(code, ln)
+                for _b in range(4):
+                    bw.write(0b000001, 6)  # dct_coeff_first escape
+                    bw.write(0, 6)  # run 0
+                    if -127 <= level <= 127:
+                        bw.write(level & 0xFF, 8)
+                    elif level > 0:
+                        bw.write(0, 8)
+                        bw.write(level, 8)
+                    else:
+                        bw.write(0b10000000, 8)
+                        bw.write(level + 256, 8)
+                    bw.write(0b10, 2)  # end of block
+        else:
+            raise ValueError(f"unknown P spec {kind!r}")
         out += b"\x00\x00\x01\x01" + bw.bytes()
     out += b"\x00\x00\x01\xb7"  # sequence_end
     return bytes(out)

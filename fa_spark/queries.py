@@ -3363,6 +3363,75 @@ FROM documents
 """
 
 
+def _mpeg_ip_batch(doc_id: pd.Series) -> pd.Series:
+    """I+P MPEG-1 fixture per doc (round 6 forward-MC tier): a 48x16
+    I picture with three 16px column bands (L, L+21, L+42 where
+    L = 16*(doc_id%13)+8 — offsets divisible by 3 keep every sampled
+    mean an exact integer, hence float32-safe), then a zero-vector
+    'copy' P picture (first/
+    last macroblock coded, middle skipped) and a full-pel -16 'shift' P
+    picture (each macroblock predicts from the column to its left;
+    column 0 keeps vector 0). Solid 16px bands are DC-exact through the
+    intra path and MC moves whole columns, so all three sampled frame
+    means are closed forms of doc_id."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        l0 = 16 * (did % 13) + 8
+        row = [l0] * 16 + [l0 + 21] * 16 + [l0 + 42] * 16
+        first = [list(row) for _ in range(16)]
+        out.append(pure.mpeg1_encode_ip(first, [("copy",), ("shift", -16)]))
+    return pd.Series(out)
+
+
+mpeg_ip_udf = F.pandas_udf(_mpeg_ip_batch, BinaryType())
+
+
+def q_mpeg_ip_frames(spark, sf_dir):
+    """REAL MPEG-1 I+P decode round trip (round 6 — forward motion
+    compensation joins the intra tier: P macroblock-type/CBP/motion
+    VLCs, zero-vector skip runs, full-pel MC off the previous decoded
+    frame, pure._mpeg_decode_p_picture): value-check frame count,
+    duration, and all three sampled-frame luminance means (I, copied P,
+    column-shifted P) against closed forms."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        mpeg_ip_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    fd = _feat_d
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        "width",
+        "height",
+        fd(1).alias("n_frames"),
+        fd(5).alias("duration_s"),
+        fd(7).alias("mean_i"),
+        fd(8).alias("mean_copy"),
+        fd(9).alias("mean_shift"),
+    )
+
+
+SQL_MPEG_IP_FRAMES = """
+WITH d AS (SELECT doc_id, 16 * (doc_id % 13) + 8 AS l0 FROM documents)
+SELECT doc_id,
+       'mpeg' AS content_type,
+       'decoded' AS decode_status,
+       48 AS width, 16 AS height,
+       CAST(3 AS DOUBLE) AS n_frames,
+       ROUND(3.0 / 25, 6) AS duration_s,
+       CAST(l0 + 21 AS DOUBLE) AS mean_i,
+       CAST(l0 + 21 AS DOUBLE) AS mean_copy,
+       CAST(l0 + 7 AS DOUBLE) AS mean_shift
+FROM d
+"""
+
+
 def _audio_container_batch(doc_id: pd.Series) -> pd.Series:
     """Per-doc audio container rotating mp3 / ogg / flac (round 4 —
     exiftool-parity envelope metadata). Geometries chosen so every
@@ -3808,6 +3877,7 @@ REGISTRY: dict[str, tuple] = {
     # -- new round-6 operators --
     "mp3_features": (q_mp3_features, SQL_MP3_FEATURES),
     "mpeg1_frames": (q_mpeg1_frames, SQL_MPEG1_FRAMES),
+    "mpeg_ip_frames": (q_mpeg_ip_frames, SQL_MPEG_IP_FRAMES),
     "wav_codec_features": (q_wav_codec_features, SQL_WAV_CODEC_FEATURES),
     # -- last official green r04; rotated back into the window --
     "pricing_summary": (q_pricing_summary, SQL_PRICING),

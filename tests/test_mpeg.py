@@ -315,3 +315,145 @@ def test_truncated_seq_header_returns_none():
     assert pure.decode_mpeg1(padded) is None
     assert pure._parse_mpeg_meta(data)["mpeg:i_subset"] == "0"
     assert pure._parse_mpeg_meta(padded)["mpeg:i_subset"] == "0"
+
+
+# ---------------------------------------------------------------------------
+# P pictures (round 6: forward motion compensation)
+# ---------------------------------------------------------------------------
+
+
+def _colbands(vals, h=16):
+    row = []
+    for v in vals:
+        row += [v] * 16
+    return [list(row) for _ in range(h)]
+
+
+def test_p_copy_and_fullpel_shift_exact():
+    es = pure.mpeg1_encode_ip(_colbands([80, 120, 200]), [("copy",), ("shift", -16)])
+    d = pure.decode_mpeg1(es)
+    assert d is not None and d["n_frames"] == 3
+    m0 = (80 + 120 + 200) / 3
+    assert d["frame_means"] == [m0, m0, (80 + 80 + 120) / 3]
+
+
+def test_p_halfpel_rounded_average():
+    """Odd half-pel vector: every sample is the spec's rounded average
+    (a+b+1)>>1 of horizontal neighbours — checked against a numpy
+    reference of exactly that arithmetic."""
+    vals = [80, 121, 200]
+    es = pure.mpeg1_encode_ip(_colbands(vals), [("halfpel", -1)])
+    d = pure.decode_mpeg1(es)
+    ref = np.array(_colbands(vals), dtype=np.int64)
+    exp = ref.copy()
+    for c in (1, 2):
+        x0 = 16 * c
+        exp[:, x0] = (ref[:, x0 - 1] + ref[:, x0] + 1) >> 1
+    assert d is not None and d["frame_means"][1] == float(exp.mean())
+
+
+def test_p_residual_nonintra_dequant():
+    """No-MC coded macroblocks with a DC-only escape residual: decoded
+    mean equals ref + the signed-IDCT of the non-intra dequant value
+    ((2L+1)·qs·16)>>4, oddified — uniform across the block."""
+    vals = [80, 121, 200]
+    ref = np.array(_colbands(vals), dtype=np.int64)
+    for level, qs in ((5, 8), (-3, 8), (40, 3)):
+        es = pure.mpeg1_encode_ip(_colbands(vals), [("residual", level)], qs=qs)
+        d = pure.decode_mpeg1(es)
+        c = ((2 * abs(level) + 1) * qs * 16) >> 4
+        if c and not (c & 1):
+            c -= 1
+        if level < 0:
+            c = -c
+        zz = np.zeros((1, 64), dtype=np.int64)
+        zz[0, 0] = c
+        v = pure._mpeg_idct_signed(zz)[0]
+        assert v.min() == v.max()  # DC-only residual is uniform
+        exp = float(np.clip(ref + int(v[0, 0]), 0, 255).mean())
+        assert d is not None and d["frame_means"][1] == exp, (level, qs)
+
+
+def test_p_chain_accumulates():
+    """P-after-P: each shift takes the PREVIOUS decoded frame, so two
+    -16 shifts smear the left band across two columns."""
+    es = pure.mpeg1_encode_ip(
+        _colbands([30, 90, 210]), [("shift", -16), ("shift", -16)]
+    )
+    d = pure.decode_mpeg1(es)
+    assert d is not None
+    assert d["frame_means"][1] == (30 + 30 + 90) / 3
+    assert d["frame_means"][2] == (30 + 30 + 30) / 3
+
+
+def test_p_meta_subset_keys():
+    ip = pure.mpeg1_encode_ip(_colbands([10, 20, 30]), [("copy",)])
+    m = pure._parse_mpeg_meta(ip)
+    assert m["mpeg:picture_types"] == "I,P"
+    assert m["mpeg:i_subset"] == "0"
+    assert m["mpeg:ip_subset"] == "1"
+    i_only = pure.mpeg1_encode(_solid(9))
+    mi = pure._parse_mpeg_meta(i_only)
+    assert mi["mpeg:i_subset"] == "1" and mi["mpeg:ip_subset"] == "1"
+    b = _flip_picture_type(pure.mpeg1_encode(_solid(9, n=2)), 3)
+    mb = pure._parse_mpeg_meta(b)
+    assert mb["mpeg:ip_subset"] == "0"
+
+
+def test_p_first_picture_must_be_intra():
+    es = pure.mpeg1_encode_ip(_colbands([10, 20, 30]), [("copy",)])
+    # flip the I picture to P: stream then opens on a reference-less P
+    flipped = _flip_picture_type(es, 2)
+    assert pure.decode_mpeg1(flipped) is None
+
+
+def test_p_out_of_bounds_vector_rejected():
+    """A +16 full-pel shift on the RIGHTMOST macroblock would read past
+    the frame edge — encode it raw and expect a clean None."""
+    first = _colbands([50, 60, 70])
+    es = bytearray(pure.mpeg1_encode_ip(first, [("shift", -16)]))
+    # re-encode with an illegal +15 shift on every non-col0 MB instead:
+    bad = pure.mpeg1_encode_ip(first, [("shift", 15)])
+    assert pure.decode_mpeg1(bad) is None
+
+
+def test_p_frame_cap_gates_subset():
+    es = pure.mpeg1_encode_ip(
+        _colbands([10, 20, 30]),
+        [("copy",)] * (pure.MPEG_MAX_DECODE_FRAMES + 1),
+    )
+    assert pure.decode_mpeg1(es) is None
+    assert pure._parse_mpeg_meta(es)["mpeg:ip_subset"] == "0"
+
+
+def test_p_fuzz_never_raises():
+    import random
+
+    rnd = random.Random(612)
+    seed = pure.mpeg1_encode_ip(
+        _colbands([80, 120, 200]), [("copy",), ("shift", -16), ("residual", 5)]
+    )
+    for _ in range(300):
+        b = bytearray(seed)
+        for _ in range(rnd.randint(1, 8)):
+            b[rnd.randrange(len(b))] = rnd.randrange(256)
+        pure.decode_mpeg1(bytes(b))  # must not raise
+        pure._parse_mpeg_meta(bytes(b))
+    for cut in range(0, len(seed), 11):
+        pure.decode_mpeg1(seed[:cut])
+        pure._parse_mpeg_meta(seed[:cut])
+
+
+def test_stage_decodes_ip_stream(spark):
+    from fa_spark.stages.multimodal import extract_media_features
+
+    es = pure.mpeg1_encode_ip(_colbands([30, 51, 72]), [("copy",), ("shift", -16)])
+    df = spark.createDataFrame(
+        [("ip", bytearray(es))], "media_id string, content binary"
+    )
+    row = extract_media_features(df, mode="describe").collect()[0]
+    assert row["decode_status"] == "decoded"
+    assert row["feature"][0] == 3.0
+    assert row["feature"][6] == 51.0  # I mean
+    assert row["feature"][7] == 51.0  # copy
+    assert row["feature"][8] == 37.0  # shift: (30+30+51)/3
