@@ -1312,6 +1312,216 @@ def process_model_output(text: str, mode: str = "describe") -> dict:
 
 
 # ---------------------------------------------------------------------------
+# 8b. Web structured data (round 6): JSON-LD blocks, robots.txt crawl
+# policy (RFC 9309 longest-match with * and $ wildcards), RSS 2.0 /
+# Atom feeds, XML sitemaps. The Common-Crawl-pipeline companions to the
+# main-content extractor — the reference reads pages through the same
+# single-analyzer surface (/root/reference/src/core/analyzer.py) and
+# leaves structured data to downstream tools; here they are first-class
+# bounded parsers (regex block scans in the repo's HTML-parser style —
+# hostile input must never raise, only return empty).
+# ---------------------------------------------------------------------------
+
+_JSONLD_RE = re.compile(
+    r"<script[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>(.*?)</script",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def extract_jsonld(html: str, max_blocks: int = 16) -> list[dict]:
+    """All application/ld+json payloads that parse to objects (arrays
+    are flattened), in document order, capped at ``max_blocks``."""
+    out: list[dict] = []
+    if not html:
+        return out
+    for m in _JSONLD_RE.finditer(html):
+        if len(out) >= max_blocks:
+            break
+        body = m.group(1).strip()
+        if not body or len(body) > 1 << 20:
+            continue
+        try:
+            obj = json.loads(body)
+        except ValueError:
+            obj = extract_json_from_text(body, ("@type", "@context"))
+        if isinstance(obj, dict):
+            out.append(obj)
+        elif isinstance(obj, list):
+            out.extend(o for o in obj if isinstance(o, dict))
+    return out[:max_blocks]
+
+
+ROBOTS_MAX_LINES = 4096
+
+
+def parse_robots(text: str) -> dict[str, list[tuple[str, str]]]:
+    """robots.txt -> {user_agent_lower: [(kind, path_pattern), ...]} in
+    file order. Consecutive User-agent lines share the following rule
+    block (RFC 9309 group semantics); unknown directives are skipped."""
+    groups: dict[str, list[tuple[str, str]]] = {}
+    current: list[str] = []
+    last_was_agent = False
+    for raw in text.splitlines()[:ROBOTS_MAX_LINES]:
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not last_was_agent:
+                current = []
+            agent = val.lower()
+            groups.setdefault(agent, [])
+            current.append(agent)
+            last_was_agent = True
+        elif key in ("allow", "disallow"):
+            last_was_agent = False
+            for a in current:
+                groups[a].append((key, val))
+        else:
+            last_was_agent = False
+    return groups
+
+
+def _robots_pattern_match(path: str, pat: str) -> bool:
+    """REP path match: literal prefix, '*' wildcard, '$' end anchor."""
+    if "*" not in pat and not pat.endswith("$"):
+        return path.startswith(pat)
+    anchored = pat.endswith("$")
+    if anchored:
+        pat = pat[:-1]
+    parts = [re.escape(p) for p in pat.split("*")]
+    rx = ".*".join(parts) + ("$" if anchored else "")
+    try:
+        return re.match(rx, path) is not None
+    except re.error:
+        return False
+
+
+def robots_allowed(
+    groups: dict, path: str, agent: str = "*"
+) -> bool:
+    """RFC 9309 evaluation: the group for ``agent`` (falling back to
+    '*'), longest matching pattern wins, Allow wins length ties, no
+    matching rule means allowed. Empty patterns never match."""
+    rules = groups.get(agent.lower())
+    if rules is None:
+        rules = groups.get("*", [])
+    best_len = -1
+    allowed = True
+    for kind, pat in rules:
+        if not pat:
+            continue
+        if _robots_pattern_match(path, pat):
+            ln = len(pat)
+            if ln > best_len or (ln == best_len and kind == "allow"):
+                best_len = ln
+                allowed = kind == "allow"
+    return allowed
+
+
+_FEED_ITEM_RE = re.compile(
+    r"<(item|entry)[\s>](.*?)</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_FEED_FIELD_RES = {
+    "title": re.compile(r"<title[^>]*>(.*?)</title", re.IGNORECASE | re.DOTALL),
+    "link": re.compile(
+        r"<link[^>]*href\s*=\s*[\"']([^\"']*)[\"']|<link[^>]*>([^<]*)</link",
+        re.IGNORECASE | re.DOTALL,
+    ),
+    "published": re.compile(
+        r"<(?:pubDate|published|updated)[^>]*>(.*?)</",
+        re.IGNORECASE | re.DOTALL,
+    ),
+}
+_CDATA_RE = re.compile(r"<!\[CDATA\[(.*?)\]\]>", re.DOTALL)
+
+
+def _feed_text(s: str) -> str:
+    s = _CDATA_RE.sub(lambda m: m.group(1), s)
+    return _norm_ws(unescape(s))
+
+
+def parse_feed(xml: str, max_items: int = 256) -> dict | None:
+    """RSS 2.0 / Atom feed -> {kind, title, items:[{title, link,
+    published}]}; None when the payload has neither an <rss>/<channel>
+    nor an Atom <feed> envelope."""
+    if not xml or len(xml) > 1 << 24:
+        return None
+    head = xml[:4096].lower()
+    if "<rss" in head or "<channel" in head:
+        kind = "rss"
+    elif "<feed" in head:
+        kind = "atom"
+    else:
+        return None
+    items = []
+    first_item_at = None
+    for m in _FEED_ITEM_RE.finditer(xml):
+        if first_item_at is None:
+            first_item_at = m.start()
+        if len(items) >= max_items:
+            break
+        body = m.group(2)
+        it = {}
+        tm = _FEED_FIELD_RES["title"].search(body)
+        it["title"] = _feed_text(tm.group(1)) if tm else ""
+        lm = _FEED_FIELD_RES["link"].search(body)
+        it["link"] = (lm.group(1) or lm.group(2) or "").strip() if lm else ""
+        pm = _FEED_FIELD_RES["published"].search(body)
+        it["published"] = _feed_text(pm.group(1)) if pm else ""
+        items.append(it)
+    # feed-level title: first <title> BEFORE the first item
+    scope = xml if first_item_at is None else xml[:first_item_at]
+    tm = _FEED_FIELD_RES["title"].search(scope)
+    return {
+        "kind": kind,
+        "title": _feed_text(tm.group(1)) if tm else "",
+        "items": items,
+    }
+
+
+_SITEMAP_ENTRY_RE = re.compile(
+    r"<(url|sitemap)[\s>](.*?)</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_SITEMAP_LOC_RE = re.compile(r"<loc[^>]*>(.*?)</loc", re.IGNORECASE | re.DOTALL)
+_SITEMAP_LASTMOD_RE = re.compile(
+    r"<lastmod[^>]*>(.*?)</lastmod", re.IGNORECASE | re.DOTALL
+)
+
+
+def parse_sitemap(xml: str, max_urls: int = 4096) -> dict | None:
+    """XML sitemap -> {kind: 'urlset'|'sitemapindex', urls:[{loc,
+    lastmod}]}; None without a sitemap envelope."""
+    if not xml or len(xml) > 1 << 24:
+        return None
+    head = xml[:4096].lower()
+    if "<sitemapindex" in head:
+        kind = "sitemapindex"
+    elif "<urlset" in head:
+        kind = "urlset"
+    else:
+        return None
+    urls = []
+    for m in _SITEMAP_ENTRY_RE.finditer(xml):
+        if len(urls) >= max_urls:
+            break
+        body = m.group(2)
+        lm = _SITEMAP_LOC_RE.search(body)
+        if not lm:
+            continue
+        mm = _SITEMAP_LASTMOD_RE.search(body)
+        urls.append(
+            {
+                "loc": _feed_text(lm.group(1)),
+                "lastmod": _feed_text(mm.group(1)) if mm else "",
+            }
+        )
+    return {"kind": kind, "urls": urls}
+
+
+# ---------------------------------------------------------------------------
 # 9. Hashing / dedup primitives (reference J1: rdfind replacement)
 # ---------------------------------------------------------------------------
 

@@ -17,7 +17,14 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from fa_spark import pure
 from fa_spark.stages import similarity
@@ -3031,6 +3038,328 @@ FROM v
 """
 
 
+# -- web structured data (round 6): the CC-pipeline companions to the
+# -- main-content extractor — JSON-LD, robots.txt policy, feeds, sitemaps
+
+_JSONLD_TYPES = ("Article", "Product", "Person")
+
+_jsonld_schema = StructType(
+    [
+        StructField("n_blocks", IntegerType()),
+        StructField("first_type", StringType()),
+        StructField("first_name", StringType()),
+    ]
+)
+
+
+def _jsonld_parse_batch(html: pd.Series) -> pd.DataFrame:
+    rows = []
+    for s in html:
+        blocks = pure.extract_jsonld(s or "")
+        rows.append(
+            {
+                "n_blocks": len(blocks),
+                "first_type": str(blocks[0].get("@type", "")) if blocks else "",
+                "first_name": str(blocks[0].get("name", "")) if blocks else "",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _jsonld_page_batch(doc_id: pd.Series) -> pd.Series:
+    """Synthetic page with 1+doc_id%3 JSON-LD blocks; block i carries
+    @type _JSONLD_TYPES[(doc_id+i)%3] and name 'item <doc_id>-<i>'."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        blocks = "".join(
+            '<script type="application/ld+json">'
+            f'{{"@type": "{_JSONLD_TYPES[(did + i) % 3]}", '
+            f'"name": "item {did}-{i}"}}</script>'
+            for i in range(1 + did % 3)
+        )
+        out.append(f"<html><head><title>t{did}</title>{blocks}</head></html>")
+    return pd.Series(out)
+
+
+jsonld_page_udf = F.pandas_udf(_jsonld_page_batch, StringType())
+jsonld_parse_udf = F.pandas_udf(_jsonld_parse_batch, _jsonld_schema)
+
+
+def q_jsonld_extract(spark, sf_dir):
+    """JSON-LD structured-data extraction (round 6, pure.extract_jsonld):
+    script-block scan + the repo's repair-capable JSON parser, closed-form
+    checked on block count and the first block's @type/name."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    parsed = docs.select(
+        "doc_id", jsonld_parse_udf(jsonld_page_udf("doc_id")).alias("ld")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("ld.n_blocks").alias("n_blocks"),
+        F.col("ld.first_type").alias("first_type"),
+        F.col("ld.first_name").alias("first_name"),
+    )
+
+
+SQL_JSONLD_EXTRACT = """
+SELECT doc_id,
+       CAST(1 + doc_id % 3 AS INT) AS n_blocks,
+       CASE doc_id % 3 WHEN 0 THEN 'Article' WHEN 1 THEN 'Product'
+            ELSE 'Person' END AS first_type,
+       'item ' || CAST(doc_id AS VARCHAR) || '-0' AS first_name
+FROM documents
+"""
+
+
+_robots_schema = StructType(
+    [
+        StructField("n_rules", IntegerType()),
+        StructField("allowed", BooleanType()),
+    ]
+)
+
+
+def _robots_eval_batch(txt: pd.Series, path: pd.Series) -> pd.DataFrame:
+    rows = []
+    for t, p in zip(txt, path):
+        g = pure.parse_robots(t or "")
+        rows.append(
+            {
+                "n_rules": sum(len(v) for v in g.values()),
+                "allowed": pure.robots_allowed(g, p or "/"),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _robots_fixture_batch(doc_id: pd.Series) -> pd.DataFrame:
+    """Per-doc robots.txt (allow path parametrized by doc_id%5) and a
+    probe path cycling allow/deny shapes by doc_id%4: no-match,
+    prefix-deny, longer-allow-override, $-anchored wildcard deny."""
+    rows = []
+    for did in doc_id:
+        did = int(did)
+        k = did % 5
+        txt = (
+            "User-agent: *\nDisallow: /private/\n"
+            f"Allow: /private/pub{k}/\nDisallow: /*.zip$\n"
+        )
+        path = [
+            "/public/x",
+            "/private/x",
+            f"/private/pub{k}/x",
+            "/files/a.zip",
+        ][did % 4]
+        rows.append({"txt": txt, "path": path})
+    return pd.DataFrame(rows)
+
+
+robots_fixture_udf = F.pandas_udf(
+    _robots_fixture_batch,
+    StructType(
+        [StructField("txt", StringType()), StructField("path", StringType())]
+    ),
+)
+robots_eval_udf = F.pandas_udf(_robots_eval_batch, _robots_schema)
+
+
+def q_robots_eval(spark, sf_dir):
+    """robots.txt crawl-policy evaluation (round 6, pure.parse_robots /
+    robots_allowed — RFC 9309 longest-match with wildcard and anchor
+    support), closed-form checked on rule count and the verdict for
+    four probe shapes."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    fx = docs.select("doc_id", robots_fixture_udf("doc_id").alias("fx"))
+    ev = fx.select(
+        "doc_id",
+        F.col("fx.path").alias("path"),
+        robots_eval_udf(F.col("fx.txt"), F.col("fx.path")).alias("ev"),
+    )
+    return ev.select(
+        "doc_id",
+        "path",
+        F.col("ev.n_rules").alias("n_rules"),
+        F.col("ev.allowed").alias("allowed"),
+    )
+
+
+SQL_ROBOTS_EVAL = """
+SELECT doc_id,
+       CASE doc_id % 4
+            WHEN 0 THEN '/public/x'
+            WHEN 1 THEN '/private/x'
+            WHEN 2 THEN '/private/pub' || CAST(doc_id % 5 AS VARCHAR) || '/x'
+            ELSE '/files/a.zip' END AS path,
+       CAST(3 AS INT) AS n_rules,
+       doc_id % 4 IN (0, 2) AS allowed
+FROM documents
+"""
+
+
+_feed_schema = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("feed_title", StringType()),
+        StructField("n_items", IntegerType()),
+        StructField("first_title", StringType()),
+    ]
+)
+
+
+def _feed_parse_batch(xml: pd.Series) -> pd.DataFrame:
+    rows = []
+    for s in xml:
+        f = pure.parse_feed(s or "")
+        rows.append(
+            {
+                "kind": f["kind"] if f else "",
+                "feed_title": f["title"] if f else "",
+                "n_items": len(f["items"]) if f else 0,
+                "first_title": f["items"][0]["title"] if f and f["items"] else "",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _feed_fixture_batch(doc_id: pd.Series) -> pd.Series:
+    """RSS for even docs, Atom for odd; 1+doc_id%5 items titled
+    'post <doc_id>-<i>'."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        n = 1 + did % 5
+        if did % 2 == 0:
+            items = "".join(
+                f"<item><title>post {did}-{i}</title>"
+                f"<link>https://ex.com/{did}/{i}</link>"
+                f"<pubDate>Thu, 0{1 + i} Jan 2026</pubDate></item>"
+                for i in range(n)
+            )
+            out.append(
+                f"<rss><channel><title>feed {did}</title>{items}"
+                "</channel></rss>"
+            )
+        else:
+            entries = "".join(
+                f"<entry><title>post {did}-{i}</title>"
+                f'<link href="https://ex.com/{did}/{i}"/>'
+                f"<updated>2026-01-0{1 + i}</updated></entry>"
+                for i in range(n)
+            )
+            out.append(
+                '<feed xmlns="http://www.w3.org/2005/Atom">'
+                f"<title>feed {did}</title>{entries}</feed>"
+            )
+    return pd.Series(out)
+
+
+feed_fixture_udf = F.pandas_udf(_feed_fixture_batch, StringType())
+feed_parse_udf = F.pandas_udf(_feed_parse_batch, _feed_schema)
+
+
+def q_feed_items(spark, sf_dir):
+    """RSS/Atom feed parsing (round 6, pure.parse_feed — CDATA, entity,
+    and attribute-vs-text link forms), closed-form checked on kind,
+    feed title, item count, and the first item title."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    parsed = docs.select(
+        "doc_id", feed_parse_udf(feed_fixture_udf("doc_id")).alias("fd")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("fd.kind").alias("kind"),
+        F.col("fd.feed_title").alias("feed_title"),
+        F.col("fd.n_items").alias("n_items"),
+        F.col("fd.first_title").alias("first_title"),
+    )
+
+
+SQL_FEED_ITEMS = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       'feed ' || CAST(doc_id AS VARCHAR) AS feed_title,
+       CAST(1 + doc_id % 5 AS INT) AS n_items,
+       'post ' || CAST(doc_id AS VARCHAR) || '-0' AS first_title
+FROM documents
+"""
+
+
+_sitemap_schema = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("n_urls", IntegerType()),
+        StructField("first_loc", StringType()),
+        StructField("max_lastmod", StringType()),
+    ]
+)
+
+
+def _sitemap_parse_batch(xml: pd.Series) -> pd.DataFrame:
+    rows = []
+    for s in xml:
+        sm = pure.parse_sitemap(s or "")
+        urls = sm["urls"] if sm else []
+        rows.append(
+            {
+                "kind": sm["kind"] if sm else "",
+                "n_urls": len(urls),
+                "first_loc": urls[0]["loc"] if urls else "",
+                "max_lastmod": max((u["lastmod"] for u in urls), default=""),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _sitemap_fixture_batch(doc_id: pd.Series) -> pd.Series:
+    """urlset with 1+doc_id%6 urls; lastmod day i+1 so the max is the
+    url count."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        n = 1 + did % 6
+        urls = "".join(
+            f"<url><loc>https://ex.com/{did}/{i}</loc>"
+            f"<lastmod>2026-01-0{1 + i}</lastmod></url>"
+            for i in range(n)
+        )
+        out.append(
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{urls}</urlset>"
+        )
+    return pd.Series(out)
+
+
+sitemap_fixture_udf = F.pandas_udf(_sitemap_fixture_batch, StringType())
+sitemap_parse_udf = F.pandas_udf(_sitemap_parse_batch, _sitemap_schema)
+
+
+def q_sitemap_urls(spark, sf_dir):
+    """XML sitemap parsing (round 6, pure.parse_sitemap), closed-form
+    checked on kind, URL count, first loc, and the max lastmod."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    parsed = docs.select(
+        "doc_id", sitemap_parse_udf(sitemap_fixture_udf("doc_id")).alias("sm")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("sm.kind").alias("kind"),
+        F.col("sm.n_urls").alias("n_urls"),
+        F.col("sm.first_loc").alias("first_loc"),
+        F.col("sm.max_lastmod").alias("max_lastmod"),
+    )
+
+
+SQL_SITEMAP_URLS = """
+SELECT doc_id,
+       'urlset' AS kind,
+       CAST(1 + doc_id % 6 AS INT) AS n_urls,
+       'https://ex.com/' || CAST(doc_id AS VARCHAR) || '/0' AS first_loc,
+       '2026-01-0' || CAST(1 + doc_id % 6 AS VARCHAR) AS max_lastmod
+FROM documents
+"""
+
+
 VID_SIDE = 16
 VID_FPS = 25
 
@@ -3879,6 +4208,10 @@ REGISTRY: dict[str, tuple] = {
     "mpeg1_frames": (q_mpeg1_frames, SQL_MPEG1_FRAMES),
     "mpeg_ip_frames": (q_mpeg_ip_frames, SQL_MPEG_IP_FRAMES),
     "wav_codec_features": (q_wav_codec_features, SQL_WAV_CODEC_FEATURES),
+    "jsonld_extract": (q_jsonld_extract, SQL_JSONLD_EXTRACT),
+    "robots_eval": (q_robots_eval, SQL_ROBOTS_EVAL),
+    "feed_items": (q_feed_items, SQL_FEED_ITEMS),
+    "sitemap_urls": (q_sitemap_urls, SQL_SITEMAP_URLS),
     # -- last official green r04; rotated back into the window --
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),

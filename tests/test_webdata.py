@@ -1,0 +1,158 @@
+"""Web structured data (round 6): JSON-LD, robots.txt, feeds, sitemaps.
+
+The CC-pipeline companions to the main-content extractor; parsers must
+be total over hostile input (return empty, never raise).
+"""
+
+import random
+
+from fa_spark import pure
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD
+# ---------------------------------------------------------------------------
+
+
+def test_jsonld_blocks_arrays_and_repair():
+    html = (
+        '<script type="application/ld+json">{"@type": "Article", "name": "a"}'
+        "</script>"
+        '<script type="application/ld+json">[{"@type": "Person"}, 42]</script>'
+        '<script type="application/ld+json">{"@type": "Broken",</script>'
+        '<script type="text/javascript">{"@type": "NotLd"}</script>'
+    )
+    got = pure.extract_jsonld(html)
+    types = [b.get("@type") for b in got]
+    assert types[:2] == ["Article", "Person"]
+    assert "NotLd" not in types
+
+
+def test_jsonld_cap_and_empty():
+    many = '<script type="application/ld+json">{"a": 1}</script>' * 40
+    assert len(pure.extract_jsonld(many, max_blocks=16)) == 16
+    assert pure.extract_jsonld("") == []
+    assert pure.extract_jsonld("<html>no scripts</html>") == []
+
+
+# ---------------------------------------------------------------------------
+# robots.txt
+# ---------------------------------------------------------------------------
+
+ROBOTS = """# comment
+User-agent: *
+Disallow: /private/
+Allow: /private/pub/
+Disallow: /*.zip$
+Crawl-delay: 10
+
+User-agent: botA
+User-agent: botB
+Disallow: /
+"""
+
+
+def test_robots_longest_match_and_wildcards():
+    g = pure.parse_robots(ROBOTS)
+    cases = [
+        ("/", True),
+        ("/public", True),
+        ("/private/x", False),
+        ("/private/pub/x", True),  # longer Allow overrides
+        ("/a/b/c.zip", False),  # anchored wildcard
+        ("/a/b/c.zipper", True),  # $ anchor must not match mid-path
+    ]
+    for path, exp in cases:
+        assert pure.robots_allowed(g, path) == exp, path
+
+
+def test_robots_group_sharing_and_agent_fallback():
+    g = pure.parse_robots(ROBOTS)
+    # consecutive User-agent lines share one rule block
+    assert pure.robots_allowed(g, "/anything", "botA") is False
+    assert pure.robots_allowed(g, "/anything", "BOTB") is False
+    # unknown agent falls back to *
+    assert pure.robots_allowed(g, "/private/x", "other") is False
+
+
+def test_robots_allow_wins_length_tie():
+    g = pure.parse_robots("User-agent: *\nDisallow: /d/\nAllow: /d/\n")
+    assert pure.robots_allowed(g, "/d/x") is True
+
+
+def test_robots_empty_and_garbage_total():
+    assert pure.robots_allowed(pure.parse_robots(""), "/x") is True
+    garbage = "\x00\xff binary \n no colons \n :::\nDisallow /oops\n"
+    g = pure.parse_robots(garbage)
+    assert pure.robots_allowed(g, "/x") is True
+    # hostile wildcard patterns must not raise
+    g2 = pure.parse_robots("User-agent: *\nDisallow: /" + "*" * 500 + "$\n")
+    pure.robots_allowed(g2, "/" + "a" * 200)
+
+
+# ---------------------------------------------------------------------------
+# feeds + sitemaps
+# ---------------------------------------------------------------------------
+
+
+def test_feed_rss_cdata_entities_and_atom_links():
+    rss = (
+        "<rss><channel><title>T &amp; U</title>"
+        "<item><title><![CDATA[one <b>]]></title><link>http://a/1</link>"
+        "<pubDate>Wed, 01 Jan 2026</pubDate></item>"
+        "<item><title>two</title></item></channel></rss>"
+    )
+    f = pure.parse_feed(rss)
+    assert f["kind"] == "rss" and f["title"] == "T & U"
+    assert [i["title"] for i in f["items"]] == ["one <b>", "two"]
+    assert f["items"][0]["link"] == "http://a/1"
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>AF</title>'
+        '<entry><title>e1</title><link href="http://b/1"/>'
+        "<updated>2026-01-02</updated></entry></feed>"
+    )
+    a = pure.parse_feed(atom)
+    assert a["kind"] == "atom" and a["items"][0]["link"] == "http://b/1"
+    assert a["title"] == "AF"  # feed title, not the entry title
+
+
+def test_feed_non_feed_and_cap():
+    assert pure.parse_feed("<html>nope</html>") is None
+    assert pure.parse_feed("") is None
+    many = "<rss><channel>" + "<item><title>x</title></item>" * 300
+    assert len(pure.parse_feed(many, max_items=256)["items"]) == 256
+
+
+def test_sitemap_urlset_and_index():
+    sm = pure.parse_sitemap(
+        "<urlset><url><loc>http://a/1</loc><lastmod>2026-01-03</lastmod>"
+        "</url><url><loc>http://a/2</loc></url></urlset>"
+    )
+    assert sm["kind"] == "urlset" and len(sm["urls"]) == 2
+    assert sm["urls"][0]["lastmod"] == "2026-01-03"
+    idx = pure.parse_sitemap(
+        "<sitemapindex><sitemap><loc>http://a/s1.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    assert idx["kind"] == "sitemapindex" and len(idx["urls"]) == 1
+    assert pure.parse_sitemap("<notasitemap/>") is None
+
+
+def test_webdata_fuzz_never_raises():
+    rnd = random.Random(613)
+    seeds = [
+        ROBOTS,
+        "<rss><channel><item><title>t</title></item></channel></rss>",
+        "<urlset><url><loc>http://a</loc></url></urlset>",
+        '<script type="application/ld+json">{"@type": "A"}</script>',
+    ]
+    for seed in seeds:
+        for _ in range(80):
+            b = list(seed)
+            for _ in range(rnd.randint(1, 6)):
+                b[rnd.randrange(len(b))] = chr(rnd.randrange(1, 0x500))
+            s = "".join(b)
+            pure.extract_jsonld(s)
+            pure.robots_allowed(pure.parse_robots(s), "/x")
+            pure.parse_feed(s)
+            pure.parse_sitemap(s)
