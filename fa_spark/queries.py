@@ -3360,6 +3360,48 @@ FROM documents
 """
 
 
+PACK_CTX = 128
+PACK_SHARDS = 8
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Sequence packing for pre-training batches (round 6,
+    stages/pack.pack_sequences): concat-then-split docs into fixed
+    PACK_CTX-token contexts within md5-balanced shards. The oracle
+    replays the identical per-shard prefix sum with a SQL window —
+    md5 bucketing and doc_id order are engine-identical, so every
+    (shard, seq_id, seq_offset, n_seqs_spanned) slot matches exactly."""
+    from fa_spark.stages.pack import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, id_col="doc_id", text_col="text",
+        ctx_len=PACK_CTX, n_shards=PACK_SHARDS,
+    )
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH d AS (
+  SELECT doc_id,
+         LEN(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         CAST(({_HEX4}) % {PACK_SHARDS} AS INT) AS shard
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start
+  FROM d)
+SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(FLOOR(tok_start / {PACK_CTX}) AS BIGINT) AS seq_id,
+       CAST(tok_start % {PACK_CTX} AS INT) AS seq_offset,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE FLOOR((tok_start + n_tokens - 1) / {PACK_CTX})
+                      - FLOOR(tok_start / {PACK_CTX}) + 1 END AS INT)
+         AS n_seqs_spanned
+FROM c
+"""
+
+
 VID_SIDE = 16
 VID_FPS = 25
 
@@ -4212,6 +4254,7 @@ REGISTRY: dict[str, tuple] = {
     "robots_eval": (q_robots_eval, SQL_ROBOTS_EVAL),
     "feed_items": (q_feed_items, SQL_FEED_ITEMS),
     "sitemap_urls": (q_sitemap_urls, SQL_SITEMAP_URLS),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     # -- last official green r04; rotated back into the window --
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
