@@ -3360,6 +3360,62 @@ FROM documents
 """
 
 
+BM25_QUERIES = [
+    ("q_spark_window", ["spark", "window"]),
+    ("q_customer_fast", ["customer", "join", "fast"]),
+    ("q_vector", ["vector"]),
+]
+BM25_K = 10
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (round 6, stages/retrieval.bm25_topk):
+    top-k docs per query with the Lucene idf variant. The oracle
+    replays the identical formula — same tokenization, same rounded
+    tie-break — with single-window ranking (the two-phase salted
+    top-k is semantically exact, so the plans agree row-for-row)."""
+    from fa_spark.stages.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERIES, k=BM25_K)
+
+
+_BM25_QT_SQL = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES for t in sorted(set(terms))
+)
+
+SQL_BM25_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+qt(query_id, t) AS (VALUES {_BM25_QT_SQL}),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM toks
+  WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, t),
+dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         ROUND(SUM(LN(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))),
+               6) AS score_r
+  FROM tf
+  JOIN qt USING (t) JOIN dft USING (t) JOIN dl USING (doc_id), stats
+  GROUP BY qt.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_r DESC, doc_id) AS rank,
+         score_r
+  FROM scored)
+SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
+       ROUND(score_r, 3) AS score
+FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
 PACK_CTX = 128
 PACK_SHARDS = 8
 
@@ -4255,6 +4311,7 @@ REGISTRY: dict[str, tuple] = {
     "feed_items": (q_feed_items, SQL_FEED_ITEMS),
     "sitemap_urls": (q_sitemap_urls, SQL_SITEMAP_URLS),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     # -- last official green r04; rotated back into the window --
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
