@@ -1521,6 +1521,65 @@ def parse_sitemap(xml: str, max_urls: int = 4096) -> dict | None:
     return {"kind": kind, "urls": urls}
 
 
+_META_TAG_RE = re.compile(r"<meta\s([^>]{1,2048}?)/?>", re.IGNORECASE | re.DOTALL)
+_LINK_TAG_RE = re.compile(r"<link\s([^>]{1,2048}?)/?>", re.IGNORECASE | re.DOTALL)
+_TITLE_TAG_RE = re.compile(
+    r"<title[^>]*>(.{0,2048}?)</title", re.IGNORECASE | re.DOTALL
+)
+_HTML_ATTR_RE = re.compile(
+    r"([a-zA-Z][a-zA-Z0-9:_-]{0,63})\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))"
+)
+PAGE_META_MAX_TAGS = 256
+
+
+def _tag_attrs(body: str) -> dict[str, str]:
+    """Attribute dict of one tag body (first occurrence wins, keys
+    lowercased, quoted or bare values)."""
+    out: dict[str, str] = {}
+    for m in _HTML_ATTR_RE.finditer(body):
+        key = m.group(1).lower()
+        if key not in out:
+            out[key] = m.group(2) or m.group(3) or m.group(4) or ""
+    return out
+
+
+def extract_page_meta(html: str) -> dict:
+    """Page-level metadata the head carries: <title>, the canonical
+    link, OpenGraph properties (og:*), and named <meta> entries
+    (description/keywords/robots/...). The flat-regex scan is total
+    over hostile input (per-tag body capped, tag count capped) — the
+    standard CC-pipeline companion to main-content extraction: the
+    canonical URL feeds URL dedup, og:/description feed doc metadata.
+    Reference surface: the HTML analyzers in
+    /root/reference/src/core/analyzer.py stop at content extraction;
+    head metadata is beyond-parity."""
+    out: dict = {"title": "", "canonical": "", "og": {}, "meta": {}}
+    if not html:
+        return out
+    tm = _TITLE_TAG_RE.search(html)
+    if tm:
+        out["title"] = _norm_ws(unescape(tm.group(1)))
+    for m in _LINK_TAG_RE.finditer(html):
+        attrs = _tag_attrs(m.group(1))
+        if attrs.get("rel", "").lower() == "canonical" and attrs.get("href"):
+            out["canonical"] = unescape(attrs["href"]).strip()
+            break
+    n = 0
+    for m in _META_TAG_RE.finditer(html):
+        if n >= PAGE_META_MAX_TAGS:
+            break
+        n += 1
+        attrs = _tag_attrs(m.group(1))
+        content = unescape(attrs.get("content", ""))
+        prop = attrs.get("property", "").lower()
+        name = attrs.get("name", "").lower()
+        if prop.startswith("og:") and content:
+            out["og"].setdefault(prop[3:], content)
+        elif name and content:
+            out["meta"].setdefault(name, content)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # 9. Hashing / dedup primitives (reference J1: rdfind replacement)
 # ---------------------------------------------------------------------------
@@ -7967,6 +8026,21 @@ def _mp3_requantize(is_, g, sf, sfb_long):
     return xr
 
 
+def _mp_synthesis(S, fifo, ch):
+    """32-band polyphase synthesis over (T, 32) subband time slots —
+    the shared filterbank tail: Layer III granules (18 slots, after
+    IMDCT/OLA) and Layer II frames (36 slots, straight from
+    requantization) both feed it. Returns T*32 PCM samples; mutates
+    fifo[ch] (the previous slot carried across calls)."""
+    d = _mp3_dsp()
+    P1 = S @ d["syn_a"].T
+    Sprev = _np.vstack([fifo[ch][None, :], S[:-1]])
+    P2 = Sprev @ d["syn_b"].T
+    fifo[ch] = S[-1].copy()
+    w64 = d["w64"]
+    return ((P1 * w64[:32]) + (P2 * w64[32:])).ravel() / 16.0
+
+
 def _mp3_granule_pcm(xr, block_type, tails, fifo, ch):
     """Alias reduction -> IMDCT/OLA -> frequency inversion -> synthesis.
     Returns 576 PCM samples; mutates tails[ch] (32x18) and fifo[ch] (32)."""
@@ -7985,12 +8059,7 @@ def _mp3_granule_pcm(xr, block_type, tails, fifo, ch):
     tails[ch] = ZW[18:, :]
     # frequency inversion: odd time samples of odd subbands
     S[1::2, 1::2] *= -1.0
-    P1 = S @ d["syn_a"].T
-    Sprev = _np.vstack([fifo[ch][None, :], S[:-1]])
-    P2 = Sprev @ d["syn_b"].T
-    fifo[ch] = S[-1].copy()
-    w64 = d["w64"]
-    return ((P1 * w64[:32]) + (P2 * w64[32:])).ravel() / 16.0
+    return _mp_synthesis(S, fifo, ch)
 
 
 def decode_mp3(data: bytes | None) -> dict | None:
@@ -8156,11 +8225,202 @@ def mp3_tone_encode(
     return frame + b"\x00" * (flen - len(frame))
 
 
-# ---------------------------------------------------------------------------
-# 9d. Y4M video codec (round 2: YUV4MPEG2 is a plain-text header + raw
-# frames — real video decode + frame sampling with zero dependencies.
-# Compressed video (mp4/webm) stays stubbed.)
-# ---------------------------------------------------------------------------
+# --- MPEG-1 Layer II (round 6: the mp2 tier — DVB/DAB/VCD audio and the
+# second-most-common raw MPEG audio stream on the web after Layer III).
+# Spec-exact bit allocation (Table B.2a), scfsi/scalefactor parse,
+# grouped + ungrouped requantization [ISO 11172-3 2.4.3.3], then the
+# SAME polyphase synthesis filterbank as Layer III (_mp_synthesis — no
+# IMDCT in Layer II; subband samples feed the matrixing directly).
+# Documented subset: MPEG-1, mono, allocation table B.2a only (48 kHz
+# at 56-192 kbps, 44.1/32 kHz at 56-80 kbps — the table every mono
+# broadcast profile uses); B.2b/c/d selections return None and stay in
+# the honest stubbed tier. Reference surface: the exiftool/binwalk
+# audio envelope (/root/reference/src/core/analyzer.py:140-313); the
+# reference never decodes payloads — this tier is beyond-parity.
+
+# Table B.2a: per-subband allocation-field width and quantization-level
+# list (index 1..len; 0 = subband not transmitted) [ISO 11172-3 B.2a].
+_MP2_Q_A0 = (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+             16383, 32767, 65535)
+_MP2_Q_A3 = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+             8191, 65535)
+_MP2_Q_A11 = (3, 5, 7, 9, 15, 31, 65535)
+_MP2_Q_A23 = (3, 5, 65535)
+_MP2_ALLOC_A = tuple(
+    [(4, _MP2_Q_A0)] * 3 + [(4, _MP2_Q_A3)] * 8
+    + [(3, _MP2_Q_A11)] * 12 + [(2, _MP2_Q_A23)] * 4
+)
+_MP2_SBLIMIT_A = 27
+# nlevels -> (grouped, sample_bits nb, codeword_bits). Grouped classes
+# (3/5/9 levels) pack 3 samples into one base-nlevels codeword.
+_MP2_CLASS = {
+    3: (True, 2, 5), 5: (True, 3, 7), 9: (True, 4, 10),
+}
+for _n in (7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383,
+           32767, 65535):
+    _MP2_CLASS[_n] = (False, (_n + 1).bit_length() - 1, 0)
+# table-A selection: (rate, bitrate_kbps_per_channel) pairs [ISO 2.4.2.6]
+_MP2_TABLE_A = frozenset(
+    [(48000, b) for b in (56, 64, 80, 96, 112, 128, 160, 192)]
+    + [(44100, b) for b in (56, 64, 80)]
+    + [(32000, b) for b in (56, 64, 80)]
+)
+
+
+def _mp2_requant(v: int, nlevels: int, nb: int, grouped: bool) -> float:
+    """s'' = C*(s''' + D) [ISO 2.4.3.3.4]: s''' = v/2^(nb-1) - 1, with
+    C = 2^nb/nlevels and D = 0.5 (grouped) or 2^(1-nb) (ungrouped) —
+    the closed forms Table B.4 tabulates."""
+    c = (1 << nb) / nlevels
+    d = 0.5 if grouped else 2.0 ** (1 - nb)
+    return c * ((v / (1 << (nb - 1)) - 1.0) + d)
+
+
+def decode_mp2(data: bytes | None) -> dict | None:
+    """Real MPEG-1 Layer II decode -> the decode_wav feature dict shape.
+    None on malformed or out-of-subset input (section header above)."""
+    if not data:
+        return None
+    p = _id3v2_size(data)
+    if p + 4 > len(data) or data[p] != 0xFF or (data[p + 1] & 0xE0) != 0xE0:
+        return None
+    try:
+        chunks = []
+        rate = None
+        n_frames = 0
+        n_out = 0
+        fifo = [_np.zeros(32)]
+        while p + 4 <= len(data) and n_frames < MP3_MAX_DECODE_FRAMES:
+            fr = _mp3_frame(data, p)
+            if fr is None:
+                break
+            flen, _samples, f_rate, kbps = fr
+            b1, b3 = data[p + 1], data[p + 3]
+            if (b1 >> 3) & 3 != 3 or 4 - ((b1 >> 1) & 3) != 2:
+                return None  # MPEG-1 Layer II only
+            if (b3 >> 6) & 3 != 3:
+                return None  # mono only (documented subset)
+            if (f_rate, kbps) not in _MP2_TABLE_A:
+                return None  # allocation tables B.2b/c/d out of subset
+            if rate is None:
+                rate = f_rate
+            elif f_rate != rate:
+                return None
+            body = p + 4
+            if not (b1 & 1):
+                body += 2  # CRC present
+            r = _FBitReader(data, body)
+            end_bit = min(p + flen, len(data)) * 8
+            alloc = []
+            for sb in range(_MP2_SBLIMIT_A):
+                nbal, qlist = _MP2_ALLOC_A[sb]
+                a = r.read(nbal)
+                if a > len(qlist):
+                    return None
+                alloc.append(qlist[a - 1] if a else 0)
+            scfsi = [r.read(2) if alloc[sb] else 0
+                     for sb in range(_MP2_SBLIMIT_A)]
+            sf = [[0.0] * 3 for _ in range(_MP2_SBLIMIT_A)]
+            for sb in range(_MP2_SBLIMIT_A):
+                if not alloc[sb]:
+                    continue
+                pattern = {0: (0, 1, 2), 1: (0, 0, 2),
+                           2: (0, 0, 0), 3: (0, 1, 1)}[scfsi[sb]]
+                got: dict[int, float] = {}
+                for part in sorted(set(pattern)):
+                    idx = r.read(6)
+                    if idx > 62:
+                        return None
+                    got[part] = 2.0 * 2.0 ** (-idx / 3.0)
+                for part in range(3):
+                    sf[sb][part] = got[pattern[part]]
+            S = _np.zeros((36, 32))
+            for gr in range(12):
+                part = gr >> 2
+                for sb in range(_MP2_SBLIMIT_A):
+                    nlv = alloc[sb]
+                    if not nlv:
+                        continue
+                    grouped, nb, cw = _MP2_CLASS[nlv]
+                    if grouped:
+                        code = r.read(cw)
+                        if code >= nlv * nlv * nlv:
+                            return None
+                        for i in range(3):
+                            v = code % nlv
+                            code //= nlv
+                            S[3 * gr + i, sb] = (
+                                _mp2_requant(v, nlv, nb, True) * sf[sb][part]
+                            )
+                    else:
+                        for i in range(3):
+                            v = r.read(nb)
+                            if v == nlv:  # all-ones is forbidden
+                                return None
+                            S[3 * gr + i, sb] = (
+                                _mp2_requant(v, nlv, nb, False) * sf[sb][part]
+                            )
+            if r.pos * 8 + r.bit > end_bit:
+                return None  # payload overran the declared frame
+            pcm = _mp_synthesis(S, fifo, 0)
+            chunks.append(pcm)
+            n_out += len(pcm)
+            if n_out > VORBIS_MAX_SAMPLES:
+                return None
+            n_frames += 1
+            p += flen
+        if not chunks:
+            return None
+        pcm = _np.concatenate(chunks)
+        n = len(pcm)
+        rms = float(_np.sqrt(_np.mean(pcm * pcm)))
+        peak = float(_np.max(_np.abs(pcm)))
+        pos_sign = pcm >= 0
+        zc = int(_np.count_nonzero(pos_sign[1:] != pos_sign[:-1]))
+        return {
+            "rate": rate,
+            "n_channels": 1,
+            "n_samples": n,
+            "duration_s": n / rate,
+            "rms": rms,
+            "peak": peak,
+            "zero_crossings": zc,
+        }
+    except (ValueError, EOFError, IndexError, KeyError, ZeroDivisionError):
+        return None
+
+
+def mp2_tone_encode(
+    band_k: int, amp_exp: int, rate: int = 44100, bitrate_kbps: int = 64
+) -> bytes:
+    """Deterministic single-frame MPEG-1 Layer II stream (fixture +
+    oracle): subband ``band_k`` (0 <= band_k < 27) carries the 3-level
+    grouped code (2,2,2) — requantized (4/3)*0.5 = +2/3 — at
+    scalefactor index 3*amp_exp (scfsi 2: one scalefactor for all
+    parts), every other subband silent. All 36 slots then hold the
+    constant v = (4/3*0.5) * 2^(1-amp_exp), so the decoded PCM is the
+    pure synthesis response
+      p[32t+j] = v*(wa(j)*A(j,k) + (t>0)*wb(j)*B(j,k)) / 16
+    — re-derived independently by queries.SQL_MP2_FEATURES."""
+    if not 0 <= band_k < _MP2_SBLIMIT_A:
+        raise ValueError("band_k outside table-A subbands")
+    br_idx = _MP3_BITRATES[(1, 2)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[1].index(rate)
+    # sync + MPEG-1 (version bits 11) + Layer II (10) + no CRC
+    hdr = bytes([0xFF, 0xFD, (br_idx << 4) | (sr_idx << 2), 0xC4])
+    flen = 144 * bitrate_kbps * 1000 // rate
+
+    w = _FBitWriter()
+    for sb in range(_MP2_SBLIMIT_A):
+        w.write(1 if sb == band_k else 0, _MP2_ALLOC_A[sb][0])
+    w.write(2, 2)  # scfsi: one scalefactor for all three parts
+    w.write(3 * amp_exp, 6)  # scalefactor index -> 2^(1-amp_exp)
+    code = 2 + 2 * 3 + 2 * 9  # grouped triple (2,2,2)
+    for _gr in range(12):
+        w.write(code, 5)
+    body = w.bytes()
+    frame = hdr + body
+    return frame + b"\x00" * (flen - len(frame))
 
 Y4M_MAX_FRAMES = 4096
 Y4M_MAX_PIXELS = 1 << 20

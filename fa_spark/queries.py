@@ -2939,6 +2939,106 @@ FROM agg
 """
 
 
+MP2_RATE = 44100
+
+
+def _mp2_tone_batch(doc_id: pd.Series) -> pd.Series:
+    """Single-frame MPEG-1 Layer II stream per doc (round 6): subband
+    doc_id%27 carries the grouped 3-level code (2,2,2) at scalefactor
+    index 3*(1+doc_id%4) — sweeping the subband over all 27 table-A
+    positions exercises every allocation-field width (nbal 4/4/3/2)."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        out.append(pure.mp2_tone_encode(did % 27, 1 + did % 4, MP2_RATE, 64))
+    return pd.Series(out)
+
+
+mp2_tone_udf = F.pandas_udf(_mp2_tone_batch, BinaryType())
+
+
+def q_mp2_features(spark, sf_dir):
+    """REAL MPEG-1 Layer II decode round trip (round 6 — completes the
+    MPEG-1 audio family beside Layer III): synthesize a one-frame Layer
+    II stream per document, decode it with pure.decode_mp2 (Table B.2a
+    bit allocation, scfsi/scalefactors, grouped requantization, 32-band
+    polyphase synthesis), and value-check rms/peak/zcr/duration against
+    an oracle that independently recomputes the PCM from the synthesis
+    cosine closed form."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        mp2_tone_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    fd = _feat_d
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        fd(1).alias("rms"),
+        fd(2).alias("peak"),
+        fd(3).alias("zcr"),
+        fd(4).alias("n_samples"),
+        fd(5).alias("sample_rate"),
+        fd(6).alias("duration_s"),
+    )
+
+
+# every slot of subband k holds v = ((4/3)*0.5) * 2^(1-e) (grouped
+# 3-level code (2,2,2) requantized through C*(s'''+D), scaled by the
+# planted scalefactor), so for time slot t in 0..35 and synthesis tap
+# j in 0..31:
+#   p[32t+j] = ( (v*A(j,k))*wa(j) + ([t>0]*v*B(j,k))*wb(j) ) / 16
+# with A/B the ISO matrixing cosines and wa/wb the 64-tap window
+# halves (pure._mp3_dsp — the same filterbank Layer III uses; Layer II
+# has no IMDCT, so the response is the bare two-term synthesis).
+# zcr skips the first sample via the NULL-lag (p[0] is nonzero here,
+# unlike the mp3 oracle's silent first granule).
+SQL_MP2_FEATURES = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 27 AS k, 1 + doc_id % 4 AS e FROM documents),
+tj AS (
+  SELECT t.t, j.j
+  FROM (SELECT UNNEST(range(36)) AS t) t
+  CROSS JOIN (SELECT UNNEST(range(32)) AS j) j),
+s AS (
+  SELECT d.doc_id, tj.t, tj.j,
+         ( (((4.0/3.0) * 0.5) * (2.0 * pow(2.0, -d.e))
+              * cos(pi()/128.0*((2*tj.j+33)*(2*d.k+1))))
+             * sin(pi()*(2*tj.j+1)/128.0)
+         + (CASE WHEN tj.t = 0 THEN 0.0 ELSE
+              ((4.0/3.0) * 0.5) * (2.0 * pow(2.0, -d.e))
+              * cos(pi()/128.0*((2*tj.j+97)*(2*d.k+1))) END)
+             * sin(pi()*(2*(tj.j+32)+1)/128.0)
+         ) / 16.0 AS p
+  FROM d CROSS JOIN tj),
+win AS (
+  SELECT doc_id, p,
+         LAG(p, 1) OVER (PARTITION BY doc_id ORDER BY t, j) AS lp
+  FROM s),
+agg AS (
+  SELECT doc_id,
+         sqrt(sum(p*p) / 1152.0) AS rms,
+         max(abs(p)) AS peak,
+         SUM(CASE WHEN lp IS NOT NULL AND (lp >= 0) != (p >= 0)
+                  THEN 1 ELSE 0 END) AS zc
+  FROM win GROUP BY doc_id)
+SELECT doc_id,
+       'mp3' AS content_type,
+       'decoded' AS decode_status,
+       ROUND(rms, 6) AS rms,
+       ROUND(peak, 6) AS peak,
+       ROUND_EVEN(zc / 1152.0, 6) AS zcr,
+       CAST(1152 AS DOUBLE) AS n_samples,
+       CAST({MP2_RATE} AS DOUBLE) AS sample_rate,
+       ROUND(1152.0 / {MP2_RATE}, 6) AS duration_s
+FROM agg
+"""
+
+
 def _wav_codec_batch(doc_id: pd.Series) -> pd.Series:
     """Non-PCM WAV fixture per doc (round 6): doc_id%3 selects the codec
     — 0: IMA ADPCM (4 constant blocks, magnitude 500+doc_id%1000 with
@@ -3108,6 +3208,108 @@ SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'Article' WHEN 1 THEN 'Product'
             ELSE 'Person' END AS first_type,
        'item ' || CAST(doc_id AS VARCHAR) || '-0' AS first_name
+FROM documents
+"""
+
+
+_PAGE_META_TYPES = ["article", "website", "product", "video.other"]
+
+_page_meta_schema = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("canonical", StringType()),
+        StructField("og_type", StringType()),
+        StructField("og_title", StringType()),
+        StructField("description", StringType()),
+        StructField("n_meta", IntegerType()),
+    ]
+)
+
+
+def _page_meta_fixture_batch(doc_id: pd.Series) -> pd.Series:
+    """Head-metadata page per doc: entity-bearing title, canonical link
+    present for doc_id%3 != 0, og tags in both attribute orders and
+    quote styles, a duplicate og:type that first-wins must ignore, an
+    empty-content meta and a bare-value charset meta that must both be
+    skipped, keywords present for odd docs."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        canon = (
+            f'<link rel="canonical" href="https://ex.com/c/{did % 7}">'
+            if did % 3
+            else '<link rel="alternate" href="/feed.xml">'
+        )
+        kw = f'<meta name="keywords" content="k{did}">' if did % 2 else ""
+        out.append(
+            "<html><head>"
+            f"<title>Page &amp; {did}</title>"
+            f"{canon}"
+            f'<meta property="og:type" content="{_PAGE_META_TYPES[did % 4]}">'
+            f"<meta content='t {did}' property=\"og:title\">"
+            f'<meta name="description" content="d{did}">'
+            f"{kw}"
+            '<meta name="empty" content="">'
+            "<meta charset=utf-8>"
+            '<meta property="og:type" content="WRONG-DUP">'
+            "</head><body>body</body></html>"
+        )
+    return pd.Series(out)
+
+
+def _page_meta_parse_batch(html: pd.Series) -> pd.DataFrame:
+    rows = []
+    for s in html:
+        m = pure.extract_page_meta(s or "")
+        rows.append(
+            {
+                "title": m["title"],
+                "canonical": m["canonical"],
+                "og_type": m["og"].get("type", ""),
+                "og_title": m["og"].get("title", ""),
+                "description": m["meta"].get("description", ""),
+                "n_meta": len(m["meta"]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+page_meta_fixture_udf = F.pandas_udf(_page_meta_fixture_batch, StringType())
+page_meta_parse_udf = F.pandas_udf(_page_meta_parse_batch, _page_meta_schema)
+
+
+def q_page_meta(spark, sf_dir):
+    """Head-metadata extraction (round 6, pure.extract_page_meta):
+    title/canonical/OpenGraph/named-meta parse over hostile attribute
+    orders, quote styles, duplicates and empty values — the canonical
+    URL is what CC-scale URL dedup keys on. Closed-form oracle from the
+    doc_id arithmetic."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    parsed = docs.select(
+        "doc_id", page_meta_parse_udf(page_meta_fixture_udf("doc_id")).alias("pm")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("pm.title").alias("title"),
+        F.col("pm.canonical").alias("canonical"),
+        F.col("pm.og_type").alias("og_type"),
+        F.col("pm.og_title").alias("og_title"),
+        F.col("pm.description").alias("description"),
+        F.col("pm.n_meta").alias("n_meta"),
+    )
+
+
+SQL_PAGE_META = """
+SELECT doc_id,
+       'Page & ' || CAST(doc_id AS VARCHAR) AS title,
+       CASE WHEN doc_id % 3 = 0 THEN ''
+            ELSE 'https://ex.com/c/' || CAST(doc_id % 7 AS VARCHAR)
+       END AS canonical,
+       CASE doc_id % 4 WHEN 0 THEN 'article' WHEN 1 THEN 'website'
+            WHEN 2 THEN 'product' ELSE 'video.other' END AS og_type,
+       't ' || CAST(doc_id AS VARCHAR) AS og_title,
+       'd' || CAST(doc_id AS VARCHAR) AS description,
+       CAST(1 + doc_id % 2 AS INT) AS n_meta
 FROM documents
 """
 
@@ -4312,6 +4514,8 @@ REGISTRY: dict[str, tuple] = {
     "sitemap_urls": (q_sitemap_urls, SQL_SITEMAP_URLS),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
+    "mp2_features": (q_mp2_features, SQL_MP2_FEATURES),
+    "page_meta": (q_page_meta, SQL_PAGE_META),
     # -- last official green r04; rotated back into the window --
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),

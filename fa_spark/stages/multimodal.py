@@ -252,14 +252,22 @@ def media_features_fn(mode: str = "describe"):
                     else:
                         status = "decode_error"
                         feature = _fake_decode(b, target)
-                elif ct == "mp3" and (aud := pure.decode_mp3(b)) is not None:
+                elif ct == "mp3" and (
+                    (aud := pure.decode_mp3(b)) is not None
+                    or (aud := pure.decode_mp2(b)) is not None
+                ):
                     # round 6: real MPEG-1 Layer III decode (side info +
                     # bit reservoir + Huffman + requantize + alias
-                    # reduction + IMDCT + synthesis, pure.decode_mp3).
-                    # Out-of-subset streams (joint stereo, short blocks,
-                    # big Huffman tables — pure.py 9c⁵ header) return
-                    # None and keep the honest stubbed tier below; the
-                    # gate is the decode itself, like ogg's codec gate.
+                    # reduction + IMDCT + synthesis, pure.decode_mp3)
+                    # AND Layer II (Table B.2a bit allocation + grouped
+                    # requantization + the same synthesis filterbank,
+                    # pure.decode_mp2 — the sniffer types both layers
+                    # 'mp3', the raw MPEG-audio family). Out-of-subset
+                    # streams (joint stereo, short blocks, big Huffman
+                    # tables, Layer I, table B.2b/c/d — pure.py section
+                    # headers) return None from both decoders and keep
+                    # the honest stubbed tier below; the gate is the
+                    # decode itself, like ogg's codec gate.
                     status = "decoded"
                     feature = _real_wav_features(aud)
                 elif ct == "ogg" and meta.get("ogg:codec") == "vorbis":

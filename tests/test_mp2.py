@@ -1,0 +1,104 @@
+"""MPEG-1 Layer II decode: closed-form round trips, subset gates,
+hostile-input totality. The fixture encoder plants a grouped 3-level
+code in one subband; the decoded PCM must equal the bare two-term
+synthesis response bit-for-bit (same filterbank tables as Layer III)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from fa_spark import pure
+
+
+def _closed_form(k: int, e: int) -> np.ndarray:
+    v = (4.0 / 3.0 * 0.5) * 2.0 ** (1 - e)
+    j = np.arange(32)
+    wa = np.sin(np.pi * (2 * j + 1) / 128.0)
+    wb = np.sin(np.pi * (2 * (j + 32) + 1) / 128.0)
+    a = np.cos(np.pi / 128.0 * (2 * j + 33) * (2 * k + 1))
+    b = np.cos(np.pi / 128.0 * (2 * j + 97) * (2 * k + 1))
+    pcm = np.empty(36 * 32)
+    for t in range(36):
+        pcm[32 * t : 32 * t + 32] = (
+            v * a * wa + (v if t > 0 else 0.0) * b * wb
+        ) / 16.0
+    return pcm
+
+
+@pytest.mark.parametrize("k", [0, 2, 3, 10, 11, 22, 23, 26])
+@pytest.mark.parametrize("e", [1, 3])
+def test_tone_roundtrip_exact(k, e):
+    out = pure.decode_mp2(pure.mp2_tone_encode(k, e))
+    assert out is not None
+    pcm = _closed_form(k, e)
+    ps = pcm >= 0
+    # the decoder's synthesis matmul may fuse multiply-adds (BLAS FMA),
+    # so equality holds at the oracle's 6-dp contract and ~1-ulp beyond,
+    # not bit-for-bit against the unfused closed form
+    rms = float(np.sqrt(np.mean(pcm * pcm)))
+    peak = float(np.max(np.abs(pcm)))
+    assert abs(out["rms"] - rms) <= 1e-12 * max(rms, 1e-9)
+    assert abs(out["peak"] - peak) <= 1e-12 * max(peak, 1e-9)
+    assert round(out["rms"], 6) == round(rms, 6)
+    assert round(out["peak"], 6) == round(peak, 6)
+    assert out["zero_crossings"] == int(np.count_nonzero(ps[1:] != ps[:-1]))
+    assert (out["rate"], out["n_channels"], out["n_samples"]) == (44100, 1, 1152)
+
+
+def test_multi_frame_concatenates():
+    two = pure.mp2_tone_encode(4, 1) + pure.mp2_tone_encode(4, 1)
+    out = pure.decode_mp2(two)
+    assert out is not None and out["n_samples"] == 2304
+    # frame 2 sees frame 1's synthesis FIFO, so its PCM differs from a
+    # cold-start frame — the state threading is real, not per-frame reset
+    one = pure.decode_mp2(pure.mp2_tone_encode(4, 1))
+    assert out["peak"] >= one["peak"]
+
+
+def test_subset_gates():
+    d = pure.mp2_tone_encode(5, 1)
+    assert pure.decode_mp2(pure.mp3_tone_encode(1, 1)) is None  # Layer III
+    assert pure.decode_mp3(d) is None  # Layer II rejected by the L3 path
+    # stereo mode bits flip -> out of mono subset
+    b = bytearray(d)
+    b[3] = 0x04  # mode 00: stereo
+    assert pure.decode_mp2(bytes(b)) is None
+    # 48 kbps @ 44.1 kHz selects table B.2c -> out of subset
+    assert pure.decode_mp2(
+        pure.mp2_tone_encode(5, 1, rate=44100, bitrate_kbps=48)
+    ) is None
+
+
+def test_table_a_gate_accepts_48k_high_rates():
+    out = pure.decode_mp2(pure.mp2_tone_encode(7, 2, rate=48000, bitrate_kbps=192))
+    assert out is not None and out["rate"] == 48000
+
+
+def test_hostile_truncation_and_bitflips_total():
+    d = pure.mp2_tone_encode(9, 1)
+    for cut in range(len(d)):
+        pure.decode_mp2(d[:cut])
+    rng = random.Random(6)
+    for _ in range(500):
+        b = bytearray(d)
+        for _ in range(4):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        r = pure.decode_mp2(bytes(b))
+        assert r is None or np.isfinite(r["rms"])
+
+
+def test_media_stage_routes_layer2(spark):
+    from pyspark.sql import Row
+
+    from fa_spark.stages.multimodal import extract_media_features
+
+    media = spark.createDataFrame(
+        [Row(media_id=1, content=bytearray(pure.mp2_tone_encode(3, 1)))],
+        "media_id long, content binary",
+    )
+    row = extract_media_features(media, mode="describe").collect()[0]
+    assert row.content_type == "mp3"  # MPEG-audio family sniff
+    assert row.decode_status == "decoded"

@@ -156,3 +156,40 @@ def test_webdata_fuzz_never_raises():
             pure.robots_allowed(pure.parse_robots(s), "/x")
             pure.parse_feed(s)
             pure.parse_sitemap(s)
+
+
+def test_page_meta_extraction():
+    html = (
+        "<html><head><title> Ex &amp;\n co </title>"
+        '<link href="https://ex.com/canon" rel="canonical">'
+        '<meta property="og:type" content="article">'
+        "<meta content='t 1' property=\"og:title\">"
+        '<meta property="og:type" content="dup-ignored">'
+        '<meta name="Description" content="d &quot;q&quot;">'
+        '<meta name="empty" content="">'
+        "<meta charset=utf-8>"
+        "</head></html>"
+    )
+    m = pure.extract_page_meta(html)
+    assert m["title"] == "Ex & co"  # entity + whitespace normalization
+    assert m["canonical"] == "https://ex.com/canon"  # attr order agnostic
+    assert m["og"] == {"type": "article", "title": "t 1"}  # first og wins
+    assert m["meta"] == {"description": 'd "q"'}  # name lowercased
+    assert pure.extract_page_meta("") == {
+        "title": "", "canonical": "", "og": {}, "meta": {},
+    }
+
+
+def test_page_meta_hostile_is_total_and_bounded():
+    # unterminated tags, megabyte attribute bodies, tag floods
+    pure.extract_page_meta("<meta " + "a" * (1 << 20))
+    flood = '<meta name="n" content="c">' * 10_000
+    m = pure.extract_page_meta(flood)
+    assert m["meta"] == {"n": "c"}
+    rnd = random.Random(99)
+    seed = '<head><title>t</title><meta property="og:a" content="b"></head>'
+    for _ in range(100):
+        b = list(seed)
+        for _ in range(rnd.randint(1, 5)):
+            b[rnd.randrange(len(b))] = chr(rnd.randrange(1, 0x500))
+        pure.extract_page_meta("".join(b))
