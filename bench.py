@@ -292,7 +292,12 @@ def bench_scaling_paired(
     also published for transparency with the bus-ceiling caveat
     (SURVEY §5.2 as written; VERDICT round-1 item 5)."""
     if multiplier is None:
-        multiplier = max(1, 100_000 // max(count_docs(sf_dir), 1))
+        # target ~300k pages: the 8-core leg must run well past the
+        # overhead-bound regime (t >= ~15 s) or the ratio measures JVM
+        # fixed costs, not the job — the round-6 diagnosis in
+        # BENCH/BASELINE.md (100k-doc samples sat at 0.65-0.79; the
+        # same job at 300k measures 0.93-0.98)
+        multiplier = max(1, 300_000 // max(count_docs(sf_dir), 1))
     pages_path = "/tmp/fa_bench_pages.parquet"
     n = materialize_pages(sf_dir, multiplier, pages_path)
     ratios = []

@@ -8390,6 +8390,126 @@ def decode_mp2(data: bytes | None) -> dict | None:
         return None
 
 
+def decode_mp1(data: bytes | None) -> dict | None:
+    """Real MPEG-1 Layer I decode -> the decode_wav feature dict shape.
+    Layer I is the simple member of the family [ISO 11172-3 2.4.2.5]:
+    4-bit linear allocation per subband (value a -> a+1 sample bits,
+    2^(a+1)-1 levels), one 6-bit scalefactor per active subband, 12
+    slots of one sample per subband (384 PCM samples/frame), the same
+    ungrouped requantization and synthesis filterbank as Layer II.
+    Mono only (documented subset); None otherwise."""
+    if not data:
+        return None
+    p = _id3v2_size(data)
+    if p + 4 > len(data) or data[p] != 0xFF or (data[p + 1] & 0xE0) != 0xE0:
+        return None
+    try:
+        chunks = []
+        rate = None
+        n_frames = 0
+        n_out = 0
+        fifo = [_np.zeros(32)]
+        while p + 4 <= len(data) and n_frames < MP3_MAX_DECODE_FRAMES:
+            fr = _mp3_frame(data, p)
+            if fr is None:
+                break
+            flen, _samples, f_rate, _kbps = fr
+            b1, b3 = data[p + 1], data[p + 3]
+            if (b1 >> 3) & 3 != 3 or 4 - ((b1 >> 1) & 3) != 1:
+                return None  # MPEG-1 Layer I only
+            if (b3 >> 6) & 3 != 3:
+                return None  # mono only (documented subset)
+            if rate is None:
+                rate = f_rate
+            elif f_rate != rate:
+                return None
+            body = p + 4
+            if not (b1 & 1):
+                body += 2  # CRC present
+            r = _FBitReader(data, body)
+            end_bit = min(p + flen, len(data)) * 8
+            nbits = []
+            for _sb in range(32):
+                a = r.read(4)
+                if a == 15:
+                    return None  # forbidden allocation
+                nbits.append(a + 1 if a else 0)
+            sf = [0.0] * 32
+            for sb in range(32):
+                if nbits[sb]:
+                    idx = r.read(6)
+                    if idx > 62:
+                        return None
+                    sf[sb] = 2.0 * 2.0 ** (-idx / 3.0)
+            S = _np.zeros((12, 32))
+            for t in range(12):
+                for sb in range(32):
+                    nb = nbits[sb]
+                    if not nb:
+                        continue
+                    v = r.read(nb)
+                    nlv = (1 << nb) - 1
+                    if v == nlv:  # all-ones is forbidden
+                        return None
+                    S[t, sb] = _mp2_requant(v, nlv, nb, False) * sf[sb]
+            if r.pos * 8 + r.bit > end_bit:
+                return None
+            pcm = _mp_synthesis(S, fifo, 0)
+            chunks.append(pcm)
+            n_out += len(pcm)
+            if n_out > VORBIS_MAX_SAMPLES:
+                return None
+            n_frames += 1
+            p += flen
+        if not chunks:
+            return None
+        pcm = _np.concatenate(chunks)
+        n = len(pcm)
+        rms = float(_np.sqrt(_np.mean(pcm * pcm)))
+        peak = float(_np.max(_np.abs(pcm)))
+        pos_sign = pcm >= 0
+        zc = int(_np.count_nonzero(pos_sign[1:] != pos_sign[:-1]))
+        return {
+            "rate": rate,
+            "n_channels": 1,
+            "n_samples": n,
+            "duration_s": n / rate,
+            "rms": rms,
+            "peak": peak,
+            "zero_crossings": zc,
+        }
+    except (ValueError, EOFError, IndexError, KeyError, ZeroDivisionError):
+        return None
+
+
+def mp1_tone_encode(
+    band_k: int, amp_exp: int, rate: int = 32000, bitrate_kbps: int = 64
+) -> bytes:
+    """Deterministic single-frame MPEG-1 Layer I stream (fixture +
+    oracle): subband ``band_k`` (0..31) gets allocation 1 (2-bit
+    samples, 3 levels), every sample the code 2 — requantized
+    (4/3)*0.5 = +2/3 — at scalefactor index 3*amp_exp, so all 12 slots
+    hold v = (4/3*0.5) * 2^(1-amp_exp) and the decoded 384-sample PCM
+    is the bare two-term synthesis response (the Layer II closed form
+    with T=12) — re-derived by queries.SQL_MP1_FEATURES."""
+    if not 0 <= band_k < 32:
+        raise ValueError("band_k outside the 32 subbands")
+    br_idx = _MP3_BITRATES[(1, 1)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[1].index(rate)
+    # sync + MPEG-1 (11) + Layer I (11) + no CRC; mode 11 single channel
+    hdr = bytes([0xFF, 0xFF, (br_idx << 4) | (sr_idx << 2), 0xC4])
+    flen = (12 * bitrate_kbps * 1000 // rate) * 4
+
+    w = _FBitWriter()
+    for sb in range(32):
+        w.write(1 if sb == band_k else 0, 4)
+    w.write(3 * amp_exp, 6)
+    for _t in range(12):
+        w.write(2, 2)
+    frame = hdr + w.bytes()
+    return frame + b"\x00" * (flen - len(frame))
+
+
 def mp2_tone_encode(
     band_k: int, amp_exp: int, rate: int = 44100, bitrate_kbps: int = 64
 ) -> bytes:

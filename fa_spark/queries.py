@@ -3039,6 +3039,94 @@ FROM agg
 """
 
 
+MP1_RATE = 32000
+
+
+def _mp1_tone_batch(doc_id: pd.Series) -> pd.Series:
+    """Single-frame MPEG-1 Layer I stream per doc: subband doc_id%32,
+    scalefactor index 3*(1+doc_id%4) — all 32 subbands swept."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        out.append(pure.mp1_tone_encode(did % 32, 1 + did % 4, MP1_RATE, 64))
+    return pd.Series(out)
+
+
+mp1_tone_udf = F.pandas_udf(_mp1_tone_batch, BinaryType())
+
+
+def q_mp1_features(spark, sf_dir):
+    """REAL MPEG-1 Layer I decode round trip (round 6 — with Layers II
+    and III this completes the MPEG-1 audio family): 4-bit linear
+    allocation, per-subband scalefactor, ungrouped requantization, the
+    shared synthesis filterbank (pure.decode_mp1). Oracle recomputes
+    the 384-sample PCM from the synthesis cosine closed form."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        mp1_tone_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    fd = _feat_d
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        fd(1).alias("rms"),
+        fd(2).alias("peak"),
+        fd(3).alias("zcr"),
+        fd(4).alias("n_samples"),
+        fd(5).alias("sample_rate"),
+        fd(6).alias("duration_s"),
+    )
+
+
+# Layer I closed form = the Layer II two-term synthesis response with
+# T=12 slots (384 samples); v = ((4/3)*0.5) * 2^(1-e) as in SQL_MP2.
+SQL_MP1_FEATURES = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 32 AS k, 1 + doc_id % 4 AS e FROM documents),
+tj AS (
+  SELECT t.t, j.j
+  FROM (SELECT UNNEST(range(12)) AS t) t
+  CROSS JOIN (SELECT UNNEST(range(32)) AS j) j),
+s AS (
+  SELECT d.doc_id, tj.t, tj.j,
+         ( (((4.0/3.0) * 0.5) * (2.0 * pow(2.0, -d.e))
+              * cos(pi()/128.0*((2*tj.j+33)*(2*d.k+1))))
+             * sin(pi()*(2*tj.j+1)/128.0)
+         + (CASE WHEN tj.t = 0 THEN 0.0 ELSE
+              ((4.0/3.0) * 0.5) * (2.0 * pow(2.0, -d.e))
+              * cos(pi()/128.0*((2*tj.j+97)*(2*d.k+1))) END)
+             * sin(pi()*(2*(tj.j+32)+1)/128.0)
+         ) / 16.0 AS p
+  FROM d CROSS JOIN tj),
+win AS (
+  SELECT doc_id, p,
+         LAG(p, 1) OVER (PARTITION BY doc_id ORDER BY t, j) AS lp
+  FROM s),
+agg AS (
+  SELECT doc_id,
+         sqrt(sum(p*p) / 384.0) AS rms,
+         max(abs(p)) AS peak,
+         SUM(CASE WHEN lp IS NOT NULL AND (lp >= 0) != (p >= 0)
+                  THEN 1 ELSE 0 END) AS zc
+  FROM win GROUP BY doc_id)
+SELECT doc_id,
+       'mp3' AS content_type,
+       'decoded' AS decode_status,
+       ROUND(rms, 6) AS rms,
+       ROUND(peak, 6) AS peak,
+       ROUND_EVEN(zc / 384.0, 6) AS zcr,
+       CAST(384 AS DOUBLE) AS n_samples,
+       CAST({MP1_RATE} AS DOUBLE) AS sample_rate,
+       ROUND(384.0 / {MP1_RATE}, 6) AS duration_s
+FROM agg
+"""
+
+
 def _wav_codec_batch(doc_id: pd.Series) -> pd.Series:
     """Non-PCM WAV fixture per doc (round 6): doc_id%3 selects the codec
     — 0: IMA ADPCM (4 constant blocks, magnitude 500+doc_id%1000 with
@@ -4516,6 +4604,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "mp2_features": (q_mp2_features, SQL_MP2_FEATURES),
     "page_meta": (q_page_meta, SQL_PAGE_META),
+    "mp1_features": (q_mp1_features, SQL_MP1_FEATURES),
     # -- last official green r04; rotated back into the window --
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),

@@ -255,6 +255,7 @@ def media_features_fn(mode: str = "describe"):
                 elif ct == "mp3" and (
                     (aud := pure.decode_mp3(b)) is not None
                     or (aud := pure.decode_mp2(b)) is not None
+                    or (aud := pure.decode_mp1(b)) is not None
                 ):
                     # round 6: real MPEG-1 Layer III decode (side info +
                     # bit reservoir + Huffman + requantize + alias

@@ -102,3 +102,40 @@ def test_media_stage_routes_layer2(spark):
     row = extract_media_features(media, mode="describe").collect()[0]
     assert row.content_type == "mp3"  # MPEG-audio family sniff
     assert row.decode_status == "decoded"
+
+
+@pytest.mark.parametrize("k", [0, 7, 15, 31])
+def test_layer1_roundtrip(k):
+    out = pure.decode_mp1(pure.mp1_tone_encode(k, 2))
+    assert out is not None and out["n_samples"] == 384
+    v = (4.0 / 3.0 * 0.5) * 2.0 ** (1 - 2)
+    j = np.arange(32)
+    wa = np.sin(np.pi * (2 * j + 1) / 128.0)
+    wb = np.sin(np.pi * (2 * (j + 32) + 1) / 128.0)
+    a = np.cos(np.pi / 128.0 * (2 * j + 33) * (2 * k + 1))
+    b = np.cos(np.pi / 128.0 * (2 * j + 97) * (2 * k + 1))
+    pcm = np.empty(384)
+    for t in range(12):
+        pcm[32 * t : 32 * t + 32] = (
+            v * a * wa + (v if t > 0 else 0.0) * b * wb
+        ) / 16.0
+    rms = float(np.sqrt(np.mean(pcm * pcm)))
+    assert abs(out["rms"] - rms) <= 1e-12 * max(rms, 1e-9)
+
+
+def test_layer1_gates_and_hostility():
+    d = pure.mp1_tone_encode(5, 1)
+    assert pure.decode_mp2(d) is None and pure.decode_mp3(d) is None
+    assert pure.decode_mp1(pure.mp2_tone_encode(5, 1)) is None
+    b = bytearray(d)
+    b[3] = 0x04  # stereo mode
+    assert pure.decode_mp1(bytes(b)) is None
+    for cut in range(0, len(d), 3):
+        pure.decode_mp1(d[:cut])
+    rng = random.Random(61)
+    for _ in range(300):
+        bb = bytearray(d)
+        for _ in range(4):
+            bb[rng.randrange(len(bb))] ^= 1 << rng.randrange(8)
+        r = pure.decode_mp1(bytes(bb))
+        assert r is None or np.isfinite(r["rms"])
