@@ -3729,7 +3729,7 @@ def q_sequence_packing(spark, sf_dir):
 SQL_SEQUENCE_PACKING = f"""
 WITH d AS (
   SELECT doc_id,
-         LEN(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         LEN(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS n_tokens,
          CAST(({_HEX4}) % {PACK_SHARDS} AS INT) AS shard
   FROM documents),
 c AS (

@@ -57,7 +57,11 @@ def pack_sequences(
     ``s % ctx_len`` and spans ``(s + n - 1) // ctx_len - s // ctx_len + 1``
     sequences (0 for empty docs).
     """
-    n_tok = F.size(F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)"))
+    # coalesce first: size(regexp_extract_all(NULL)) is -1 in Spark,
+    # which would silently corrupt every later offset in the shard
+    n_tok = F.size(
+        F.expr(f"regexp_extract_all(coalesce({text_col}, ''), '\\\\S+', 0)")
+    )
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         n_tok.alias("n_tokens"),

@@ -71,3 +71,17 @@ def test_text_never_shuffled(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+def test_null_text_counts_zero_tokens(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"), Row(doc_id=2, text=None),
+         Row(doc_id=3, text="d e")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pack_sequences(docs, ctx_len=4).collect()}
+    assert got[2].n_tokens == 0 and got[2].n_seqs_spanned == 0
+    # the NULL row must not shift later offsets by the sentinel -1
+    assert sum(r.n_tokens for r in got.values()) == 5
