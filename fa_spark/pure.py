@@ -9054,6 +9054,18 @@ _MPEG_PMBTYPE = {
     (6, 0b000001): (0, 0, 1, 1),
 }
 
+# B-picture macroblock_type VLC [ISO Table B.2c]:
+# (motion_forward, motion_backward, pattern, intra, quant)
+_MPEG_BMBTYPE = {
+    (2, 0b10): (1, 1, 0, 0, 0), (2, 0b11): (1, 1, 1, 0, 0),
+    (3, 0b010): (0, 1, 0, 0, 0), (3, 0b011): (0, 1, 1, 0, 0),
+    (4, 0b0010): (1, 0, 0, 0, 0), (4, 0b0011): (1, 0, 1, 0, 0),
+    (5, 0b00011): (0, 0, 0, 1, 0), (5, 0b00010): (1, 1, 1, 0, 1),
+    (6, 0b000011): (1, 0, 1, 0, 1), (6, 0b000010): (0, 1, 1, 0, 1),
+    (6, 0b000001): (0, 0, 0, 1, 1),
+}
+_MPEG_BMBTYPE_ENC = {v: (ln, code) for (ln, code), v in _MPEG_BMBTYPE.items()}
+
 # motion_code magnitude VLC [ISO Table B.4, folded to |code| 0..16 with
 # a trailing sign bit for nonzero — the table's ±pairs differ only in
 # that final bit]
@@ -9585,6 +9597,186 @@ def _mpeg_decode_p_picture(
     return plane.astype(_np.uint8)
 
 
+def _mpeg_b_predict(
+    fwd_ref, bwd_ref, x0: int, y0: int,
+    use_f: int, use_b: int, mvf, mvb, fpf: int, fpb: int,
+):
+    """B-macroblock luma prediction: forward, backward, or the
+    interpolated average ((f + b)//2, half away from zero — operands
+    non-negative) [ISO 2.4.4.3-4]. None when a referenced window
+    leaves the picture."""
+    f = b = None
+    if use_f:
+        f = _mpeg_mc_luma(
+            fwd_ref, x0, y0,
+            (mvf[0] << 1) if fpf else mvf[0],
+            (mvf[1] << 1) if fpf else mvf[1],
+        )
+        if f is None:
+            return None
+    if use_b:
+        b = _mpeg_mc_luma(
+            bwd_ref, x0, y0,
+            (mvb[0] << 1) if fpb else mvb[0],
+            (mvb[1] << 1) if fpb else mvb[1],
+        )
+        if b is None:
+            return None
+    if f is not None and b is not None:
+        return (f + b + 1) >> 1
+    return f if f is not None else b
+
+
+def _mpeg_decode_b_picture(
+    data: bytes, codes: list, ci: int, w: int, h: int,
+    intra_q, nonintra_q, fpf: int, fpb: int,
+    fwd_ref: "_np.ndarray", bwd_ref: "_np.ndarray",
+):
+    """Decode the B picture at codes[ci] against the surrounding anchor
+    luma planes (round 6 — bidirectional MC completes the I/P/B picture
+    family). Per macroblock: type VLC [B.2c], forward and/or backward
+    vectors (subset: both f_codes 1), interpolated prediction, CBP +
+    non-intra residuals, or intra recode. Skipped macroblocks repeat
+    the PREVIOUS macroblock's prediction direction and vectors (the B
+    semantics — unlike P's zero-vector copy), so they are filled
+    explicitly from the running state; a skip directly after an intra
+    macroblock is an illegal stream. Uncovered macroblocks default to
+    the zero-vector forward copy. Returns the (h, w) uint8 luma plane
+    or None on structural/subset violations."""
+    mbw, mbh = w // 16, h // 16
+    total = mbw * mbh
+    fwd_i = fwd_ref.astype(_np.int32)
+    bwd_i = bwd_ref.astype(_np.int32)
+    plane = fwd_i.copy()
+    seen = [False] * total
+    j = ci + 1
+    while j < len(codes) and codes[j][1] in (0xB2, 0xB5):
+        j += 1
+    while j < len(codes) and 0x01 <= codes[j][1] <= 0xAF:
+        off, svp = codes[j]
+        next_off = codes[j + 1][0] if j + 1 < len(codes) else len(data)
+        r = _FBitReader(data, off + 4)
+        try:
+            qs = r.read(5)
+            if qs == 0:
+                return None
+            while r.read(1):  # extra_bit_slice
+                r.read(8)
+            addr = (svp - 1) * mbw - 1
+            dc_y = dc_cb = dc_cr = 128
+            mvf = [0, 0]
+            mvb = [0, 0]
+            last_dir = None  # (use_f, use_b) of the previous macroblock
+            while not _mpeg_at_slice_end(r, data, next_off):
+                inc = _mpeg_mba(r)
+                if inc is None:
+                    return None
+                if inc != 1:
+                    # skipped run repeats the previous prediction; DC
+                    # resets, vectors and direction are RETAINED
+                    if last_dir is None or last_dir == (0, 0):
+                        return None  # skip after intra / at slice start
+                    dc_y = dc_cb = dc_cr = 128
+                    for s in range(1, inc):
+                        sa = addr + s
+                        if not 0 <= sa < total or seen[sa]:
+                            return None
+                        sy, sx = (sa // mbw) * 16, (sa % mbw) * 16
+                        mb = _mpeg_b_predict(
+                            fwd_i, bwd_i, sx, sy,
+                            last_dir[0], last_dir[1], mvf, mvb, fpf, fpb,
+                        )
+                        if mb is None:
+                            return None
+                        plane[sy : sy + 16, sx : sx + 16] = mb
+                        seen[sa] = True
+                addr += inc
+                if not 0 <= addr < total or seen[addr]:
+                    return None
+                mbt = _mpeg_vlc(r, _MPEG_BMBTYPE, 6)
+                if mbt is None:
+                    return None
+                mf, mb_, pat, intra, quant = mbt
+                if quant:
+                    qs = r.read(5)
+                    if qs == 0:
+                        return None
+                if mf:
+                    dx = _mpeg_motion_delta(r)
+                    dy = _mpeg_motion_delta(r)
+                    if dx is None or dy is None:
+                        return None
+                    mvf = [_mpeg_mv_recon(mvf[0], dx),
+                           _mpeg_mv_recon(mvf[1], dy)]
+                if mb_:
+                    dx = _mpeg_motion_delta(r)
+                    dy = _mpeg_motion_delta(r)
+                    if dx is None or dy is None:
+                        return None
+                    mvb = [_mpeg_mv_recon(mvb[0], dx),
+                           _mpeg_mv_recon(mvb[1], dy)]
+                y0, x0 = (addr // mbw) * 16, (addr % mbw) * 16
+                if intra:
+                    mvf = [0, 0]
+                    mvb = [0, 0]
+                    last_dir = (0, 0)
+                    zz4 = _np.zeros((4, 64), dtype=_np.int64)
+                    for bi in range(6):
+                        if bi < 4:
+                            dc_y += _mpeg_dc_diff(r, _MPEG_DC_LUMA)
+                            dc = dc_y
+                        elif bi == 4:
+                            dc_cb += _mpeg_dc_diff(r, _MPEG_DC_CHROMA)
+                            dc = dc_cb
+                        else:
+                            dc_cr += _mpeg_dc_diff(r, _MPEG_DC_CHROMA)
+                            dc = dc_cr
+                        zz = _mpeg_block_zz(r, dc, qs, intra_q)
+                        if bi < 4:
+                            zz4[bi] = zz
+                    blocks = _mpeg_idct_blocks(zz4).astype(_np.int32)
+                    pred = _np.empty((16, 16), dtype=_np.int32)
+                    pred[:8, :8] = blocks[0]
+                    pred[:8, 8:] = blocks[1]
+                    pred[8:, :8] = blocks[2]
+                    pred[8:, 8:] = blocks[3]
+                else:
+                    dc_y = dc_cb = dc_cr = 128
+                    last_dir = (mf, mb_)
+                    pred = _mpeg_b_predict(
+                        fwd_i, bwd_i, x0, y0, mf, mb_, mvf, mvb, fpf, fpb
+                    )
+                    if pred is None:
+                        return None
+                    pred = pred.copy()
+                    if pat:
+                        cbp = _mpeg_vlc(r, _MPEG_CBP, _MPEG_CBP_MAXLEN)
+                        if cbp is None:
+                            return None
+                        for bi in range(6):
+                            if not cbp & (1 << (5 - bi)):
+                                continue
+                            zz = _np.array(
+                                [_mpeg_block_zz_nonintra(r, qs, nonintra_q)],
+                                dtype=_np.int64,
+                            )
+                            if bi < 4:
+                                res = _mpeg_idct_signed(zz)[0]
+                                ry, rx = (bi >> 1) * 8, (bi & 1) * 8
+                                pred[ry : ry + 8, rx : rx + 8] += res.astype(
+                                    _np.int32
+                                )
+                    _np.clip(pred, 0, 255, out=pred)
+                plane[y0 : y0 + 16, x0 : x0 + 16] = pred
+                seen[addr] = True
+        except (EOFError, ValueError):
+            return None
+        j += 1
+    if not any(seen):
+        return None
+    return plane.astype(_np.uint8)
+
+
 def _parse_mpeg_meta(data: bytes) -> dict[str, str]:
     """MPEG-1 video elementary stream envelope: geometry, picture rate,
     picture count/types from the start-code walk — no payload decode.
@@ -9600,6 +9792,7 @@ def _parse_mpeg_meta(data: bytes) -> dict[str, str]:
     codes = _mpeg_startcodes(data)
     n_pics = 0
     seq: list[int] = []
+    trefs: list[int] = []
     types: set[int] = set()
     p_fcode_ok = True
     for off, c in codes:
@@ -9607,12 +9800,16 @@ def _parse_mpeg_meta(data: bytes) -> dict[str, str]:
             n_pics += 1
             try:
                 r = _FBitReader(data, off + 4)
-                r.read(10)  # temporal_reference
+                trefs.append(r.read(10))  # temporal_reference
                 pt = r.read(3)
-                if pt == 2:
+                if pt in (2, 3):
                     r.read(16 + 1)  # vbv_delay, full_pel_forward_vector
                     if r.read(3) != 1:
                         p_fcode_ok = False
+                    if pt == 3:
+                        r.read(1)  # full_pel_backward_vector
+                        if r.read(3) != 1:
+                            p_fcode_ok = False
             except EOFError:
                 pt = 0
             seq.append(pt)
@@ -9647,6 +9844,19 @@ def _parse_mpeg_meta(data: bytes) -> dict[str, str]:
         )
     )
     out["mpeg:ip_subset"] = "1" if ip else "0"
+    ipb = (
+        geom_ok
+        and types <= {1, 2, 3}
+        and seq[:1] == [1]
+        and (
+            types == {1}
+            or (p_fcode_ok and n_pics <= MPEG_MAX_DECODE_FRAMES)
+        )
+        # B streams additionally need a single GOP's worth of unique
+        # temporal references (display reordering is per-GOP)
+        and (3 not in types or len(set(trefs)) == n_pics)
+    )
+    out["mpeg:ipb_subset"] = "1" if ipb else "0"
     return out
 
 
@@ -9677,38 +9887,46 @@ def decode_mpeg1(data: bytes | None) -> dict | None:
     n_frames = len(pics)
     if not n_frames:
         return None
-    # subset gate: cheap header peek — I/P only, first picture I, P
-    # pictures restricted to forward_f_code 1 (no residual motion bits)
+    # subset gate: cheap header peek — I/P/B with all f_codes 1 (no
+    # residual motion bits), first picture I, D pictures out of subset
     ptypes = []
     fpels = []
+    trefs = []
     for ci in pics:
         try:
             r = _FBitReader(data, codes[ci][0] + 4)
-            r.read(10)
+            tref = r.read(10)
             pt = r.read(3)
-            if pt == 2:
+            fpf = fpb = 0
+            if pt in (2, 3):
                 r.read(16)  # vbv_delay
-                fp = r.read(1)
+                fpf = r.read(1)
                 if r.read(3) != 1:
                     return None  # forward_f_code != 1: out of subset
-            else:
-                fp = 0
+                if pt == 3:
+                    fpb = r.read(1)
+                    if r.read(3) != 1:
+                        return None  # backward_f_code != 1
             ptypes.append(pt)
-            fpels.append(fp)
+            fpels.append((fpf, fpb))
+            trefs.append(tref)
         except EOFError:
             return None
-    if ptypes[0] != 1 or any(pt not in (1, 2) for pt in ptypes):
+    if ptypes[0] != 1 or any(pt not in (1, 2, 3) for pt in ptypes):
         return None
     has_p = any(pt == 2 for pt in ptypes)
-    if has_p and n_frames > MPEG_MAX_DECODE_FRAMES:
+    has_b = any(pt == 3 for pt in ptypes)
+    if (has_p or has_b) and n_frames > MPEG_MAX_DECODE_FRAMES:
         return None
+    if has_b and len(set(trefs)) != n_frames:
+        return None  # multi-GOP temporal_reference reuse: out of subset
     k = min(VIDEO_SAMPLE_FRAMES, n_frames)
     if k == 1:
         sampled = [0]
     else:
         sampled = sorted({i * (n_frames - 1) // (k - 1) for i in range(k)})
     means = []
-    if not has_p:
+    if not (has_p or has_b):
         # pure-I streams: every picture is independent, decode only the
         # sampled ones (the original round-6 path)
         for si in sampled:
@@ -9716,7 +9934,7 @@ def decode_mpeg1(data: bytes | None) -> dict | None:
             if plane is None:
                 return None
             means.append(float(plane.mean()))
-    else:
+    elif not has_b:
         # P chains: decode sequentially up to the last sampled picture,
         # threading the reference plane
         ref = None
@@ -9729,12 +9947,52 @@ def decode_mpeg1(data: bytes | None) -> dict | None:
                     return None
                 ref = _mpeg_decode_p_picture(
                     data, codes, pics[fi], w, h,
-                    intra_q, nonintra_q, fpels[fi], ref,
+                    intra_q, nonintra_q, fpels[fi][0], ref,
                 )
             if ref is None:
                 return None
             if fi in want:
                 means.append(float(ref.mean()))
+    else:
+        # B streams (round 6): decode every picture in coded order,
+        # threading the two anchor planes; a B predicts forward off the
+        # previous anchor and backward off the current one (which is
+        # coded BEFORE it but displays after). Means are reported in
+        # DISPLAY order via temporal_reference — for I/P-only streams
+        # coded order IS display order, so this branch is the only one
+        # that reorders.
+        prev_anchor = cur_anchor = None
+        by_tref: dict[int, float] = {}
+        for fi in range(n_frames):
+            pt = ptypes[fi]
+            if pt == 1:
+                plane = _mpeg_decode_picture(data, codes, pics[fi], w, h,
+                                             intra_q)
+                if plane is None:
+                    return None
+                prev_anchor, cur_anchor = cur_anchor, plane
+            elif pt == 2:
+                if cur_anchor is None:
+                    return None
+                plane = _mpeg_decode_p_picture(
+                    data, codes, pics[fi], w, h,
+                    intra_q, nonintra_q, fpels[fi][0], cur_anchor,
+                )
+                if plane is None:
+                    return None
+                prev_anchor, cur_anchor = cur_anchor, plane
+            else:
+                if prev_anchor is None or cur_anchor is None:
+                    return None  # B before both anchors: illegal stream
+                plane = _mpeg_decode_b_picture(
+                    data, codes, pics[fi], w, h, intra_q, nonintra_q,
+                    fpels[fi][0], fpels[fi][1], prev_anchor, cur_anchor,
+                )
+                if plane is None:
+                    return None
+            by_tref[trefs[fi]] = float(plane.mean())
+        display = [by_tref[t] for t in sorted(by_tref)]
+        means = [display[si] for si in sampled]
     return {
         "width": w,
         "height": h,
@@ -9970,6 +10228,94 @@ def mpeg1_encode_ip(
                     bw.write(0b10, 2)  # end of block
         else:
             raise ValueError(f"unknown P spec {kind!r}")
+        out += b"\x00\x00\x01\x01" + bw.bytes()
+    out += b"\x00\x00\x01\xb7"  # sequence_end
+    return bytes(out)
+
+
+def mpeg1_encode_ipb(
+    first: list, p_shift: int, b_specs: list,
+    fps: float = 25.0, qs: int = 8,
+) -> bytes:
+    """MPEG-1 elementary stream with the full picture-type family in
+    coded order I, P, B... (display order I, B..., P via
+    temporal_reference) — the fixture side of the round-6 bidirectional
+    tier. The P picture is the encode_ip 'shift' form (full-pel
+    ``p_shift`` on every macroblock except column 0). Each ``b_specs``
+    entry emits one B picture:
+      ('interp',)   zero-vector interpolated prediction on every
+                    macroblock — pixel = (I + P + 1) >> 1 exactly
+      ('bwd',)      backward zero-vector on first/last macroblock,
+                    middle SKIPPED (exercises the B skip semantics:
+                    repeat the previous prediction) — equals P exactly
+      ('fwd', d)    forward-only full-pel d per macroblock except
+                    column 0 — the shifted I frame
+    All f_codes are 1 (the decode subset); full_pel set on both axes."""
+    n_b = len(b_specs)
+    base = mpeg1_encode_ip([list(r) for r in first], [("shift", p_shift)],
+                           fps, qs)
+    out = bytearray(base[:-4])  # strip sequence_end, re-added below
+    # rewrite the P picture's temporal_reference from 1 to n_b + 1: the
+    # picture header begins right after its start code; temporal_ref is
+    # the first 10 bits
+    codes = _mpeg_startcodes(bytes(out))
+    p_off = [o for o, c in codes if c == 0x00][1]
+    tr = (n_b + 1) & 0x3FF
+    out[p_off + 4] = (tr >> 2) & 0xFF
+    out[p_off + 5] = (out[p_off + 5] & 0x3F) | ((tr & 3) << 6)
+    h, w = len(first), len(first[0])
+    mbw, mbh = w // 16, h // 16
+    total = mbw * mbh
+    for t, spec in enumerate(b_specs, start=1):
+        kind = spec[0]
+        bw = _FBitWriter()
+        bw.write(t & 0x3FF, 10)  # temporal_reference (display position)
+        bw.write(3, 3)  # picture_coding_type: B
+        bw.write(0xFFFF, 16)  # vbv_delay
+        bw.write(1, 1)  # full_pel_forward_vector
+        bw.write(1, 3)  # forward_f_code
+        bw.write(1, 1)  # full_pel_backward_vector
+        bw.write(1, 3)  # backward_f_code
+        bw.write(0, 1)  # extra_bit_picture
+        out += b"\x00\x00\x01\x00" + bw.bytes()
+        bw = _FBitWriter()
+        bw.write(qs, 5)
+        bw.write(0, 1)  # extra_bit_slice
+        if kind == "interp":
+            ln, code = _MPEG_BMBTYPE_ENC[(1, 1, 0, 0, 0)]
+            for _a in range(total):
+                _mba_write(bw, 1)
+                bw.write(code, ln)
+                for _v in range(4):  # fwd h/v + bwd h/v, all zero
+                    bw.write(1, 1)
+        elif kind == "bwd":
+            ln, code = _MPEG_BMBTYPE_ENC[(0, 1, 0, 0, 0)]
+            for inc in ([1] if total == 1 else [1, total - 1]):
+                _mba_write(bw, inc)
+                bw.write(code, ln)
+                bw.write(1, 1)  # backward horizontal motion_code 0
+                bw.write(1, 1)  # backward vertical motion_code 0
+        elif kind == "fwd":
+            d = spec[1]
+            ln, code = _MPEG_BMBTYPE_ENC[(1, 0, 0, 0, 0)]
+            pred = 0
+            for a in range(total):
+                _mba_write(bw, 1)
+                bw.write(code, ln)
+                mv = 0 if a % mbw == 0 else d
+                diff = mv - pred
+                if diff > 16:
+                    diff -= 32
+                elif diff < -16:
+                    diff += 32
+                vl, vc = _MPEG_MV_ENC[abs(diff)]
+                bw.write(vc, vl)
+                if diff:
+                    bw.write(1 if diff < 0 else 0, 1)
+                bw.write(1, 1)  # vertical motion_code 0
+                pred = mv
+        else:
+            raise ValueError(f"unknown B spec {kind!r}")
         out += b"\x00\x00\x01\x01" + bw.bytes()
     out += b"\x00\x00\x01\xb7"  # sequence_end
     return bytes(out)

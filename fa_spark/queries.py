@@ -4149,6 +4149,85 @@ FROM d
 """
 
 
+def _mpeg_ipb_batch(doc_id: pd.Series) -> pd.Series:
+    """I+P+B MPEG-1 fixture per doc (round 6 bidirectional tier): a
+    48x16 I picture with three 16px bands (L, L+24, L+48 where
+    L = 8*(doc_id%25)+8 keeps every pixel <= 248 and every sampled mean
+    an exact integer), a full-pel -16 'shift' P, and three B pictures —
+    zero-vector interpolated ((I+P+1)>>1), backward-only with a skip
+    run (equals P), and forward-only -16 (the shifted I, also equals
+    P). Coded order I P B B B; display order I B B B P via
+    temporal_reference."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        l0 = 8 * (did % 25) + 8
+        row = [l0] * 16 + [l0 + 24] * 16 + [l0 + 48] * 16
+        first = [list(row) for _ in range(16)]
+        out.append(
+            pure.mpeg1_encode_ipb(
+                first, -16, [("interp",), ("bwd",), ("fwd", -16)]
+            )
+        )
+    return pd.Series(out)
+
+
+mpeg_ipb_udf = F.pandas_udf(_mpeg_ipb_batch, BinaryType())
+
+
+def q_mpeg_ipb_frames(spark, sf_dir):
+    """REAL MPEG-1 I+P+B decode round trip (round 6 — bidirectional
+    motion compensation completes the picture-type family:
+    pure._mpeg_decode_b_picture, B.2c type VLC, interpolated prediction,
+    B skip semantics, temporal_reference display reordering):
+    value-checks all five display-ordered sampled means against closed
+    forms."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        mpeg_ipb_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    fd = _feat_d
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        "width",
+        "height",
+        fd(1).alias("n_frames"),
+        fd(5).alias("duration_s"),
+        fd(7).alias("mean_i"),
+        fd(8).alias("mean_b_interp"),
+        fd(9).alias("mean_b_bwd"),
+        fd(10).alias("mean_b_fwd"),
+        fd(11).alias("mean_p"),
+    )
+
+
+# display order [I, B-interp, B-bwd, B-fwd, P]; bands (L, L+24, L+48)
+# shift to (L, L, L+24) in P; interp cols ((2L+1)>>1, (2L+25)>>1,
+# (2L+73)>>1) = (L, L+12, L+36) -> mean L+16; bwd/fwd both equal P
+# -> mean L+8.
+SQL_MPEG_IPB_FRAMES = """
+WITH d AS (SELECT doc_id, 8 * (doc_id % 25) + 8 AS l0 FROM documents)
+SELECT doc_id,
+       'mpeg' AS content_type,
+       'decoded' AS decode_status,
+       48 AS width, 16 AS height,
+       CAST(5 AS DOUBLE) AS n_frames,
+       ROUND(5.0 / 25, 6) AS duration_s,
+       CAST(l0 + 24 AS DOUBLE) AS mean_i,
+       CAST(l0 + 16 AS DOUBLE) AS mean_b_interp,
+       CAST(l0 + 8 AS DOUBLE) AS mean_b_bwd,
+       CAST(l0 + 8 AS DOUBLE) AS mean_b_fwd,
+       CAST(l0 + 8 AS DOUBLE) AS mean_p
+FROM d
+"""
+
+
 def _audio_container_batch(doc_id: pd.Series) -> pd.Series:
     """Per-doc audio container rotating mp3 / ogg / flac (round 4 —
     exiftool-parity envelope metadata). Geometries chosen so every
@@ -4605,6 +4684,7 @@ REGISTRY: dict[str, tuple] = {
     "mp2_features": (q_mp2_features, SQL_MP2_FEATURES),
     "page_meta": (q_page_meta, SQL_PAGE_META),
     "mp1_features": (q_mp1_features, SQL_MP1_FEATURES),
+    "mpeg_ipb_frames": (q_mpeg_ipb_frames, SQL_MPEG_IPB_FRAMES),
     # -- last official green r04; rotated back into the window --
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),

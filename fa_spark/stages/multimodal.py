@@ -233,17 +233,20 @@ def media_features_fn(mode: str = "describe"):
                     else:
                         status = "decode_error"
                         feature = _fake_decode(b, target)
-                elif ct == "mpeg" and meta.get("mpeg:ip_subset") == "1":
+                elif ct == "mpeg" and meta.get("mpeg:ipb_subset") == "1":
                     # round 6: real MPEG-1 video decode — I pictures
                     # (slice/macroblock/block parse, DC prediction,
                     # run-level AC VLCs, intra dequant, exact int64
-                    # IDCT) AND P pictures (forward motion compensation
+                    # IDCT), P pictures (forward motion compensation
                     # at full/half pel, skip runs, non-intra residuals —
-                    # pure.decode_mpeg1/_mpeg_decode_p_picture). The
+                    # pure.decode_mpeg1/_mpeg_decode_p_picture) AND B
+                    # pictures (bidirectional MC with interpolated
+                    # prediction, B skip semantics, temporal_reference
+                    # display reordering — _mpeg_decode_b_picture). The
                     # envelope walk publishes the subset verdict as
-                    # meta['mpeg:ip_subset'], the same stage/lineage
-                    # shared gate as mp3:l3_subset; B/D streams fall
-                    # through to the stub branch below.
+                    # meta['mpeg:ipb_subset'], the same stage/lineage
+                    # shared gate as mp3:l3_subset; D streams and
+                    # f_code>1 fall through to the stub branch below.
                     vid = pure.decode_mpeg1(b)
                     if vid is not None:
                         status = "decoded"

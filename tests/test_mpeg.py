@@ -457,3 +457,60 @@ def test_stage_decodes_ip_stream(spark):
     assert row["feature"][6] == 51.0  # I mean
     assert row["feature"][7] == 51.0  # copy
     assert row["feature"][8] == 37.0  # shift: (30+30+51)/3
+
+
+def _ipb_first(l0: int):
+    row = [l0] * 16 + [l0 + 24] * 16 + [l0 + 48] * 16
+    return [list(row) for _ in range(16)]
+
+
+def test_ipb_display_order_and_closed_forms():
+    data = pure.mpeg1_encode_ipb(
+        _ipb_first(40), -16, [("interp",), ("bwd",), ("fwd", -16)]
+    )
+    out = pure.decode_mpeg1(data)
+    assert out is not None and out["n_frames"] == 5
+    # display order [I, B-interp, B-bwd, B-fwd, P]
+    assert out["frame_means"] == [64.0, 56.0, 48.0, 48.0, 48.0]
+    meta = pure._parse_mpeg_meta(data)
+    assert meta["mpeg:ipb_subset"] == "1"
+    assert meta["mpeg:ip_subset"] == "0"  # the narrower verdict excludes B
+
+
+def test_b_interp_rounds_half_away_from_zero():
+    # I solid 41, P shifts nothing (shift 0 via spec geometry): choose
+    # interp over anchors 41 and 40 -> (81+1)>>1 = 41 per pixel
+    first = [[41] * 48 for _ in range(16)]
+    data = pure.mpeg1_encode_ipb(first, -16, [("interp",)])
+    out = pure.decode_mpeg1(data)
+    assert out is not None
+    # P == I here (shift moves identical columns), so interp == I
+    assert out["frame_means"] == [41.0, 41.0, 41.0]
+
+
+def test_b_before_anchors_rejected():
+    data = pure.mpeg1_encode_ipb(_ipb_first(40), -16, [("interp",)])
+    # move the B picture's coded position before the P by swapping the
+    # picture_coding_type fields: P (type 2) <-> B (type 3) headers would
+    # corrupt payloads, so instead truncate the stream to I + B only:
+    codes = pure._mpeg_startcodes(data)
+    pic_offs = [o for o, c in codes if c == 0x00]
+    # keep everything up to the P picture, then append the B picture
+    p_start, b_start = pic_offs[1], pic_offs[2]
+    ib_only = data[:p_start] + data[b_start:]
+    assert pure.decode_mpeg1(ib_only) is None  # B with one anchor
+
+
+def test_ipb_truncation_and_bitflips_total():
+    import random
+
+    data = pure.mpeg1_encode_ipb(_ipb_first(80), -16, [("interp",), ("bwd",)])
+    for cut in range(0, len(data), 5):
+        pure.decode_mpeg1(data[:cut])
+    rng = random.Random(63)
+    for _ in range(250):
+        b = bytearray(data)
+        for _ in range(4):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        r = pure.decode_mpeg1(bytes(b))
+        assert r is None or all(np.isfinite(m) for m in r["frame_means"])
