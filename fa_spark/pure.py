@@ -8089,8 +8089,13 @@ def decode_mp3(data: bytes | None) -> dict | None:
             if (b1 >> 3) & 3 != 3 or 4 - ((b1 >> 1) & 3) != 3:
                 return None  # MPEG-1 Layer III only (documented subset)
             mode = (b3 >> 6) & 3
+            ms = False
             if mode == 1:
-                return None  # joint stereo out of subset
+                # joint stereo: M/S only (round 6) — intensity stereo
+                # stays out of subset
+                if (b3 >> 4) & 3 != 2:
+                    return None
+                ms = True
             f_nch = 1 if mode == 3 else 2
             f_rate = fr[2]
             if rate is None:
@@ -8116,7 +8121,7 @@ def decode_mp3(data: bytes | None) -> dict | None:
                 sfb_long = _MP3_SFB_LONG[rate]
                 prev_sf = [None] * nch
                 for gr in range(2):
-                    outs = []
+                    xrs = []
                     for ch in range(nch):
                         g = grans[gr][ch]
                         if g["block_type"] == 2:
@@ -8132,12 +8137,19 @@ def decode_mp3(data: bytes | None) -> dict | None:
                         # absolute reposition past stuffing bits
                         total = gr_start + g["part2_3_length"]
                         mr.pos, mr.bit = total >> 3, total & 7
-                        xr = _mp3_requantize(is_, g, sf, sfb_long)
-                        outs.append(
-                            _mp3_granule_pcm(
-                                xr, g["block_type"], tails, fifo, ch
-                            )
+                        xrs.append(_mp3_requantize(is_, g, sf, sfb_long))
+                    if ms:
+                        # M/S butterfly before the filterbank [ISO
+                        # 2.4.3.4.9.1]: l = (m+s)/sqrt2, r = (m-s)/sqrt2
+                        s2 = _np.sqrt(2.0)
+                        xrs = [(xrs[0] + xrs[1]) / s2, (xrs[0] - xrs[1]) / s2]
+                    outs = [
+                        _mp3_granule_pcm(
+                            xrs[ch], grans[gr][ch]["block_type"],
+                            tails, fifo, ch,
                         )
+                        for ch in range(nch)
+                    ]
                     mono = outs[0] if nch == 1 else (outs[0] + outs[1]) / 2.0
                     chunks.append(mono)
                     n_out += len(mono)
@@ -8216,6 +8228,61 @@ def mp3_tone_encode(
     m = _FBitWriter()
     for _ in range(quad):
         m.write(0xF, 4)  # all-zero quad (one's complement of 0000)
+    nib = 1 << (3 - pos_in_quad)
+    m.write(nib ^ 0xF, 4)
+    m.write(0, 1)  # sign: positive
+    main = m.bytes()
+
+    frame = hdr + side + main
+    return frame + b"\x00" * (flen - len(frame))
+
+
+def mp3_ms_tone_encode(
+    bin_k: int, amp_exp: int, rate: int = 32000, bitrate_kbps: int = 48
+) -> bytes:
+    """Deterministic single-frame M/S joint-stereo Layer III stream
+    (fixture + oracle for the round-6 mid/side tier): granule 0 silent
+    in both channels, granule 1 carries the mp3_tone_encode single-line
+    plant in the MID channel only (side silent), mode 01 / mode_ext 10.
+    The butterfly maps both output channels to the identical spectrum
+    2^-amp_exp / sqrt(2) at line ``bin_k``, so the channel-averaged PCM
+    is exactly the mono closed form scaled by 1/sqrt(2) — re-derived by
+    queries.SQL_MP3_MS_FEATURES."""
+    if not 0 <= bin_k <= 7:
+        raise ValueError("bin_k outside the closed-form subband-0 range")
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[1].index(rate)
+    # mode 01 (joint stereo), mode_ext 10 (M/S on, intensity off)
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x64])
+    flen = 144 * bitrate_kbps * 1000 // rate
+
+    quad, pos_in_quad = divmod(bin_k, 4)
+    p23 = 5 + 4 * quad
+
+    w = _FBitWriter()
+    w.write(0, 9)  # main_data_begin
+    w.write(0, 3)  # private (stereo: 3 bits)
+    w.write(0, 8)  # scfsi, both channels
+    # side-info order: gr0ch0, gr0ch1, gr1ch0 (mid: tone), gr1ch1
+    for gr_p23 in (0, 0, p23, 0):
+        w.write(gr_p23, 12)  # part2_3_length
+        w.write(0, 9)  # big_values
+        w.write(210 - 4 * amp_exp, 8)  # global_gain
+        w.write(0, 4)  # scalefac_compress
+        w.write(0, 1)  # window_switching_flag
+        for _ in range(3):
+            w.write(0, 5)  # table_select
+        w.write(0, 4)  # region0_count
+        w.write(0, 3)  # region1_count
+        w.write(0, 1)  # preflag
+        w.write(0, 1)  # scalefac_scale
+        w.write(1, 1)  # count1table_select -> table B
+    side = w.bytes()
+    assert len(side) == 32
+
+    m = _FBitWriter()
+    for _ in range(quad):
+        m.write(0xF, 4)  # all-zero quad
     nib = 1 << (3 - pos_in_quad)
     m.write(nib ^ 0xF, 4)
     m.write(0, 1)  # sign: positive

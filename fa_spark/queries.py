@@ -2939,6 +2939,92 @@ FROM agg
 """
 
 
+def _mp3_ms_tone_batch(doc_id: pd.Series) -> pd.Series:
+    """M/S joint-stereo Layer III frame per doc (round 6): the mono
+    tone plant in the MID channel, side silent — both output channels
+    decode to the mono PCM scaled by 1/sqrt(2)."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        out.append(pure.mp3_ms_tone_encode(did % 8, 1 + did % 4, MP3_RATE, 48))
+    return pd.Series(out)
+
+
+mp3_ms_tone_udf = F.pandas_udf(_mp3_ms_tone_batch, BinaryType())
+
+
+def q_mp3_ms_features(spark, sf_dir):
+    """REAL M/S joint-stereo Layer III decode round trip (round 6 —
+    widens the mp3 subset to the most common stereo coding on the web):
+    the mid/side butterfly runs before the filterbank, so the planted
+    mid-channel tone reaches both channels at 1/sqrt(2) amplitude; the
+    oracle is the mono closed form with that exact factor."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        mp3_ms_tone_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    fd = _feat_d
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        fd(1).alias("rms"),
+        fd(2).alias("peak"),
+        fd(3).alias("zcr"),
+        fd(4).alias("n_samples"),
+        fd(7).alias("n_channels"),
+        fd(6).alias("duration_s"),
+    )
+
+
+SQL_MP3_MS_FEATURES = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS k, 1 + doc_id % 4 AS e FROM documents),
+tj AS (
+  SELECT t.t, j.j
+  FROM (SELECT UNNEST(range(18)) AS t) t
+  CROSS JOIN (SELECT UNNEST(range(32)) AS j) j),
+s AS (
+  SELECT d.doc_id, tj.t, tj.j,
+         ( (sin(pi()*(2*tj.t+1)/72.0)
+              * (cos(pi()/72.0*((2*tj.t+19)*(2*d.k+1)))
+                 * (pow(2.0, -d.e) / sqrt(2.0))))
+             * cos(pi()/128.0*(2*tj.j+33)) * sin(pi()*(2*tj.j+1)/128.0)
+         + (CASE WHEN tj.t = 0 THEN 0.0 ELSE
+              sin(pi()*(2*(tj.t-1)+1)/72.0)
+              * (cos(pi()/72.0*((2*(tj.t-1)+19)*(2*d.k+1)))
+                 * (pow(2.0, -d.e) / sqrt(2.0)))
+            END)
+             * cos(pi()/128.0*(2*tj.j+97)) * sin(pi()*(2*(tj.j+32)+1)/128.0)
+         ) / 16.0 AS p
+  FROM d CROSS JOIN tj),
+win AS (
+  SELECT doc_id, p,
+         LAG(p, 1, 0.0) OVER (PARTITION BY doc_id ORDER BY t, j) AS lp
+  FROM s),
+agg AS (
+  SELECT doc_id,
+         sqrt(sum(p*p) / 1152.0) AS rms,
+         max(abs(p)) AS peak,
+         SUM(CASE WHEN (lp >= 0) != (p >= 0) THEN 1 ELSE 0 END) AS zc
+  FROM win GROUP BY doc_id)
+SELECT doc_id,
+       'mp3' AS content_type,
+       'decoded' AS decode_status,
+       ROUND(rms, 6) AS rms,
+       ROUND(peak, 6) AS peak,
+       ROUND_EVEN(zc / 1152.0, 6) AS zcr,
+       CAST(1152 AS DOUBLE) AS n_samples,
+       CAST(2 AS DOUBLE) AS n_channels,
+       ROUND(1152.0 / {MP3_RATE}, 6) AS duration_s
+FROM agg
+"""
+
+
 MP2_RATE = 44100
 
 
@@ -4685,6 +4771,7 @@ REGISTRY: dict[str, tuple] = {
     "page_meta": (q_page_meta, SQL_PAGE_META),
     "mp1_features": (q_mp1_features, SQL_MP1_FEATURES),
     "mpeg_ipb_frames": (q_mpeg_ipb_frames, SQL_MPEG_IPB_FRAMES),
+    "mp3_ms_features": (q_mp3_ms_features, SQL_MP3_MS_FEATURES),
     # -- last official green r04; rotated back into the window --
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),

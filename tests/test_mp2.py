@@ -139,3 +139,33 @@ def test_layer1_gates_and_hostility():
             bb[rng.randrange(len(bb))] ^= 1 << rng.randrange(8)
         r = pure.decode_mp1(bytes(bb))
         assert r is None or np.isfinite(r["rms"])
+
+
+def test_ms_stereo_is_mono_over_sqrt2():
+    for k, e in ((0, 1), (5, 2), (7, 4)):
+        ms = pure.decode_mp3(pure.mp3_ms_tone_encode(k, e))
+        mono = pure.decode_mp3(pure.mp3_tone_encode(k, e))
+        assert ms is not None and ms["n_channels"] == 2
+        assert abs(ms["rms"] - mono["rms"] / np.sqrt(2.0)) < 1e-15
+        assert abs(ms["peak"] - mono["peak"] / np.sqrt(2.0)) < 1e-15
+        assert ms["zero_crossings"] == mono["zero_crossings"]
+
+
+def test_intensity_stereo_stays_rejected():
+    d = bytearray(pure.mp3_ms_tone_encode(1, 1))
+    for ext in (0x54, 0x74, 0x44):  # intensity, ms+intensity, neither
+        d[3] = ext
+        assert pure.decode_mp3(bytes(d)) is None
+
+
+def test_ms_hostile_total():
+    d = pure.mp3_ms_tone_encode(6, 1)
+    for cut in range(0, len(d), 7):
+        pure.decode_mp3(d[:cut])
+    rng = random.Random(64)
+    for _ in range(300):
+        b = bytearray(d)
+        for _ in range(4):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        r = pure.decode_mp3(bytes(b))
+        assert r is None or np.isfinite(r["rms"])
