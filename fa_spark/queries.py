@@ -4636,6 +4636,132 @@ FROM documents
 """
 
 
+def q_surt_keys(spark, sf_dir):
+    """SURT index keys (round 6, stages/urls.surt_key_expr — the CDX
+    key transform CC-style archives sort and dedup by): a messy variant
+    (scheme/host case, www, default port, fragment) and a clean variant
+    of each doc's URL must map to the SAME reversed-host key. The
+    oracle constructs the expected key analytically from the doc_id
+    arithmetic — an independent statement of the transform's output."""
+    from fa_spark.stages.urls import surt_key_expr
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    s = (F.col("doc_id") % 5).cast("string")
+    h = (F.col("doc_id") % 7).cast("string")
+    q = (F.col("doc_id") % 3).cast("string")
+    messy = F.concat(
+        F.lit("HTTP://WWW.Sub"), s, F.lit(".Example"), h,
+        F.lit(".COM:80/p/"), d, F.lit("?q="), q, F.lit("#frag"),
+    )
+    clean = F.concat(
+        F.lit("http://sub"), s, F.lit(".example"), h,
+        F.lit(".com/p/"), d, F.lit("?q="), q,
+    )
+    return docs.select(
+        "doc_id",
+        surt_key_expr(messy).alias("surt"),
+        (surt_key_expr(messy) == surt_key_expr(clean)).alias("keys_match"),
+    )
+
+
+SQL_SURT_KEYS = """
+SELECT doc_id,
+       'com,example' || CAST(doc_id % 7 AS VARCHAR)
+         || ',sub' || CAST(doc_id % 5 AS VARCHAR)
+         || ')/p/' || CAST(doc_id AS VARCHAR)
+         || '?q=' || CAST(doc_id % 3 AS VARCHAR) AS surt,
+       TRUE AS keys_match
+FROM documents
+"""
+
+
+COLLOC_K = 50
+COLLOC_MIN = 2
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocations (round 6): top-K adjacent word pairs by exact
+    bigram count (integer ranking — engine-portable), with pointwise
+    mutual information attached at 6 dp. Scale shape: bigrams come from
+    a PER-ROW array transform (slice+zip inside one projection, never a
+    positional self-join); unigram/bigram counts are partial aggs; the
+    two corpus totals attach as one broadcast row; top-K is
+    orderBy+limit (TakeOrdered — no single-partition global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = F.expr("regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+', 0)")
+    rows = docs.select(ts.alias("ts")).where(F.size("ts") >= 2)
+    pairs = rows.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(ts[i-1] AS a, ts[i] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    toks = docs.select(F.explode(ts).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    totals = toks.agg(F.count("*").alias("n_tok")).crossJoin(
+        F.broadcast(pairs.agg(F.count("*").alias("n_bi")))
+    )
+    bic = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= COLLOC_MIN)
+    )
+    scored = (
+        bic.join(uni.withColumnRenamed("w", "a").withColumnRenamed("c", "ca"), "a")
+        .join(uni.withColumnRenamed("w", "b").withColumnRenamed("c", "cb"), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("n_tok") * F.col("n_tok"))
+                    / (F.col("n_bi").cast("double") * F.col("ca") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("c_ab"), F.asc("a"), F.asc("b")).limit(COLLOC_K)
+    w = Window.orderBy(F.desc("c_ab"), F.asc("a"), F.asc("b"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+SQL_COLLOCATIONS = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS ts
+  FROM documents),
+toks AS (
+  SELECT doc_id, UNNEST(ts) AS w, generate_subscripts(ts, 1) AS i FROM t),
+bi AS (
+  SELECT x.w AS a, y.w AS b
+  FROM toks x JOIN toks y ON x.doc_id = y.doc_id AND y.i = x.i + 1),
+uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+nt AS (SELECT COUNT(*) AS n_tok FROM toks),
+nb AS (SELECT COUNT(*) AS n_bi FROM bi),
+bic AS (
+  SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b
+  HAVING COUNT(*) >= {COLLOC_MIN}),
+scored AS (
+  SELECT a, b, c_ab,
+         ROUND(LN((CAST(c_ab AS DOUBLE) * n_tok * n_tok)
+                  / (CAST(n_bi AS DOUBLE) * ca.c * cb.c)), 6) AS pmi
+  FROM bic, nt, nb
+  JOIN uni ca ON ca.w = bic.a
+  JOIN uni cb ON cb.w = bic.b),
+ranked AS (
+  SELECT a, b, c_ab, pmi,
+         ROW_NUMBER() OVER (ORDER BY c_ab DESC, a, b) AS rank
+  FROM scored)
+SELECT a, b, c_ab, pmi, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {COLLOC_K}
+"""
+
+
 def q_url_normalize(spark, sf_dir):
     """URL canonicalization (round 4 — stages/urls.normalize_url_expr,
     pure Catalyst): two messy variants per doc (scheme/host case, default
@@ -4772,6 +4898,8 @@ REGISTRY: dict[str, tuple] = {
     "mp1_features": (q_mp1_features, SQL_MP1_FEATURES),
     "mpeg_ipb_frames": (q_mpeg_ipb_frames, SQL_MPEG_IPB_FRAMES),
     "mp3_ms_features": (q_mp3_ms_features, SQL_MP3_MS_FEATURES),
+    "surt_keys": (q_surt_keys, SQL_SURT_KEYS),
+    "collocations": (q_collocations, SQL_COLLOCATIONS),
     # -- last official green r04; rotated back into the window --
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),

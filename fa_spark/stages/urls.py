@@ -99,3 +99,40 @@ def normalize_urls(
     return df.withColumn(
         out_col, normalize_url_expr(F.col(col), strip_www, tracking_params)
     )
+
+
+def surt_key_expr(col) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of a URL column
+    — the index/dedup key CDX indexes use for Common-Crawl-style
+    archives: host segments reversed and comma-joined so one domain's
+    pages sort contiguously, e.g.
+    `http://www.news.example.com/a?q=1#top` -> `com,example,news)/a?q=1`.
+
+    Pure Catalyst (regexp split + reverse + array_join, zero UDF): at
+    10^12 urls the key is one codegen projection, and range-partitioning
+    on it co-locates each registered domain. Rules (standard SURT):
+    lowercase host, fold a leading `www.`, drop `:80`/`:443` default
+    ports, reverse dot-segments with commas, `)` then path (`/` if
+    empty) and `?query` if present; scheme and fragment dropped.
+    Scheme-less input yields NULL (no host to transform)."""
+    u = col
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
+    hostport = F.regexp_replace(hostport, r"^www\.", "")
+    hostport = F.regexp_replace(hostport, r":(80|443)$", "")
+    # a non-default port trails the REVERSED host (com,example:8080)) —
+    # it must not ride the TLD segment through the reversal
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1)
+    key = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return F.when(host != "", key).otherwise(F.lit(None))

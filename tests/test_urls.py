@@ -94,3 +94,26 @@ def test_ref_param_kept_by_default(spark):
         ).alias("c")
     ).collect()
     assert custom[0]["c"] == "https://github.com/o/r/tree/x"
+
+
+def test_surt_key_transform(spark):
+    from pyspark.sql import Row
+
+    from fa_spark.stages.urls import surt_key_expr
+
+    cases = [
+        ("http://www.news.example.com/a?q=1#top", "com,example,news)/a?q=1"),
+        ("HTTPS://Example.COM:443", "com,example)/"),
+        ("http://example.com:8080/x", "com,example:8080)/x"),
+        ("http://example.com/", "com,example)/"),
+        ("no-scheme/path", None),
+    ]
+    df = spark.createDataFrame(
+        [Row(i=i, url=u) for i, (u, _) in enumerate(cases)],
+        "i long, url string",
+    )
+    import pyspark.sql.functions as F
+
+    got = {r.i: r.k for r in df.select("i", surt_key_expr(F.col("url")).alias("k")).collect()}
+    for i, (_, exp) in enumerate(cases):
+        assert got[i] == exp, (cases[i][0], got[i], exp)
