@@ -4762,6 +4762,72 @@ FROM ranked WHERE rank <= {COLLOC_K}
 """
 
 
+def q_doc_bigram_surprisal(spark, sf_dir):
+    """Bigram conditional surprisal (round 6 — the second-order member
+    of the doc_surprisal quality family): each document scored by mean
+    -log2 p(w_i | w_{i-1}) under the corpus's own MLE bigram model
+    (p = c(a,b)/c(a); every in-corpus bigram has c >= 1, so the score
+    is total). High = locally incoherent token streams (shuffled/OCR
+    noise) that unigram surprisal misses because the WORDS are common.
+    Scale shape: doc bigrams come from the per-row slice/zip transform
+    (no positional self-join); the bigram- and unigram-count relations
+    attach by equi-join (AQE broadcasts the vocab side when small); the
+    per-doc mean is one partial agg. mean = mean(log2 c(a) - log2
+    c(a,b)) — no per-row division."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = F.expr("regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+', 0)")
+    pairs = (
+        docs.select("doc_id", ts.alias("ts"))
+        .where(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i-1] AS a, ts[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b")
+    )
+    uni = (
+        docs.select(F.explode(ts).alias("a"))
+        .groupBy("a")
+        .agg(F.count("*").alias("ca"))
+    )
+    bic = pairs.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    return (
+        pairs.join(bic, ["a", "b"])
+        .join(uni, "a")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log2("ca") - F.log2("cab")), 3
+            ).alias("mean_bigram_surprisal"),
+        )
+    )
+
+
+SQL_DOC_BIGRAM_SURPRISAL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS ts
+  FROM documents),
+toks AS (
+  SELECT doc_id, UNNEST(ts) AS w, generate_subscripts(ts, 1) AS i FROM t),
+bi AS (
+  SELECT x.doc_id, x.w AS a, y.w AS b
+  FROM toks x JOIN toks y ON x.doc_id = y.doc_id AND y.i = x.i + 1),
+uni AS (SELECT w AS a, COUNT(*) AS ca FROM toks GROUP BY w),
+bic AS (SELECT a, b, COUNT(*) AS cab FROM bi GROUP BY a, b)
+SELECT bi.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(LOG2(ca) - LOG2(cab)), 3) AS mean_bigram_surprisal
+FROM bi JOIN bic USING (a, b) JOIN uni USING (a)
+GROUP BY bi.doc_id
+"""
+
+
 def q_url_normalize(spark, sf_dir):
     """URL canonicalization (round 4 — stages/urls.normalize_url_expr,
     pure Catalyst): two messy variants per doc (scheme/host case, default
@@ -4900,6 +4966,7 @@ REGISTRY: dict[str, tuple] = {
     "mp3_ms_features": (q_mp3_ms_features, SQL_MP3_MS_FEATURES),
     "surt_keys": (q_surt_keys, SQL_SURT_KEYS),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
+    "doc_bigram_surprisal": (q_doc_bigram_surprisal, SQL_DOC_BIGRAM_SURPRISAL),
     # -- last official green r04; rotated back into the window --
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
