@@ -63,6 +63,8 @@ MAGIC_PREFIXES: tuple[tuple[bytes, str], ...] = (
     # is out of decode_mpeg1 scope, so they stay binary/envelope-only.
     (b"\x00\x00\x01\xb3", "mpeg"),
     (b"\x1a\x45\xdf\xa3", "webm"),
+    (b"\x28\xb5\x2f\xfd", "zstd"),
+    (b"\xfd7zXZ\x00", "xz"),
 )
 
 _HTML_HINT_RE = re.compile(
@@ -969,6 +971,7 @@ def extract_metadata(data: bytes | None) -> dict[str, str]:
     out.update(_parse_avi_meta(data))
     out.update(_parse_zip_meta(data))
     out.update(_parse_gzip_meta(data))
+    out.update(_parse_zstd_meta(data))
     if sn["content_type"] == "riff" and len(data) >= 12:
         # RIFF form type (WAVE / AVI / ...) — lets downstream consumers
         # (e.g. lineage stub accounting) split decodable WAVE from the
@@ -7235,6 +7238,123 @@ def _parse_gzip_meta(data: bytes) -> dict[str, str]:
         p = end + 1 if end >= 0 else p
     out["gzip:isize"] = str(int.from_bytes(data[-4:], "little"))
     return out
+
+
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+ZSTD_MAX_RAW = 1 << 24  # per-frame decode cap for the raw/RLE subset
+
+
+def _zstd_header(data: bytes):
+    """Parse a zstd frame header (RFC 8878) -> (body_offset, dict_id,
+    content_size|None, has_checksum, single_segment) or None."""
+    if len(data) < 6 or data[:4] != ZSTD_MAGIC:
+        return None
+    fhd = data[4]
+    p = 5
+    single = (fhd >> 5) & 1
+    if not single:
+        p += 1  # window descriptor
+    did_size = (0, 1, 2, 4)[fhd & 3]
+    if p + did_size > len(data):
+        return None
+    dict_id = int.from_bytes(data[p : p + did_size], "little") if did_size else 0
+    p += did_size
+    fcs_code = fhd >> 6
+    fcs_size = (1 if single else 0, 2, 4, 8)[fcs_code]
+    if p + fcs_size > len(data):
+        return None
+    content_size = None
+    if fcs_size:
+        content_size = int.from_bytes(data[p : p + fcs_size], "little")
+        if fcs_size == 2:
+            content_size += 256
+    p += fcs_size
+    return p, dict_id, content_size, (fhd >> 2) & 1, single
+
+
+def _parse_zstd_meta(data: bytes) -> dict[str, str]:
+    """Zstandard frame envelope (RFC 8878): dictionary id, declared
+    content size, checksum flag — the modern web-archive compression
+    beside gzip; payload decode is real for the raw/RLE block subset
+    (decode_zstd_raw), compressed blocks stay envelope-only."""
+    hdr = _zstd_header(data)
+    if hdr is None:
+        return {}
+    _p, dict_id, content_size, checksum, _single = hdr
+    out = {"zstd:kind": "frame"}
+    if dict_id:
+        out["zstd:dict_id"] = str(dict_id)
+    if content_size is not None:
+        out["zstd:content_size"] = str(content_size)
+    out["zstd:checksum"] = str(checksum)
+    return out
+
+
+def decode_zstd_raw(data: bytes | None) -> bytes | None:
+    """Real zstd decode for the UNCOMPRESSED subset: frames whose blocks
+    are all Raw (type 0) or RLE (type 1) — the `--no-compress` /
+    store-mode frames archival pipelines emit for incompressible data.
+    Compressed blocks (type 2, FSE/Huffman) return None and stay in the
+    honest envelope-only tier. Bounded by ZSTD_MAX_RAW."""
+    hdr = _zstd_header(data) if data else None
+    if hdr is None:
+        return None
+    p, _dict_id, content_size, checksum, _single = hdr
+    out = bytearray()
+    last = False
+    while not last:
+        if p + 3 > len(data):
+            return None
+        bh = int.from_bytes(data[p : p + 3], "little")
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        p += 3
+        if btype == 0:  # raw
+            if p + bsize > len(data):
+                return None
+            out += data[p : p + bsize]
+            p += bsize
+        elif btype == 1:  # RLE: one byte repeated bsize times
+            if p + 1 > len(data):
+                return None
+            out += data[p : p + 1] * bsize
+            p += 1
+        else:
+            return None  # compressed/reserved: out of subset
+        if len(out) > ZSTD_MAX_RAW:
+            return None
+    if checksum and p + 4 > len(data):
+        return None
+    if content_size is not None and len(out) != content_size:
+        return None  # header/payload disagreement: reject loudly
+    return bytes(out)
+
+
+def zstd_raw_encode(payload: bytes, block_size: int = 1 << 17) -> bytes:
+    """Store-mode zstd frame (fixture + real writer): raw blocks only,
+    single-segment, declared content size, no checksum."""
+    n = len(payload)
+    if n < 256:
+        fhd = 0x20  # single-segment, FCS code 0 -> 1 byte
+        head = ZSTD_MAGIC + bytes([fhd, n])
+    elif n <= 0xFFFF + 256:
+        fhd = 0x20 | 0x40  # single-segment, FCS code 1 -> 2 bytes (+256)
+        head = ZSTD_MAGIC + bytes([fhd]) + (n - 256).to_bytes(2, "little")
+    else:
+        fhd = 0x20 | 0x80  # single-segment, FCS code 2 -> 4 bytes
+        head = ZSTD_MAGIC + bytes([fhd]) + n.to_bytes(4, "little")
+    out = bytearray(head)
+    pos = 0
+    while True:
+        chunk = payload[pos : pos + block_size]
+        pos += len(chunk)
+        last = 1 if pos >= n else 0
+        bh = (len(chunk) << 3) | (0 << 1) | last
+        out += bh.to_bytes(3, "little") + chunk
+        if last:
+            break
+    return bytes(out)
 
 
 def _parse_avi_meta(data: bytes) -> dict[str, str]:

@@ -4636,6 +4636,80 @@ FROM documents
 """
 
 
+_zstd_schema = StructType(
+    [
+        StructField("frame_len", IntegerType()),
+        StructField("content_size", IntegerType()),
+        StructField("decoded_md5", StringType()),
+    ]
+)
+
+
+def _zstd_roundtrip_batch(doc_id: pd.Series) -> pd.DataFrame:
+    """Store-mode zstd frame per doc (round 6): deterministic text
+    wrapped by zstd_raw_encode (raw blocks, declared content size),
+    decoded back by decode_zstd_raw; md5 of the decoded bytes proves
+    byte-identity against the oracle's independent construction."""
+    import hashlib
+
+    rows = []
+    for did in doc_id:
+        did = int(did)
+        payload = (f"zstd payload {did} " * (1 + did % 9)).encode()
+        frame = pure.zstd_raw_encode(payload)
+        meta = pure._parse_zstd_meta(frame)
+        decoded = pure.decode_zstd_raw(frame)
+        rows.append(
+            {
+                "frame_len": len(frame),
+                "content_size": int(meta["zstd:content_size"]),
+                "decoded_md5": hashlib.md5(decoded).hexdigest(),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+zstd_roundtrip_udf = F.pandas_udf(_zstd_roundtrip_batch, _zstd_schema)
+
+
+def q_zstd_roundtrip(spark, sf_dir):
+    """Zstandard store-mode round trip (round 6, pure.zstd_raw_encode /
+    decode_zstd_raw / _parse_zstd_meta): the modern web-archive
+    compression envelope beside gzip — raw/RLE-block frames decode for
+    real, compressed blocks stay a documented envelope-only tier. The
+    oracle reconstructs the payload independently and value-checks the
+    md5, the declared content size, and the exact frame length
+    (magic + header + one 3-byte raw block header per frame here)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    parsed = docs.select("doc_id", zstd_roundtrip_udf("doc_id").alias("z"))
+    return parsed.select(
+        "doc_id",
+        F.col("z.frame_len").alias("frame_len"),
+        F.col("z.content_size").alias("content_size"),
+        F.col("z.decoded_md5").alias("decoded_md5"),
+    )
+
+
+# payload = 'zstd payload <id> ' * (1 + id%9); every payload here is
+# < 65792 bytes and >= 256 only when the repeat pushes it there, so the
+# frame header is 6 bytes (FCS code 0) or 7 (code 1) + one 3-byte raw
+# block header + the payload.
+SQL_ZSTD_ROUNDTRIP = """
+WITH d AS (
+  SELECT doc_id,
+         repeat('zstd payload ' || CAST(doc_id AS VARCHAR) || ' ',
+                CAST(1 + doc_id % 9 AS INT)) AS payload
+  FROM documents)
+SELECT doc_id,
+       CAST(LENGTH(payload)
+            + CASE WHEN LENGTH(payload) < 256 THEN 6 ELSE 7 END
+            + 3 AS INT) AS frame_len,
+       CAST(LENGTH(payload) AS INT) AS content_size,
+       md5(payload) AS decoded_md5
+FROM d
+"""
+
+
 def q_surt_keys(spark, sf_dir):
     """SURT index keys (round 6, stages/urls.surt_key_expr — the CDX
     key transform CC-style archives sort and dedup by): a messy variant
@@ -4967,6 +5041,7 @@ REGISTRY: dict[str, tuple] = {
     "surt_keys": (q_surt_keys, SQL_SURT_KEYS),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "doc_bigram_surprisal": (q_doc_bigram_surprisal, SQL_DOC_BIGRAM_SURPRISAL),
+    "zstd_roundtrip": (q_zstd_roundtrip, SQL_ZSTD_ROUNDTRIP),
     # -- last official green r04; rotated back into the window --
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),

@@ -193,3 +193,45 @@ def test_page_meta_hostile_is_total_and_bounded():
         for _ in range(rnd.randint(1, 5)):
             b[rnd.randrange(len(b))] = chr(rnd.randrange(1, 0x500))
         pure.extract_page_meta("".join(b))
+
+
+def test_zstd_raw_roundtrip_and_gates():
+    for n in (0, 1, 255, 256, 70000, 200000):
+        payload = bytes((i * 37) & 0xFF for i in range(n))
+        frame = pure.zstd_raw_encode(payload)
+        assert pure.decode_zstd_raw(frame) == payload
+        assert pure.sniff_bytes(frame)["content_type"] == "zstd"
+        meta = pure._parse_zstd_meta(frame)
+        assert meta["zstd:content_size"] == str(n)
+    # RLE block
+    rle = pure.ZSTD_MAGIC + bytes([0x20, 9]) + (
+        ((9 << 3) | (1 << 1) | 1).to_bytes(3, "little") + b"z"
+    )
+    assert pure.decode_zstd_raw(rle) == b"z" * 9
+    # compressed block type stays envelope-only
+    comp = pure.ZSTD_MAGIC + bytes([0x20, 5]) + (
+        ((5 << 3) | (2 << 1) | 1).to_bytes(3, "little") + b"abcde"
+    )
+    assert pure.decode_zstd_raw(comp) is None
+    # declared size disagreement rejected
+    bad = bytearray(pure.zstd_raw_encode(b"abc"))
+    bad[5] = 9
+    assert pure.decode_zstd_raw(bytes(bad)) is None
+
+
+def test_zstd_hostile_total():
+    d = pure.zstd_raw_encode(b"payload " * 64)
+    for cut in range(len(d)):
+        pure.decode_zstd_raw(d[:cut])
+    rnd = random.Random(65)
+    for _ in range(400):
+        b = bytearray(d)
+        for _ in range(4):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        pure.decode_zstd_raw(bytes(b))
+
+
+def test_xz_sniffed():
+    assert pure.sniff_bytes(b"\xfd7zXZ\x00\x00\x04" + b"\0" * 32)[
+        "content_type"
+    ] == "xz"
