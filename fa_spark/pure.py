@@ -1562,9 +1562,17 @@ def extract_page_meta(html: str) -> dict:
     tm = _TITLE_TAG_RE.search(html)
     if tm:
         out["title"] = _norm_ws(unescape(tm.group(1)))
+    n_link = 0
     for m in _LINK_TAG_RE.finditer(html):
+        if n_link >= PAGE_META_MAX_TAGS:
+            break
+        n_link += 1
         attrs = _tag_attrs(m.group(1))
-        if attrs.get("rel", "").lower() == "canonical" and attrs.get("href"):
+        # rel is a whitespace-separated TOKEN LIST (round-7 ADVICE):
+        # rel="canonical nofollow" still names the canonical link
+        if "canonical" in attrs.get("rel", "").lower().split() and attrs.get(
+            "href"
+        ):
             out["canonical"] = unescape(attrs["href"]).strip()
             break
     n = 0
@@ -7244,13 +7252,14 @@ ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 ZSTD_MAX_RAW = 1 << 24  # per-frame decode cap for the raw/RLE subset
 
 
-def _zstd_header(data: bytes):
-    """Parse a zstd frame header (RFC 8878) -> (body_offset, dict_id,
-    content_size|None, has_checksum, single_segment) or None."""
-    if len(data) < 6 or data[:4] != ZSTD_MAGIC:
+def _zstd_header(data: bytes, at: int = 0):
+    """Parse a zstd frame header (RFC 8878) starting at byte ``at`` ->
+    (body_offset, dict_id, content_size|None, has_checksum,
+    single_segment) or None. body_offset is absolute in ``data``."""
+    if len(data) < at + 6 or data[at : at + 4] != ZSTD_MAGIC:
         return None
-    fhd = data[4]
-    p = 5
+    fhd = data[at + 4]
+    p = at + 5
     single = (fhd >> 5) & 1
     if not single:
         p += 1  # window descriptor
@@ -7290,44 +7299,67 @@ def _parse_zstd_meta(data: bytes) -> dict[str, str]:
     return out
 
 
+ZSTD_SKIP_MAGIC_LO = 0x184D2A50  # skippable frames: +0x0 .. +0xF
+
+
 def decode_zstd_raw(data: bytes | None) -> bytes | None:
     """Real zstd decode for the UNCOMPRESSED subset: frames whose blocks
     are all Raw (type 0) or RLE (type 1) — the `--no-compress` /
     store-mode frames archival pipelines emit for incompressible data.
     Compressed blocks (type 2, FSE/Huffman) return None and stay in the
-    honest envelope-only tier. Bounded by ZSTD_MAX_RAW."""
-    hdr = _zstd_header(data) if data else None
-    if hdr is None:
+    honest envelope-only tier. Bounded by ZSTD_MAX_RAW (total across
+    frames). Round-7 ADVICE: a zstd STREAM is a sequence of frames —
+    concatenated data frames append, skippable frames (RFC 8878 §3.1.2)
+    are skipped, and any other trailing bytes reject the whole decode,
+    so a truncated tail can never pass as a successful decode."""
+    if not data or _zstd_header(data) is None:
         return None
-    p, _dict_id, content_size, checksum, _single = hdr
     out = bytearray()
-    last = False
-    while not last:
-        if p + 3 > len(data):
-            return None
-        bh = int.from_bytes(data[p : p + 3], "little")
-        last = bh & 1
-        btype = (bh >> 1) & 3
-        bsize = bh >> 3
-        p += 3
-        if btype == 0:  # raw
-            if p + bsize > len(data):
+    p = 0
+    while p < len(data):
+        if p + 8 <= len(data):
+            magic = int.from_bytes(data[p : p + 4], "little")
+            if magic & 0xFFFFFFF0 == ZSTD_SKIP_MAGIC_LO:
+                skip = int.from_bytes(data[p + 4 : p + 8], "little")
+                p += 8 + skip
+                if p > len(data):
+                    return None  # skippable frame overruns the buffer
+                continue
+        hdr = _zstd_header(data, p)
+        if hdr is None:
+            return None  # trailing bytes that are not a frame: reject
+        p, _dict_id, content_size, checksum, _single = hdr
+        frame_out = 0
+        last = False
+        while not last:
+            if p + 3 > len(data):
                 return None
-            out += data[p : p + bsize]
-            p += bsize
-        elif btype == 1:  # RLE: one byte repeated bsize times
-            if p + 1 > len(data):
+            bh = int.from_bytes(data[p : p + 3], "little")
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            p += 3
+            if btype == 0:  # raw
+                if p + bsize > len(data):
+                    return None
+                out += data[p : p + bsize]
+                p += bsize
+            elif btype == 1:  # RLE: one byte repeated bsize times
+                if p + 1 > len(data):
+                    return None
+                out += data[p : p + 1] * bsize
+                p += 1
+            else:
+                return None  # compressed/reserved: out of subset
+            frame_out += bsize if btype != 2 else 0
+            if len(out) > ZSTD_MAX_RAW:
                 return None
-            out += data[p : p + 1] * bsize
-            p += 1
-        else:
-            return None  # compressed/reserved: out of subset
-        if len(out) > ZSTD_MAX_RAW:
-            return None
-    if checksum and p + 4 > len(data):
-        return None
-    if content_size is not None and len(out) != content_size:
-        return None  # header/payload disagreement: reject loudly
+        if checksum:
+            if p + 4 > len(data):
+                return None
+            p += 4  # XXH64 low bits: present but not verified
+        if content_size is not None and frame_out != content_size:
+            return None  # header/payload disagreement: reject loudly
     return bytes(out)
 
 
@@ -8487,7 +8519,13 @@ def decode_mp2(data: bytes | None) -> dict | None:
                 return None  # MPEG-1 Layer II only
             if (b3 >> 6) & 3 != 3:
                 return None  # mono only (documented subset)
-            if (f_rate, kbps) not in _MP2_TABLE_A:
+            # ISO 2.4.2.6 selects the allocation table by bitrate PER
+            # CHANNEL; mono is enforced just above, so nch == 1 here and
+            # the header's total bitrate IS the per-channel bitrate. If
+            # the stereo subset is ever widened, this division is the
+            # line that keeps the table selection correct.
+            kbps_per_ch = kbps // 1  # nch == 1 (mono gate above)
+            if (f_rate, kbps_per_ch) not in _MP2_TABLE_A:
                 return None  # allocation tables B.2b/c/d out of subset
             if rate is None:
                 rate = f_rate

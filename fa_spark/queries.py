@@ -4646,9 +4646,12 @@ _zstd_schema = StructType(
 
 
 def _zstd_roundtrip_batch(doc_id: pd.Series) -> pd.DataFrame:
-    """Store-mode zstd frame per doc (round 6): deterministic text
-    wrapped by zstd_raw_encode (raw blocks, declared content size),
-    decoded back by decode_zstd_raw; md5 of the decoded bytes proves
+    """Store-mode zstd STREAM per doc (round 6; round 7 widens to the
+    multi-frame stream shape): deterministic text split across TWO
+    zstd_raw_encode frames with a skippable frame (RFC 8878 §3.1.2)
+    between them — the exact layout archival writers emit — decoded
+    back by decode_zstd_raw, which must append across data frames and
+    hop the skippable one; md5 of the decoded bytes proves
     byte-identity against the oracle's independent construction."""
     import hashlib
 
@@ -4656,13 +4659,25 @@ def _zstd_roundtrip_batch(doc_id: pd.Series) -> pd.DataFrame:
     for did in doc_id:
         did = int(did)
         payload = (f"zstd payload {did} " * (1 + did % 9)).encode()
-        frame = pure.zstd_raw_encode(payload)
-        meta = pure._parse_zstd_meta(frame)
-        decoded = pure.decode_zstd_raw(frame)
+        half = len(payload) // 2
+        skippable = (
+            pure.ZSTD_SKIP_MAGIC_LO.to_bytes(4, "little")
+            + (4).to_bytes(4, "little")
+            + b"meta"
+        )
+        stream = (
+            pure.zstd_raw_encode(payload[:half])
+            + skippable
+            + pure.zstd_raw_encode(payload[half:])
+        )
+        meta = pure._parse_zstd_meta(stream)
+        decoded = pure.decode_zstd_raw(stream)
         rows.append(
             {
-                "frame_len": len(frame),
-                "content_size": int(meta["zstd:content_size"]),
+                "frame_len": len(stream),
+                "content_size": int(meta["zstd:content_size"])
+                + len(payload)
+                - half,
                 "decoded_md5": hashlib.md5(decoded).hexdigest(),
             }
         )
@@ -4690,10 +4705,11 @@ def q_zstd_roundtrip(spark, sf_dir):
     )
 
 
-# payload = 'zstd payload <id> ' * (1 + id%9); every payload here is
-# < 65792 bytes and >= 256 only when the repeat pushes it there, so the
-# frame header is 6 bytes (FCS code 0) or 7 (code 1) + one 3-byte raw
-# block header + the payload.
+# payload = 'zstd payload <id> ' * (1 + id%9), split in half across two
+# frames with a 12-byte skippable frame between them; each half is
+# always < 256 bytes (max payload 20*9 = 180), so both frame headers
+# are 6 bytes (single-segment, FCS code 0) + one 3-byte raw block
+# header each: stream length = payload + 2*(6+3) + 12 = payload + 30.
 SQL_ZSTD_ROUNDTRIP = """
 WITH d AS (
   SELECT doc_id,
@@ -4701,9 +4717,7 @@ WITH d AS (
                 CAST(1 + doc_id % 9 AS INT)) AS payload
   FROM documents)
 SELECT doc_id,
-       CAST(LENGTH(payload)
-            + CASE WHEN LENGTH(payload) < 256 THEN 6 ELSE 7 END
-            + 3 AS INT) AS frame_len,
+       CAST(LENGTH(payload) + 30 AS INT) AS frame_len,
        CAST(LENGTH(payload) AS INT) AS content_size,
        md5(payload) AS decoded_md5
 FROM d
@@ -4713,10 +4727,13 @@ FROM d
 def q_surt_keys(spark, sf_dir):
     """SURT index keys (round 6, stages/urls.surt_key_expr — the CDX
     key transform CC-style archives sort and dedup by): a messy variant
-    (scheme/host case, www, default port, fragment) and a clean variant
-    of each doc's URL must map to the SAME reversed-host key. The
-    oracle constructs the expected key analytically from the doc_id
-    arithmetic — an independent statement of the transform's output."""
+    (scheme/host case, userinfo, www, default port, fragment), an https
+    variant (its own default port + credentials), and a clean variant
+    of each doc's URL must all map to the SAME reversed-host key, while
+    `http://host:443` (a NON-default port for http — round-7 ADVICE)
+    must keep its port and yield a DIFFERENT key. The oracle constructs
+    the expected key analytically from the doc_id arithmetic — an
+    independent statement of the transform's output."""
     from fa_spark.stages.urls import surt_key_expr
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -4725,17 +4742,30 @@ def q_surt_keys(spark, sf_dir):
     h = (F.col("doc_id") % 7).cast("string")
     q = (F.col("doc_id") % 3).cast("string")
     messy = F.concat(
-        F.lit("HTTP://WWW.Sub"), s, F.lit(".Example"), h,
-        F.lit(".COM:80/p/"), d, F.lit("?q="), q, F.lit("#frag"),
+        F.lit("HTTP://u:pw@WWW.Sub"), s, F.lit(".Example"), h,
+        F.lit(".COM:080/p/"), d, F.lit("?q="), q, F.lit("#frag"),
+    )
+    https = F.concat(
+        F.lit("https://u@sub"), s, F.lit(".example"), h,
+        F.lit(".com:443/p/"), d, F.lit("?q="), q,
+    )
+    cross = F.concat(  # :443 is NOT http's default -> port survives
+        F.lit("http://sub"), s, F.lit(".example"), h,
+        F.lit(".com:443/p/"), d, F.lit("?q="), q,
     )
     clean = F.concat(
         F.lit("http://sub"), s, F.lit(".example"), h,
         F.lit(".com/p/"), d, F.lit("?q="), q,
     )
+    k_clean = surt_key_expr(clean)
     return docs.select(
         "doc_id",
         surt_key_expr(messy).alias("surt"),
-        (surt_key_expr(messy) == surt_key_expr(clean)).alias("keys_match"),
+        (
+            (surt_key_expr(messy) == k_clean)
+            & (surt_key_expr(https) == k_clean)
+        ).alias("keys_match"),
+        (surt_key_expr(cross) != k_clean).alias("cross_port_kept"),
     )
 
 
@@ -4745,7 +4775,8 @@ SELECT doc_id,
          || ',sub' || CAST(doc_id % 5 AS VARCHAR)
          || ')/p/' || CAST(doc_id AS VARCHAR)
          || '?q=' || CAST(doc_id % 3 AS VARCHAR) AS surt,
-       TRUE AS keys_match
+       TRUE AS keys_match,
+       TRUE AS cross_port_kept
 FROM documents
 """
 

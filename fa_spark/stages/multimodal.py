@@ -260,18 +260,20 @@ def media_features_fn(mode: str = "describe"):
                     or (aud := pure.decode_mp2(b)) is not None
                     or (aud := pure.decode_mp1(b)) is not None
                 ):
-                    # round 6: real MPEG-1 Layer III decode (side info +
-                    # bit reservoir + Huffman + requantize + alias
-                    # reduction + IMDCT + synthesis, pure.decode_mp3)
-                    # AND Layer II (Table B.2a bit allocation + grouped
-                    # requantization + the same synthesis filterbank,
-                    # pure.decode_mp2 — the sniffer types both layers
-                    # 'mp3', the raw MPEG-audio family). Out-of-subset
-                    # streams (joint stereo, short blocks, big Huffman
-                    # tables, Layer I, table B.2b/c/d — pure.py section
-                    # headers) return None from both decoders and keep
-                    # the honest stubbed tier below; the gate is the
-                    # decode itself, like ogg's codec gate.
+                    # rounds 5-7: ALL THREE MPEG-1 audio layers decode
+                    # for real — Layer III (side info + bit reservoir +
+                    # Huffman + requantize + alias reduction + IMDCT +
+                    # synthesis, pure.decode_mp3, incl. M/S joint
+                    # stereo), Layer II (Table B.2a bit allocation +
+                    # grouped requantization, pure.decode_mp2), Layer I
+                    # (mono table-A, pure.decode_mp1); the sniffer types
+                    # all layers 'mp3', the raw MPEG-audio family. Only
+                    # out-of-subset streams (intensity stereo, Huffman
+                    # tables beyond the pure.py subset, stereo Layer
+                    # I/II, allocation tables B.2b/c/d — see the pure.py
+                    # section headers) return None from their decoder
+                    # and keep the honest stubbed tier below; the gate
+                    # is the decode itself, like ogg's codec gate.
                     status = "decoded"
                     feature = _real_wav_features(aud)
                 elif ct == "ogg" and meta.get("ogg:codec") == "vorbis":

@@ -111,19 +111,32 @@ def surt_key_expr(col) -> Column:
     Pure Catalyst (regexp split + reverse + array_join, zero UDF): at
     10^12 urls the key is one codegen projection, and range-partitioning
     on it co-locates each registered domain. Rules (standard SURT):
-    lowercase host, fold a leading `www.`, drop `:80`/`:443` default
-    ports, reverse dot-segments with commas, `)` then path (`/` if
-    empty) and `?query` if present; scheme and fragment dropped.
-    Scheme-less input yields NULL (no host to transform)."""
+    lowercase host, strip userinfo (`user:pass@`), fold a leading
+    `www.`, drop only the SCHEME'S OWN default port (`:80` for http,
+    `:443` for https — `http://host:443` keeps its port and stays a
+    distinct key), reverse dot-segments with commas, `)` then path
+    (`/` if empty) and `?query` if present; scheme and fragment
+    dropped. Scheme-less input yields NULL (no host to transform)."""
     u = col
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    )
     hostport = F.lower(
         F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
     )
+    # userinfo precedes the host and never contains '/' — strip it so
+    # credentialed variants collapse to the same dedup key
+    hostport = F.regexp_replace(hostport, r"^[^/@]*@", "")
     hostport = F.regexp_replace(hostport, r"^www\.", "")
-    hostport = F.regexp_replace(hostport, r":(80|443)$", "")
+    default_port = (
+        F.when(scheme == "http", F.lit("80"))
+        .when(scheme == "https", F.lit("443"))
+        .otherwise(F.lit(""))
+    )
     # a non-default port trails the REVERSED host (com,example:8080)) —
     # it must not ride the TLD segment through the reversal
-    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    port = F.regexp_extract(hostport, r":0*(\d+)$", 1)
+    port = F.when(port == default_port, F.lit("")).otherwise(port)
     host = F.regexp_replace(hostport, r":\d+$", "")
     path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)

@@ -178,6 +178,12 @@ def test_page_meta_extraction():
     assert pure.extract_page_meta("") == {
         "title": "", "canonical": "", "og": {}, "meta": {},
     }
+    # rel is a token list (round-7 ADVICE)
+    multi = '<link rel="canonical nofollow" href="https://ex.com/c2">'
+    assert pure.extract_page_meta(multi)["canonical"] == "https://ex.com/c2"
+    # link scan honors the same tag-count cap as meta
+    flood = '<link rel="x" href="h">' * (pure.PAGE_META_MAX_TAGS + 5) + multi
+    assert pure.extract_page_meta(flood)["canonical"] == ""
 
 
 def test_page_meta_hostile_is_total_and_bounded():
@@ -217,6 +223,31 @@ def test_zstd_raw_roundtrip_and_gates():
     bad = bytearray(pure.zstd_raw_encode(b"abc"))
     bad[5] = 9
     assert pure.decode_zstd_raw(bytes(bad)) is None
+
+
+def test_zstd_multi_frame_stream():
+    """Round-7 ADVICE: concatenated data frames append, skippable
+    frames are hopped, and trailing garbage rejects the whole decode."""
+    a, b = pure.zstd_raw_encode(b"hello "), pure.zstd_raw_encode(b"world")
+    skip = (
+        (pure.ZSTD_SKIP_MAGIC_LO + 7).to_bytes(4, "little")
+        + (4).to_bytes(4, "little")
+        + b"meta"
+    )
+    assert pure.decode_zstd_raw(a + b) == b"hello world"
+    assert pure.decode_zstd_raw(a + skip + b) == b"hello world"
+    assert pure.decode_zstd_raw(skip + a) is None  # must START with a frame
+    assert pure.decode_zstd_raw(a + b"garbage") is None
+    assert pure.decode_zstd_raw(a + skip[:6]) is None  # truncated skippable
+    # skippable declaring more bytes than remain
+    over = pure.ZSTD_SKIP_MAGIC_LO.to_bytes(4, "little") + (99).to_bytes(
+        4, "little"
+    )
+    assert pure.decode_zstd_raw(a + over) is None
+    # per-frame declared-size check still holds on the SECOND frame
+    bad = bytearray(b)
+    bad[5] = 9
+    assert pure.decode_zstd_raw(a + bytes(bad)) is None
 
 
 def test_zstd_hostile_total():
