@@ -7966,12 +7966,16 @@ def webm_envelope_encode(
 #
 # DOCUMENTED SUBSET (out-of-scope streams return None and stay in the
 # honest `stubbed` lineage tier, exactly like floor0 Vorbis):
-#   * MPEG-1 only (mono / stereo / dual; joint stereo and MPEG-2/2.5 LSF
-#     are out of scope),
+#   * MPEG-1 only (mono / stereo / dual / M/S joint stereo; intensity
+#     stereo and MPEG-2/2.5 LSF are out of scope),
 #   * long blocks only (block_type 0/1/3; short/mixed windows return None),
-#   * big_values Huffman tables 0 and 1 plus count1 table B — the small
-#     tables whose (hlen, hcod) rows this module states with confidence;
-#     frames selecting other tables return None rather than mis-decode,
+#   * big_values Huffman tables 0-3 and 5-9 (the full small-value
+#     family, xmax 5) plus BOTH count1 tables A and B (round 7) — the
+#     tables whose (hlen, hcod) rows this module states with confidence,
+#     each validated as a complete prefix code (Kraft sum 1) in tests;
+#     frames selecting the ESC/linbits tables (10-31) return None
+#     rather than mis-decode — the decode loop is table-size-generic,
+#     the remaining gap is purely the 256-entry code DATA,
 #   * the synthesis stage keeps the ISO matrixing cos((16+i)(2k+1)π/64)
 #     and windowed overlap-add STRUCTURE but substitutes an exact
 #     perfect-reconstruction sine-prototype (64-tap, factor 2/32 — proven
@@ -8002,14 +8006,72 @@ _MP3_SFB_LONG = {
 # alias-reduction butterfly coefficients ci [ISO 2.4.3.4.10.1]
 _MP3_CI = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
 
-# big_values pair tables implemented: 0 (all-zero region, zero bits) and
-# 1 (2x2). Keyed (codeword_len, codeword) -> (x, y); MSB-first.
-_MP3_HUFF_BV: dict[int, dict] = {
-    0: {},
-    1: {(1, 0b1): (0, 0), (2, 0b01): (1, 0), (3, 0b001): (0, 1),
-        (3, 0b000): (1, 1)},
+# big_values pair tables [ISO 11172-3 Table B.7]. Round 7 widens the
+# subset from {0, 1} to the full small-value family {0,1,2,3,5,6,7,8,9}
+# (xmax 5 — tables 4 and 14 do not exist in the spec). Each table is
+# stated as (hlen, hcod) matrices indexed [x][y] and VALIDATED in
+# tests/test_mp3_tables.py as a complete prefix code (Kraft sum exactly
+# 1 + pairwise prefix-freeness) — the structural checksum a mistyped
+# row breaks. The 8x8/16x16 ESC tables (10-13, 15, 16-31 with linbits)
+# remain out of subset: their 256-entry code data is the blocker, not
+# the loop — _mp3_huffman already handles arbitrary sizes and carries
+# the linbits hook.
+_MP3_HUFF_RAW: dict[int, tuple] = {
+    # tsel: (hlen rows, hcod rows), row index x, column index y
+    1: (((1, 3), (2, 3)),
+        ((1, 1), (1, 0))),
+    2: (((1, 3, 6), (3, 3, 5), (5, 5, 6)),
+        ((1, 2, 1), (3, 1, 1), (3, 2, 0))),
+    3: (((2, 2, 6), (3, 2, 5), (5, 5, 6)),
+        ((3, 2, 1), (1, 1, 1), (3, 2, 0))),
+    5: (((1, 3, 6, 7), (3, 3, 6, 7), (6, 6, 7, 8), (7, 6, 7, 8)),
+        ((1, 2, 6, 5), (3, 1, 4, 4), (7, 5, 7, 1), (6, 1, 1, 0))),
+    6: (((3, 3, 5, 7), (3, 2, 4, 5), (4, 4, 5, 6), (6, 5, 6, 7)),
+        ((7, 3, 5, 1), (6, 2, 3, 2), (5, 4, 4, 1), (3, 3, 2, 0))),
+    7: (((1, 3, 6, 8, 8, 9), (3, 4, 6, 7, 7, 8), (6, 5, 7, 8, 8, 9),
+         (7, 7, 8, 9, 9, 9), (7, 7, 8, 9, 9, 10), (8, 8, 9, 10, 10, 10)),
+        ((1, 2, 10, 19, 16, 10), (3, 3, 7, 10, 5, 3),
+         (11, 4, 13, 17, 8, 4), (12, 11, 18, 15, 11, 2),
+         (7, 6, 9, 14, 3, 1), (6, 4, 5, 3, 2, 0))),
+    8: (((2, 3, 6, 8, 8, 9), (3, 2, 4, 8, 8, 8), (6, 4, 6, 8, 8, 9),
+         (8, 8, 8, 9, 9, 10), (8, 7, 8, 9, 10, 10), (9, 8, 9, 9, 11, 11)),
+        ((3, 4, 6, 18, 12, 5), (5, 1, 2, 16, 9, 3),
+         (7, 3, 5, 14, 7, 3), (19, 17, 15, 13, 10, 4),
+         (13, 5, 8, 11, 5, 1), (12, 4, 4, 1, 1, 0))),
+    9: (((3, 3, 5, 6, 8, 9), (3, 3, 4, 5, 6, 8), (4, 4, 5, 6, 7, 8),
+         (6, 5, 6, 7, 7, 8), (7, 6, 7, 7, 8, 9), (8, 7, 8, 8, 9, 9)),
+        ((7, 5, 9, 14, 15, 7), (6, 4, 5, 5, 6, 7),
+         (7, 6, 8, 8, 8, 5), (15, 6, 9, 10, 5, 1),
+         (11, 7, 9, 6, 4, 1), (14, 4, 6, 2, 6, 0))),
 }
-_MP3_HUFF_MAXLEN = {0: 0, 1: 3}
+
+
+def _mp3_build_bv() -> tuple[dict, dict]:
+    tabs: dict[int, dict] = {0: {}}
+    maxlen: dict[int, int] = {0: 0}
+    for tsel, (hlen, hcod) in _MP3_HUFF_RAW.items():
+        m: dict = {}
+        mx = 0
+        for x, (lrow, crow) in enumerate(zip(hlen, hcod)):
+            for y, (ln, code) in enumerate(zip(lrow, crow)):
+                m[(ln, code)] = (x, y)
+                mx = max(mx, ln)
+        tabs[tsel] = m
+        maxlen[tsel] = mx
+    return tabs, maxlen
+
+
+_MP3_HUFF_BV, _MP3_HUFF_MAXLEN = _mp3_build_bv()
+
+# count1 quadruple table A [ISO Table B.7]: entry index v*8+w*4+x*2+y.
+# Table B (all quads, 4-bit one's complement) is decoded inline.
+_MP3_CT1A_HLEN = (1, 4, 4, 5, 4, 6, 5, 6, 4, 5, 5, 6, 5, 6, 6, 6)
+_MP3_CT1A_HCOD = (1, 5, 4, 5, 6, 5, 4, 4, 7, 3, 6, 0, 7, 2, 3, 1)
+_MP3_CT1A = {
+    (ln, code): n
+    for n, (ln, code) in enumerate(zip(_MP3_CT1A_HLEN, _MP3_CT1A_HCOD))
+}
+_MP3_CT1A_MAXLEN = max(_MP3_CT1A_HLEN)
 
 _MP3_DSP_CACHE: dict = {}
 
@@ -8141,14 +8203,25 @@ def _mp3_huffman(r, g, sfb_long, start_bit):
                 y = -y
         is_[line], is_[line + 1] = x, y
         line += 2
-    # count1 region: quads of |v| <= 1 until part2_3_length is exhausted
-    if g["count1table"] == 0:
-        # count1 table A not implemented (documented subset) — only an
-        # issue when the region is actually entered
-        if bitpos() < end_bit and line <= 572:
-            return None
+    # count1 region: quads of |v| <= 1 until part2_3_length is exhausted.
+    # Table B is the 4-bit one's-complement nibble; table A (round 7) is
+    # the 16-entry prefix code of ISO Table B.7 — in both, sign bits
+    # follow the codeword in v,w,x,y order for the nonzero values.
     while bitpos() < end_bit and line <= 572:
-        nib = r.read(4) ^ 0xF
+        if g["count1table"] == 0:  # table A
+            code, ln = 0, 0
+            n = None
+            while ln < _MP3_CT1A_MAXLEN:
+                code = (code << 1) | r.read(1)
+                ln += 1
+                n = _MP3_CT1A.get((ln, code))
+                if n is not None:
+                    break
+            if n is None:
+                raise ValueError("bad count1 code")
+            nib = n
+        else:  # table B
+            nib = r.read(4) ^ 0xF
         vals = []
         for b in range(4):
             v = (nib >> (3 - b)) & 1
@@ -8383,6 +8456,83 @@ def mp3_tone_encode(
     nib = 1 << (3 - pos_in_quad)
     m.write(nib ^ 0xF, 4)
     m.write(0, 1)  # sign: positive
+    main = m.bytes()
+
+    frame = hdr + side + main
+    return frame + b"\x00" * (flen - len(frame))
+
+
+def mp3_huff_tone_encode(
+    tsel: int,
+    x: int,
+    y: int,
+    sign_x: int,
+    quad_idx: int,
+    amp_exp: int,
+    rate: int = 32000,
+    bitrate_kbps: int = 64,
+) -> bytes:
+    """Deterministic single-frame Layer III stream exercising a BIG-VALUE
+    Huffman table + count1 table A (round 7, fixture + oracle): granule 0
+    is digital silence, granule 1 carries
+      * one big-value pair (±x, y) at spectral lines 0,1 coded with
+        table ``tsel`` (region0, region0_count 0 -> boundary at line 4),
+      * one count1 TABLE-A quadruple at lines 2..5 whose (v,w,x,y) bits
+        are ``quad_idx`` (all positive),
+    with global_gain 210 - 4*amp_exp so requantization gives the exact
+    coefficients c_k = sign_k · |is_k|^(4/3) · 2^-amp_exp. Lines 0..5 sit
+    in subband 0 clear of the alias butterflies, so the decoded PCM is
+    the linear combination of per-line IMDCT+synthesis cosine closed
+    forms — re-derived independently by queries.SQL_MP3_HUFF_FEATURES."""
+    hlen, hcod = _MP3_HUFF_RAW[tsel]
+    if not (0 <= x < len(hlen) and 0 <= y < len(hlen)):
+        raise ValueError("pair outside the table")
+    if not 0 <= quad_idx <= 15:
+        raise ValueError("quad_idx outside 0..15")
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[1].index(rate)
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC4])
+    flen = 144 * bitrate_kbps * 1000 // rate
+
+    p23 = (
+        hlen[x][y]
+        + (1 if x else 0)
+        + (1 if y else 0)
+        + _MP3_CT1A_HLEN[quad_idx]
+        + bin(quad_idx).count("1")
+    )
+
+    w = _FBitWriter()
+    w.write(0, 9)  # main_data_begin
+    w.write(0, 5)  # private
+    w.write(0, 4)  # scfsi
+    for gr_p23, gr_bv in ((0, 0), (p23, 1)):
+        w.write(gr_p23, 12)  # part2_3_length
+        w.write(gr_bv, 9)  # big_values (granule 1: one pair)
+        w.write(210 - 4 * amp_exp, 8)  # global_gain
+        w.write(0, 4)  # scalefac_compress
+        w.write(0, 1)  # window_switching_flag
+        w.write(tsel if gr_bv else 0, 5)  # table_select[0]
+        w.write(0, 5)
+        w.write(0, 5)
+        w.write(0, 4)  # region0_count
+        w.write(0, 3)  # region1_count
+        w.write(0, 1)  # preflag
+        w.write(0, 1)  # scalefac_scale
+        w.write(0, 1)  # count1table_select -> table A
+    side = w.bytes()
+    assert len(side) == 17
+
+    m = _FBitWriter()
+    m.write(hcod[x][y], hlen[x][y])
+    if x:
+        m.write(1 if sign_x < 0 else 0, 1)
+    if y:
+        m.write(0, 1)  # y always positive in this fixture
+    m.write(_MP3_CT1A_HCOD[quad_idx], _MP3_CT1A_HLEN[quad_idx])
+    for b in range(4):
+        if (quad_idx >> (3 - b)) & 1:
+            m.write(0, 1)  # positive
     main = m.bytes()
 
     frame = hdr + side + main

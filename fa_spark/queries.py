@@ -2939,6 +2939,144 @@ FROM agg
 """
 
 
+_MP3_HUFF_TSELS = (2, 3, 5, 6, 7, 8, 9)
+
+
+def _mp3_huff_params(did: int) -> tuple:
+    """Per-doc fixture parameters — stated ONCE here and mirrored
+    arithmetically by SQL_MP3_HUFF_FEATURES: table by doc%7, pair
+    values inside the table's range, sign by parity, count1-A quad by
+    doc%16, dyadic amplitude exponent 1+doc%4."""
+    tsel = _MP3_HUFF_TSELS[did % 7]
+    nv = 3 if tsel <= 3 else (4 if tsel <= 6 else 6)
+    return (
+        tsel,
+        did % nv,
+        (did // 3) % nv,
+        1 if did % 2 == 0 else -1,
+        did % 16,
+        1 + did % 4,
+    )
+
+
+def _mp3_huff_tone_batch(doc_id: pd.Series) -> pd.Series:
+    """Big-table + count1-A Layer III stream per doc (round 7 — VERDICT
+    r6 #2): granule 1 carries one big-value pair coded with one of the
+    small-value-family tables 2-9 AND one count1 TABLE-A quadruple, so
+    the decode exercises every widened Huffman path; amplitudes stay
+    closed-form (pure.mp3_huff_tone_encode docstring)."""
+    out = []
+    for did in doc_id:
+        tsel, x, y, sgn, q, e = _mp3_huff_params(int(did))
+        out.append(pure.mp3_huff_tone_encode(tsel, x, y, sgn, q, e, MP3_RATE, 64))
+    return pd.Series(out)
+
+
+mp3_huff_tone_udf = F.pandas_udf(_mp3_huff_tone_batch, BinaryType())
+
+
+def q_mp3_huff_features(spark, sf_dir):
+    """REAL Layer III decode through the round-7 Huffman widening (the
+    full small-value big-value table family 2-9 + count1 table A — ISO
+    11172-3 Table B.7, each table Kraft/prefix-validated in tests):
+    synthesize a frame per document whose granule 1 mixes a big-value
+    pair (signed) with a table-A count1 quadruple, decode it with
+    pure.decode_mp3, and value-check rms/peak/zcr against an oracle
+    that recomputes the PCM as the LINEAR COMBINATION of per-line
+    IMDCT+synthesis cosine closed forms — six spectral lines, six
+    independent coefficients, re-derived in SQL."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        mp3_huff_tone_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    fd = _feat_d
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        fd(1).alias("rms"),
+        fd(2).alias("peak"),
+        fd(3).alias("zcr"),
+        fd(4).alias("n_samples"),
+        fd(5).alias("sample_rate"),
+        fd(6).alias("duration_s"),
+    )
+
+
+# Granule 1 carries six spectral lines k=0..5 of subband 0 with
+# coefficients c_k = sign_k·|is_k|^(4/3)·2^-e (scalefactors zero, no
+# pretab, global_gain dyadic), so the decoded PCM is the same two-term
+# synthesis closed form as SQL_MP3_FEATURES with
+#   h(t) = sin(pi(2t+1)/72) * SUM_k c_k cos(pi/72 (2t+19)(2k+1)).
+# Lines 0,1 are the table-`tsel` big-value pair (x sign by doc parity,
+# y positive), lines 2..5 the count1 table-A quad bits of doc%16.
+# Float-op order mirrors the decoder ((pi/const)*exact-int args,
+# (sign*pow)*2^-e coefficients, sum-then-window).
+SQL_MP3_HUFF_FEATURES = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 7 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 5
+              WHEN 3 THEN 6 WHEN 4 THEN 7 WHEN 5 THEN 8 ELSE 9 END AS tsel,
+         1 + doc_id % 4 AS e,
+         doc_id % 16 AS q,
+         CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM documents),
+d2 AS (
+  SELECT doc_id, e, q, sgn,
+         CASE WHEN tsel <= 3 THEN 3 WHEN tsel <= 6 THEN 4 ELSE 6 END AS nv
+  FROM d),
+coef AS (
+  SELECT d2.doc_id, k.k,
+         CASE k.k
+           WHEN 0 THEN sgn * pow(doc_id % nv, 4.0/3.0) * pow(2.0, -e)
+           WHEN 1 THEN pow((doc_id // 3) % nv, 4.0/3.0) * pow(2.0, -e)
+           ELSE CASE WHEN ((q >> (5 - k.k)) & 1) = 1
+                     THEN pow(2.0, -e) ELSE 0.0 END
+         END AS c
+  FROM d2 CROSS JOIN (SELECT UNNEST(range(6)) AS k) k),
+hh0 AS (
+  SELECT doc_id, t.t AS t,
+         sin(pi()*(2*t.t+1)/72.0)
+           * SUM(cos(pi()/72.0*((2*t.t+19)*(2*k+1))) * c) AS h
+  FROM coef CROSS JOIN (SELECT UNNEST(range(18)) AS t) t
+  GROUP BY doc_id, t.t),
+hh AS (
+  SELECT doc_id, t, h,
+         LAG(h, 1, 0.0) OVER (PARTITION BY doc_id ORDER BY t) AS hp
+  FROM hh0),
+s AS (
+  SELECT hh.doc_id, hh.t, j.j,
+         ( hh.h * cos(pi()/128.0*(2*j.j+33)) * sin(pi()*(2*j.j+1)/128.0)
+         + hh.hp * cos(pi()/128.0*(2*j.j+97)) * sin(pi()*(2*(j.j+32)+1)/128.0)
+         ) / 16.0 AS p
+  FROM hh CROSS JOIN (SELECT UNNEST(range(32)) AS j) j),
+win AS (
+  SELECT doc_id, p,
+         LAG(p, 1, 0.0) OVER (PARTITION BY doc_id ORDER BY t, j) AS lp
+  FROM s),
+agg AS (
+  SELECT doc_id,
+         sqrt(sum(p*p) / 1152.0) AS rms,
+         max(abs(p)) AS peak,
+         SUM(CASE WHEN (lp >= 0) != (p >= 0) THEN 1 ELSE 0 END) AS zc
+  FROM win GROUP BY doc_id)
+SELECT doc_id,
+       'mp3' AS content_type,
+       'decoded' AS decode_status,
+       ROUND(rms, 6) AS rms,
+       ROUND(peak, 6) AS peak,
+       ROUND_EVEN(zc / 1152.0, 6) AS zcr,
+       CAST(1152 AS DOUBLE) AS n_samples,
+       CAST({MP3_RATE} AS DOUBLE) AS sample_rate,
+       ROUND(1152.0 / {MP3_RATE}, 6) AS duration_s
+FROM agg
+"""
+
+
 def _mp3_ms_tone_batch(doc_id: pd.Series) -> pd.Series:
     """M/S joint-stereo Layer III frame per doc (round 6): the mono
     tone plant in the MID channel, side silent — both output channels
@@ -5053,6 +5191,8 @@ REGISTRY: dict[str, tuple] = {
     # tail. Coverage of the tail is unchanged: every entry still runs
     # in the full pytest oracle sweep (tests/test_oracle.py).
     #
+    # -- new round-7 operators --
+    "mp3_huff_features": (q_mp3_huff_features, SQL_MP3_HUFF_FEATURES),
     # -- new round-6 operators --
     "mp3_features": (q_mp3_features, SQL_MP3_FEATURES),
     "mpeg1_frames": (q_mpeg1_frames, SQL_MPEG1_FRAMES),
