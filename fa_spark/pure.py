@@ -7968,7 +7968,10 @@ def webm_envelope_encode(
 # honest `stubbed` lineage tier, exactly like floor0 Vorbis):
 #   * MPEG-1 only (mono / stereo / dual / M/S joint stereo; intensity
 #     stereo and MPEG-2/2.5 LSF are out of scope),
-#   * long blocks only (block_type 0/1/3; short/mixed windows return None),
+#   * all block types: long 0/1/3 AND pure-short 2 (round 7 — Table B.8
+#     short bands, band-major scalefactors, reorder, subblock gains,
+#     three 12-point IMDCTs per subband with 6/12/18 overlap); MIXED
+#     blocks (mixed_block_flag 1) return None,
 #   * big_values Huffman tables 0-3 and 5-9 (the full small-value
 #     family, xmax 5) plus BOTH count1 tables A and B (round 7) — the
 #     tables whose (hlen, hcod) rows this module states with confidence,
@@ -8003,6 +8006,14 @@ _MP3_SFB_LONG = {
     32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
             156, 194, 240, 296, 364, 448, 550, 576],
 }
+# short-block (window-switching) scalefactor band boundaries, PER
+# 192-line window, MPEG-1 [Table B.8] — 13 bands; widths sum to 192
+_MP3_SFB_SHORT = {
+    44100: [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192],
+    48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
+    32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
+}
+
 # alias-reduction butterfly coefficients ci [ISO 2.4.3.4.10.1]
 _MP3_CI = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
 
@@ -8086,6 +8097,10 @@ def _mp3_dsp() -> dict:
     p = _np.arange(36)
     m = _np.arange(18)
     imdct = _np.cos(_np.pi / 72.0 * _np.outer(2 * p + 19, 2 * m + 1))
+    p12 = _np.arange(12)
+    m6 = _np.arange(6)
+    imdct12 = _np.cos(_np.pi / 24.0 * _np.outer(2 * p12 + 7, 2 * m6 + 1))
+    w12 = _np.sin(_np.pi * (2 * p12 + 1) / 24.0)
     w_long = _np.sin(_np.pi * (2 * p + 1) / 72.0)
     w_start = w_long.copy()
     w_start[18:24] = 1.0
@@ -8102,6 +8117,7 @@ def _mp3_dsp() -> dict:
     ca = ci / _np.sqrt(1.0 + ci * ci)
     _MP3_DSP_CACHE.update(
         imdct=imdct, windows={0: w_long, 1: w_start, 3: w_stop},
+        imdct12=imdct12, w12=w12,
         syn_a=syn_a, syn_b=syn_b, w64=w64, cs=cs, ca=ca,
     )
     return _MP3_DSP_CACHE
@@ -8123,6 +8139,7 @@ def _mp3_side_info(r: "_FBitReader", nch: int):
                 "scalefac_compress": r.read(4),
             }
             if r.read(1):  # window_switching_flag
+                g["wsf"] = 1
                 g["block_type"] = r.read(2)
                 g["mixed"] = r.read(1)
                 g["table_select"] = [r.read(5), r.read(5), 0]
@@ -8131,6 +8148,7 @@ def _mp3_side_info(r: "_FBitReader", nch: int):
                 g["region0"] = 7
                 g["region1"] = 36
             else:
+                g["wsf"] = 0
                 g["block_type"] = 0
                 g["mixed"] = 0
                 g["table_select"] = [r.read(5) for _ in range(3)]
@@ -8158,6 +8176,64 @@ def _mp3_scalefactors(r, g, gr, scfsi_ch, prev_sf):
                 sf[b] = r.read(slen) if slen else 0
                 bits += slen
     return sf, bits
+
+
+def _mp3_scalefactors_short(r, g):
+    """Short-block scalefactors [ISO 2.4.2.7]: 12 bands x 3 windows,
+    band-major (windows inner), slen1 for bands 0-5, slen2 for 6-11.
+    scfsi does not apply to short blocks (the caller rejects it)."""
+    slen1, slen2 = _MP3_SLEN[g["scalefac_compress"]]
+    sf = [[0] * 3 for _ in range(12)]
+    bits = 0
+    for band in range(12):
+        slen = slen1 if band < 6 else slen2
+        for w in range(3):
+            sf[band][w] = r.read(slen) if slen else 0
+            bits += slen
+    return sf, bits
+
+
+def _mp3_requantize_short(is_, g, sf, sfb_short):
+    """Requantize a pure-short granule AND reorder into filterbank
+    layout in one pass: Huffman order is (band, window, line-in-band)
+    over the per-window index p; the hybrid filterbank consumes
+    xr[sb*18 + w*6 + m] with sb = p//6, m = p%6 (each 12-point IMDCT
+    takes the 6 lines of its window within the subband). Per-window
+    exponent: 2^((gg-210)/4) · 2^(-2·subblock_gain[w]) · 2^(-mult·sf)
+    [ISO 2.4.3.4.7.2]."""
+    xr = _np.zeros(576)
+    vals = _np.array(is_, dtype=_np.float64)
+    gain = 2.0 ** ((g["global_gain"] - 210) / 4.0)
+    mult = 0.5 * (g["scalefac_scale"] + 1)
+    mag = _np.sign(vals) * _np.abs(vals) ** (4.0 / 3.0) * gain
+    pos = 0
+    for band in range(13):
+        lo, hi = sfb_short[band], sfb_short[band + 1]
+        for w in range(3):
+            s = sf[band][w] if band < 12 else 0
+            f = 2.0 ** (-mult * s - 2.0 * g["subblock_gain"][w])
+            for p in range(lo, hi):
+                xr[(p // 6) * 18 + w * 6 + (p % 6)] = mag[pos] * f
+                pos += 1
+    return xr
+
+
+def _mp3_granule_pcm_short(xr_fb, tails, fifo, ch):
+    """Pure-short granule: per subband, three 12-point IMDCTs (one per
+    window) overlap into a 36-slot output at offsets 6/12/18 [ISO
+    2.4.3.4.10.3] — no alias reduction for block_type 2 non-mixed.
+    Returns 576 PCM samples; mutates tails[ch] and fifo[ch] exactly
+    like the long-block path, so long->short->long sequences chain."""
+    d = _mp3_dsp()
+    X = xr_fb.reshape(32, 18)
+    Y = _np.zeros((36, 32))
+    for w in range(3):
+        Z = d["imdct12"] @ X[:, w * 6 : (w + 1) * 6].T  # (12, 32)
+        Y[6 + 6 * w : 18 + 6 * w, :] += Z * d["w12"][:, None]
+    S = Y[:18, :] + tails[ch]
+    tails[ch] = Y[18:, :]
+    S[1::2, 1::2] *= -1.0
+    return _mp_synthesis(S, fifo, ch)
 
 
 def _mp3_huffman(r, g, sfb_long, start_bit):
@@ -8344,32 +8420,55 @@ def decode_mp3(data: bytes | None) -> dict | None:
                 mr = _FBitReader(bytes(resv))
                 mr.pos = start
                 sfb_long = _MP3_SFB_LONG[rate]
+                sfb_short = _MP3_SFB_SHORT[rate]
                 prev_sf = [None] * nch
                 for gr in range(2):
                     xrs = []
+                    shorts = []
                     for ch in range(nch):
                         g = grans[gr][ch]
-                        if g["block_type"] == 2:
-                            return None  # short/mixed blocks out of subset
+                        if g["wsf"] and g["block_type"] == 0:
+                            return None  # reserved: forbidden combination
+                        short = g["block_type"] == 2
+                        if short and g["mixed"]:
+                            return None  # mixed blocks out of subset
                         gr_start = mr.pos * 8 + mr.bit
-                        sf, p2bits = _mp3_scalefactors(
-                            mr, g, gr, scfsi[ch], prev_sf[ch]
-                        )
-                        prev_sf[ch] = sf
+                        if short:
+                            # scfsi reuse is long-block-only [ISO
+                            # 2.4.2.7]; a stream pairing it with a
+                            # short granule is malformed
+                            if gr == 1 and any(scfsi[ch]):
+                                return None
+                            sf, p2bits = _mp3_scalefactors_short(mr, g)
+                        else:
+                            sf, p2bits = _mp3_scalefactors(
+                                mr, g, gr, scfsi[ch], prev_sf[ch]
+                            )
+                            prev_sf[ch] = sf
                         is_ = _mp3_huffman(mr, g, sfb_long, gr_start)
                         if is_ is None:
                             return None
                         # absolute reposition past stuffing bits
                         total = gr_start + g["part2_3_length"]
                         mr.pos, mr.bit = total >> 3, total & 7
-                        xrs.append(_mp3_requantize(is_, g, sf, sfb_long))
+                        xrs.append(
+                            _mp3_requantize_short(is_, g, sf, sfb_short)
+                            if short
+                            else _mp3_requantize(is_, g, sf, sfb_long)
+                        )
+                        shorts.append(short)
                     if ms:
                         # M/S butterfly before the filterbank [ISO
                         # 2.4.3.4.9.1]: l = (m+s)/sqrt2, r = (m-s)/sqrt2
+                        # (both channels share a granule's block split
+                        # in practice; the butterfly is per-line either
+                        # way)
                         s2 = _np.sqrt(2.0)
                         xrs = [(xrs[0] + xrs[1]) / s2, (xrs[0] - xrs[1]) / s2]
                     outs = [
-                        _mp3_granule_pcm(
+                        _mp3_granule_pcm_short(xrs[ch], tails, fifo, ch)
+                        if shorts[ch]
+                        else _mp3_granule_pcm(
                             xrs[ch], grans[gr][ch]["block_type"],
                             tails, fifo, ch,
                         )
@@ -8533,6 +8632,87 @@ def mp3_huff_tone_encode(
     for b in range(4):
         if (quad_idx >> (3 - b)) & 1:
             m.write(0, 1)  # positive
+    main = m.bytes()
+
+    frame = hdr + side + main
+    return frame + b"\x00" * (flen - len(frame))
+
+
+def mp3_short_tone_encode(
+    p0: int, w0: int, amp_exp: int, rate: int = 32000,
+    bitrate_kbps: int = 64,
+) -> bytes:
+    """Deterministic single-frame Layer III stream with a PURE-SHORT
+    granule (round 7, block_type 2 / window_switching — fixture +
+    oracle): granule 0 silent long, granule 1 short with exactly one +1
+    count1-region value at per-window spectral line ``p0`` (0 <= p0 <= 5,
+    subband 0) of window ``w0`` (0 or 1 — window 2's 12-point IMDCT
+    output lands entirely in the overlap tail, which a one-frame stream
+    never synthesizes), global_gain 210 - 4*amp_exp. The decoded
+    granule-1 PCM is closed-form: with m0 = p0, off = 6 + 6*w0,
+      h(t) = 2^-amp_exp · cos(π/24·(2(t-off)+7)(2·m0+1))
+                        · sin(π(2(t-off)+1)/24)   for off <= t <= 17,
+      h(t) = 0 otherwise,
+    fed through the same two-term polyphase closed form as
+    mp3_tone_encode — re-derived independently by
+    queries.SQL_MP3_SHORT_FEATURES."""
+    if not 0 <= p0 <= 5:
+        raise ValueError("p0 outside subband 0's per-window range")
+    if w0 not in (0, 1):
+        raise ValueError("w0 must be 0 or 1 (window 2 is all tail)")
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[1].index(rate)
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC4])
+    flen = 144 * bitrate_kbps * 1000 // rate
+
+    # Huffman-order index of (window w0, per-window line p0): band
+    # b = p0 // 4 (Table B.8 short bands are 4 lines wide here), lines
+    # run band-major then window-major then line-in-band
+    band, i = divmod(p0, 4)
+    idx = band * 12 + w0 * 4 + i
+    quad, pos_in_quad = divmod(idx, 4)
+    p23 = 4 * (quad + 1) + 1  # zero quads + data quad + one sign bit
+
+    w = _FBitWriter()
+    w.write(0, 9)  # main_data_begin
+    w.write(0, 5)  # private
+    w.write(0, 4)  # scfsi
+    # granule 0: silent, long
+    w.write(0, 12)
+    w.write(0, 9)
+    w.write(210 - 4 * amp_exp, 8)
+    w.write(0, 4)
+    w.write(0, 1)  # window_switching_flag 0
+    for _ in range(3):
+        w.write(0, 5)
+    w.write(0, 4)
+    w.write(0, 3)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(1, 1)  # count1table B
+    # granule 1: pure short
+    w.write(p23, 12)
+    w.write(0, 9)  # big_values 0 — everything rides the count1 region
+    w.write(210 - 4 * amp_exp, 8)
+    w.write(0, 4)  # scalefac_compress 0 -> zero scalefactor bits
+    w.write(1, 1)  # window_switching_flag
+    w.write(2, 2)  # block_type 2 (short)
+    w.write(0, 1)  # mixed_block_flag 0
+    w.write(0, 5)  # table_select[0]
+    w.write(0, 5)  # table_select[1]
+    for _ in range(3):
+        w.write(0, 3)  # subblock_gain
+    w.write(0, 1)  # preflag
+    w.write(0, 1)  # scalefac_scale
+    w.write(1, 1)  # count1table B
+    side = w.bytes()
+    assert len(side) == 17
+
+    m = _FBitWriter()
+    for _ in range(quad):
+        m.write(0xF, 4)  # all-zero quad
+    m.write((1 << (3 - pos_in_quad)) ^ 0xF, 4)
+    m.write(0, 1)  # sign: positive
     main = m.bytes()
 
     frame = hdr + side + main

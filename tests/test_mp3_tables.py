@@ -127,6 +127,81 @@ def test_esc_tables_stay_out_of_subset():
     assert pure.decode_mp3(bytes(frame)) is None
 
 
+def _expected_pcm_short(p0: int, w0: int, e: int) -> np.ndarray:
+    """Granule-1 PCM for the pure-short single-line fixture, computed
+    from scratch: one 12-point IMDCT output windowed by the short sine
+    window, placed at overlap offset 6+6*w0, through the polyphase."""
+    t = np.arange(18)
+    off = 6 + 6 * w0
+    jj = t - off
+    h = np.where(
+        (jj >= 0) & (jj < 12),
+        2.0**-e
+        * np.cos(np.pi / 24.0 * (2 * jj + 7) * (2 * p0 + 1))
+        * np.sin(np.pi * (2 * jj + 1) / 24.0),
+        0.0,
+    )
+    j = np.arange(32)
+    a = np.cos(np.pi / 128.0 * (2 * j + 33))
+    b = np.cos(np.pi / 128.0 * (2 * j + 97))
+    w64 = np.sin(np.pi * (2 * np.arange(64) + 1) / 128.0)
+    hp = np.concatenate([[0.0], h[:-1]])
+    p = (
+        h[:, None] * a[None, :] * w64[None, :32]
+        + hp[:, None] * b[None, :] * w64[None, 32:]
+    ) / 16.0
+    return np.concatenate([np.zeros(576), p.ravel()])
+
+
+@pytest.mark.parametrize("w0", (0, 1))
+@pytest.mark.parametrize("p0", range(6))
+def test_short_block_roundtrips(p0, w0):
+    frame = pure.mp3_short_tone_encode(p0, w0, 1 + (p0 + w0) % 3)
+    got = pure.decode_mp3(frame)
+    assert got is not None, (p0, w0)
+    pcm = _expected_pcm_short(p0, w0, 1 + (p0 + w0) % 3)
+    assert got["n_samples"] == 1152
+    assert got["rms"] == pytest.approx(
+        float(np.sqrt(np.mean(pcm * pcm))), abs=1e-12
+    )
+    assert got["peak"] == pytest.approx(float(np.max(np.abs(pcm))), abs=1e-12)
+    pos = pcm >= 0
+    assert got["zero_crossings"] == int(np.count_nonzero(pos[1:] != pos[:-1]))
+
+
+def test_short_block_gates():
+    frame = bytearray(pure.mp3_short_tone_encode(2, 1, 1))
+    # granule 1 starts at side bit 18+59=77; fields before
+    # window_switching_flag: 12+9+8+4 = 33 -> wsf at bit 110, block_type
+    # 111-112, mixed at 113 (absolute bit = 32 + offset)
+    def setbit(buf, pos, bit):
+        if bit:
+            buf[pos >> 3] |= 0x80 >> (pos & 7)
+        else:
+            buf[pos >> 3] &= ~(0x80 >> (pos & 7)) & 0xFF
+
+    mixed = bytearray(frame)
+    setbit(mixed, 32 + 113, 1)
+    assert pure.decode_mp3(bytes(mixed)) is None  # mixed out of subset
+    bt0 = bytearray(frame)
+    setbit(bt0, 32 + 111, 0)
+    setbit(bt0, 32 + 112, 0)
+    assert pure.decode_mp3(bytes(bt0)) is None  # wsf + block_type 0
+    assert pure.decode_mp3(bytes(frame)) is not None
+
+
+def test_short_block_hostile_bitflips():
+    import random
+
+    rnd = random.Random(17)
+    base = pure.mp3_short_tone_encode(4, 0, 2)
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(rnd.randint(1, 6)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        pure.decode_mp3(bytes(b))  # must never raise
+
+
 def test_hostile_bitflips_are_total():
     import random
 
