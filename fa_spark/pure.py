@@ -9503,12 +9503,12 @@ def analyze_document(
 #     0x000001BA packs, stay envelope-only),
 #   * I and (round-6 extension) P pictures — forward motion compensation
 #     at full/half pel with the spec's rounded-average interpolation,
-#     skip runs, CBP + non-intra residual blocks; P streams are further
-#     gated to forward_f_code == 1 (raw motion_code range ±16, no
-#     residual motion bits) and MPEG_MAX_DECODE_FRAMES total pictures
-#     (P chains decode sequentially off the previous frame). B/D
-#     pictures fail the subset — bidirectional prediction stays out of
-#     scope, like H.26x,
+#     skip runs, CBP + non-intra residual blocks; round 7 widens motion
+#     vectors to ANY f_code 1-7 (motion_r residual bits, [-16f, 16f-1]
+#     principal range — only the forbidden f_code 0 rejects); P/B
+#     streams are gated to MPEG_MAX_DECODE_FRAMES total pictures
+#     (anchor chains decode sequentially off the previous frame). D
+#     pictures fail the subset,
 #   * width/height multiples of 16 (no edge-macroblock crop),
 #   * the AC run-level rows below (ISO Table B.5c through the 8-bit
 #     group) plus the fully-general 000001 escape form; a stream
@@ -9885,26 +9885,32 @@ def _mpeg_idct_signed(zz: "_np.ndarray") -> "_np.ndarray":
     return (s + (1 << 29)) >> 30
 
 
-def _mpeg_motion_delta(r: "_FBitReader") -> int | None:
-    """One motion_code read (subset: forward_f_code == 1, so no residual
-    bits): magnitude VLC [Table B.4 folded] + sign bit. None on an
-    out-of-table codeword."""
+def _mpeg_motion_delta(r: "_FBitReader", fc: int = 1) -> int | None:
+    """One motion vector component read [ISO 2.4.3.4]: magnitude VLC
+    [Table B.4 folded] + sign bit, then — for f_code > 1 and a nonzero
+    code (round 7) — the (f_code-1)-bit motion_r residual, giving the
+    differential sign · ((|code|-1)·f + residual + 1) with
+    f = 2^(f_code-1). None on an out-of-table codeword."""
     mag = _mpeg_vlc(r, _MPEG_MV, _MPEG_MV_MAXLEN)
     if mag is None:
         return None
-    if mag and r.read(1):
-        mag = -mag
-    return mag
+    neg = bool(mag) and bool(r.read(1))
+    if fc > 1 and mag:
+        f = 1 << (fc - 1)
+        mag = (mag - 1) * f + r.read(fc - 1) + 1
+    return -mag if neg else mag
 
 
-def _mpeg_mv_recon(pred: int, delta: int) -> int:
-    """Forward-vector reconstruction for f_code 1: principal range
-    [-16, 15], modulo 32 wrap [ISO 2.4.4.3]."""
+def _mpeg_mv_recon(pred: int, delta: int, fc: int = 1) -> int:
+    """Motion-vector component reconstruction: principal range
+    [-16f, 16f-1] with f = 2^(f_code-1), modulo 32f wrap
+    [ISO 2.4.4.3]."""
+    f = 1 << (fc - 1)
     v = pred + delta
-    if v > 15:
-        v -= 32
-    elif v < -16:
-        v += 32
+    if v > 16 * f - 1:
+        v -= 32 * f
+    elif v < -16 * f:
+        v += 32 * f
     return v
 
 
@@ -10030,13 +10036,14 @@ def _mpeg_decode_picture(
 
 def _mpeg_decode_p_picture(
     data: bytes, codes: list, ci: int, w: int, h: int,
-    intra_q, nonintra_q, full_pel: int, ref: "_np.ndarray",
+    intra_q, nonintra_q, full_pel: int, ffc: int, ref: "_np.ndarray",
 ):
     """Decode the P picture at codes[ci] against the previous decoded
     luma plane ``ref`` (round 6 — forward motion compensation joins the
     intra machinery). Per macroblock: type VLC [B.2b], optional new
-    quantizer_scale, forward motion vector (subset: f_code 1, so raw
-    motion_code, ±16 principal range), half- or full-pel MC from the
+    quantizer_scale, forward motion vector (round 7: any f_code 1-7 —
+    motion_r residual bits, [-16f, 16f-1] principal range with
+    f = 2^(f_code-1)), half- or full-pel MC from the
     reference, CBP [B.3] + non-intra run-level residual blocks added to
     the prediction, or full intra recode. Skipped macroblocks — address
     increments > 1 and any macroblock no slice covers — reconstruct as
@@ -10085,12 +10092,12 @@ def _mpeg_decode_p_picture(
                     if qs == 0:
                         return None
                 if mf:
-                    dx = _mpeg_motion_delta(r)
-                    dy = _mpeg_motion_delta(r)
+                    dx = _mpeg_motion_delta(r, ffc)
+                    dy = _mpeg_motion_delta(r, ffc)
                     if dx is None or dy is None:
                         return None
-                    mv_x = _mpeg_mv_recon(mv_x, dx)
-                    mv_y = _mpeg_mv_recon(mv_y, dy)
+                    mv_x = _mpeg_mv_recon(mv_x, dx, ffc)
+                    mv_y = _mpeg_mv_recon(mv_y, dy, ffc)
                 elif not intra:
                     mv_x = mv_y = 0
                 y0, x0 = (addr // mbw) * 16, (addr % mbw) * 16
@@ -10184,13 +10191,13 @@ def _mpeg_b_predict(
 
 def _mpeg_decode_b_picture(
     data: bytes, codes: list, ci: int, w: int, h: int,
-    intra_q, nonintra_q, fpf: int, fpb: int,
+    intra_q, nonintra_q, fpf: int, ffc: int, fpb: int, bfc: int,
     fwd_ref: "_np.ndarray", bwd_ref: "_np.ndarray",
 ):
     """Decode the B picture at codes[ci] against the surrounding anchor
     luma planes (round 6 — bidirectional MC completes the I/P/B picture
     family). Per macroblock: type VLC [B.2c], forward and/or backward
-    vectors (subset: both f_codes 1), interpolated prediction, CBP +
+    vectors (round 7: any f_codes 1-7), interpolated prediction, CBP +
     non-intra residuals, or intra recode. Skipped macroblocks repeat
     the PREVIOUS macroblock's prediction direction and vectors (the B
     semantics — unlike P's zero-vector copy), so they are filled
@@ -10257,19 +10264,19 @@ def _mpeg_decode_b_picture(
                     if qs == 0:
                         return None
                 if mf:
-                    dx = _mpeg_motion_delta(r)
-                    dy = _mpeg_motion_delta(r)
+                    dx = _mpeg_motion_delta(r, ffc)
+                    dy = _mpeg_motion_delta(r, ffc)
                     if dx is None or dy is None:
                         return None
-                    mvf = [_mpeg_mv_recon(mvf[0], dx),
-                           _mpeg_mv_recon(mvf[1], dy)]
+                    mvf = [_mpeg_mv_recon(mvf[0], dx, ffc),
+                           _mpeg_mv_recon(mvf[1], dy, ffc)]
                 if mb_:
-                    dx = _mpeg_motion_delta(r)
-                    dy = _mpeg_motion_delta(r)
+                    dx = _mpeg_motion_delta(r, bfc)
+                    dy = _mpeg_motion_delta(r, bfc)
                     if dx is None or dy is None:
                         return None
-                    mvb = [_mpeg_mv_recon(mvb[0], dx),
-                           _mpeg_mv_recon(mvb[1], dy)]
+                    mvb = [_mpeg_mv_recon(mvb[0], dx, bfc),
+                           _mpeg_mv_recon(mvb[1], dy, bfc)]
                 y0, x0 = (addr // mbw) * 16, (addr % mbw) * 16
                 if intra:
                     mvf = [0, 0]
@@ -10359,11 +10366,13 @@ def _parse_mpeg_meta(data: bytes) -> dict[str, str]:
                 pt = r.read(3)
                 if pt in (2, 3):
                     r.read(16 + 1)  # vbv_delay, full_pel_forward_vector
-                    if r.read(3) != 1:
+                    # round 7: any f_code 1-7 decodes (motion_r
+                    # residuals); only the forbidden value 0 rejects
+                    if r.read(3) == 0:
                         p_fcode_ok = False
                     if pt == 3:
                         r.read(1)  # full_pel_backward_vector
-                        if r.read(3) != 1:
+                        if r.read(3) == 0:
                             p_fcode_ok = False
             except EOFError:
                 pt = 0
@@ -10442,8 +10451,9 @@ def decode_mpeg1(data: bytes | None) -> dict | None:
     n_frames = len(pics)
     if not n_frames:
         return None
-    # subset gate: cheap header peek — I/P/B with all f_codes 1 (no
-    # residual motion bits), first picture I, D pictures out of subset
+    # header peek: I/P/B pictures, first picture I, D pictures out of
+    # subset. Round 7: ALL f_codes 1-7 decode (motion_r residual bits +
+    # [-16f, 16f-1] reconstruction); f_code 0 is forbidden by the spec
     ptypes = []
     fpels = []
     trefs = []
@@ -10453,17 +10463,20 @@ def decode_mpeg1(data: bytes | None) -> dict | None:
             tref = r.read(10)
             pt = r.read(3)
             fpf = fpb = 0
+            ffc = bfc = 1
             if pt in (2, 3):
                 r.read(16)  # vbv_delay
                 fpf = r.read(1)
-                if r.read(3) != 1:
-                    return None  # forward_f_code != 1: out of subset
+                ffc = r.read(3)
+                if ffc == 0:
+                    return None  # forbidden f_code
                 if pt == 3:
                     fpb = r.read(1)
-                    if r.read(3) != 1:
-                        return None  # backward_f_code != 1
+                    bfc = r.read(3)
+                    if bfc == 0:
+                        return None
             ptypes.append(pt)
-            fpels.append((fpf, fpb))
+            fpels.append((fpf, ffc, fpb, bfc))
             trefs.append(tref)
         except EOFError:
             return None
@@ -10502,7 +10515,7 @@ def decode_mpeg1(data: bytes | None) -> dict | None:
                     return None
                 ref = _mpeg_decode_p_picture(
                     data, codes, pics[fi], w, h,
-                    intra_q, nonintra_q, fpels[fi][0], ref,
+                    intra_q, nonintra_q, fpels[fi][0], fpels[fi][1], ref,
                 )
             if ref is None:
                 return None
@@ -10531,7 +10544,8 @@ def decode_mpeg1(data: bytes | None) -> dict | None:
                     return None
                 plane = _mpeg_decode_p_picture(
                     data, codes, pics[fi], w, h,
-                    intra_q, nonintra_q, fpels[fi][0], cur_anchor,
+                    intra_q, nonintra_q, fpels[fi][0], fpels[fi][1],
+                    cur_anchor,
                 )
                 if plane is None:
                     return None
@@ -10541,7 +10555,8 @@ def decode_mpeg1(data: bytes | None) -> dict | None:
                     return None  # B before both anchors: illegal stream
                 plane = _mpeg_decode_b_picture(
                     data, codes, pics[fi], w, h, intra_q, nonintra_q,
-                    fpels[fi][0], fpels[fi][1], prev_anchor, cur_anchor,
+                    fpels[fi][0], fpels[fi][1], fpels[fi][2], fpels[fi][3],
+                    prev_anchor, cur_anchor,
                 )
                 if plane is None:
                     return None
@@ -10699,6 +10714,26 @@ def _mba_write(bw: "_FBitWriter", inc: int) -> None:
     bw.write(code, ln)
 
 
+def _mpeg_mv_write(bw: "_FBitWriter", diff: int, fc: int = 1) -> None:
+    """Encode one motion vector differential at f_code ``fc``: wrap into
+    the principal range [-16f, 16f-1], split |diff| into the Table-B.4
+    magnitude code (|code| = (|diff|-1)//f + 1) + sign + (f_code-1)
+    residual bits — the exact inverse of _mpeg_motion_delta."""
+    f = 1 << (fc - 1)
+    if diff > 16 * f - 1:
+        diff -= 32 * f
+    elif diff < -16 * f:
+        diff += 32 * f
+    a = abs(diff)
+    mag = 0 if a == 0 else (a - 1) // f + 1
+    ln, code = _MPEG_MV_ENC[mag]
+    bw.write(code, ln)
+    if mag:
+        bw.write(1 if diff < 0 else 0, 1)
+        if fc > 1:
+            bw.write((a - 1) % f, fc - 1)
+
+
 def mpeg1_encode_ip(
     first: list, specs: list, fps: float = 25.0, qs: int = 8
 ) -> bytes:
@@ -10708,15 +10743,22 @@ def mpeg1_encode_ip(
       ('copy',)           zero-vector forward MC on the first and last
                           macroblock, everything between skipped — the
                           decoded frame equals the reference exactly
-      ('shift', dx)       full-pel horizontal vector dx (in [-16, 15])
-                          on every macroblock except column 0 (vector
-                          0 there, keeping every reference in-frame)
-      ('halfpel', dxh)    same geometry with full_pel 0 and dxh in
+      ('shift', dx[, fc]) full-pel horizontal vector dx on every
+                          macroblock except column 0 (vector 0 there,
+                          keeping every reference in-frame); optional
+                          forward_f_code fc (round 7 — fc > 1 forces
+                          motion_r residual bits and the widened
+                          [-16f, 16f-1] principal range)
+      ('halfpel', dxh[, fc])  same geometry with full_pel 0 and dxh in
                           HALF pels — odd dxh exercises the rounded
                           half-pel interpolation path
+      ('wideshift', dx, fc)  full-pel dx beyond the f_code-1 range
+                          (|dx| up to 16·2^(fc-1)): applied on every
+                          macroblock whose reference window stays
+                          in-frame, vector 0 elsewhere — the round-7
+                          f_code > 1 fixture
       ('residual', lvl)   no-MC coded macroblocks, cbp 60, one DC-only
-                          escape-coded residual `lvl` per luma block
-    All P pictures use forward_f_code 1 (the decode subset)."""
+                          escape-coded residual `lvl` per luma block"""
     base = mpeg1_encode([first], fps, qs)
     out = bytearray(base[: -4])  # strip sequence_end, re-added below
     h, w = len(first), len(first[0])
@@ -10724,13 +10766,18 @@ def mpeg1_encode_ip(
     total = mbw * mbh
     for t, spec in enumerate(specs, start=1):
         kind = spec[0]
-        full_pel = 1 if kind in ("copy", "shift") else 0
+        full_pel = 1 if kind in ("copy", "shift", "wideshift") else 0
+        fc = (
+            spec[2]
+            if kind in ("shift", "halfpel", "wideshift") and len(spec) > 2
+            else 1
+        )
         bw = _FBitWriter()
         bw.write(t & 0x3FF, 10)  # temporal_reference
         bw.write(2, 3)  # picture_coding_type: P
         bw.write(0xFFFF, 16)  # vbv_delay
         bw.write(full_pel, 1)
-        bw.write(1, 3)  # forward_f_code
+        bw.write(fc, 3)  # forward_f_code
         bw.write(0, 1)  # extra_bit_picture
         out += b"\x00\x00\x01\x00" + bw.bytes()
         bw = _FBitWriter()
@@ -10749,16 +10796,19 @@ def mpeg1_encode_ip(
                 _mba_write(bw, 1)
                 bw.write(0b001, 3)  # mc, not coded
                 mv = 0 if a % mbw == 0 else d
-                diff = mv - pred
-                if diff > 16:
-                    diff -= 32
-                elif diff < -16:
-                    diff += 32
-                ln, code = _MPEG_MV_ENC[abs(diff)]
-                bw.write(code, ln)
-                if diff:
-                    bw.write(1 if diff < 0 else 0, 1)
-                bw.write(1, 1)  # vertical motion_code 0
+                _mpeg_mv_write(bw, mv - pred, fc)
+                _mpeg_mv_write(bw, 0, fc)  # vertical motion_code 0
+                pred = mv
+        elif kind == "wideshift":
+            d = spec[1]
+            pred = 0
+            for a in range(total):
+                _mba_write(bw, 1)
+                bw.write(0b001, 3)  # mc, not coded
+                x0 = (a % mbw) * 16
+                mv = d if 0 <= x0 + d and x0 + 16 + d <= w else 0
+                _mpeg_mv_write(bw, mv - pred, fc)
+                _mpeg_mv_write(bw, 0, fc)  # vertical motion_code 0
                 pred = mv
         elif kind == "residual":
             level = spec[1]

@@ -4416,18 +4416,28 @@ def _mpeg_ip_batch(doc_id: pd.Series) -> pd.Series:
     L = 16*(doc_id%13)+8 — offsets divisible by 3 keep every sampled
     mean an exact integer, hence float32-safe), then a zero-vector
     'copy' P picture (first/
-    last macroblock coded, middle skipped) and a full-pel -16 'shift' P
+    last macroblock coded, middle skipped), a full-pel -16 'shift' P
     picture (each macroblock predicts from the column to its left;
-    column 0 keeps vector 0). Solid 16px bands are DC-exact through the
-    intra path and MC moves whole columns, so all three sampled frame
-    means are closed forms of doc_id."""
+    column 0 keeps vector 0), and — round 7 (VERDICT r6 #4) — a
+    forward_f_code 2 'wideshift' P with a +17 full-pel vector, whose
+    motion_code carries a motion_r residual bit and lands mid-band
+    (15 old + 1 new pixel per row in column 0, vector 0 where the
+    window would leave the frame): mean_wide = L + 357/48, exactly
+    dyadic. Solid 16px bands are DC-exact through the intra path and
+    MC moves whole columns, so all four sampled frame means are closed
+    forms of doc_id."""
     out = []
     for did in doc_id:
         did = int(did)
         l0 = 16 * (did % 13) + 8
         row = [l0] * 16 + [l0 + 21] * 16 + [l0 + 42] * 16
         first = [list(row) for _ in range(16)]
-        out.append(pure.mpeg1_encode_ip(first, [("copy",), ("shift", -16)]))
+        out.append(
+            pure.mpeg1_encode_ip(
+                first,
+                [("copy",), ("shift", -16), ("wideshift", 17, 2)],
+            )
+        )
     return pd.Series(out)
 
 
@@ -4438,9 +4448,11 @@ def q_mpeg_ip_frames(spark, sf_dir):
     """REAL MPEG-1 I+P decode round trip (round 6 — forward motion
     compensation joins the intra tier: P macroblock-type/CBP/motion
     VLCs, zero-vector skip runs, full-pel MC off the previous decoded
-    frame, pure._mpeg_decode_p_picture): value-check frame count,
-    duration, and all three sampled-frame luminance means (I, copied P,
-    column-shifted P) against closed forms."""
+    frame, pure._mpeg_decode_p_picture; round 7 adds an f_code-2
+    wideshift picture — motion_r residual bits + the widened
+    [-16f, 16f-1] reconstruction): value-check frame count, duration,
+    and all four sampled-frame luminance means (I, copied P,
+    column-shifted P, f_code-2 wide-shifted P) against closed forms."""
     from fa_spark.stages.multimodal import extract_media_features
 
     docs = _spread(_t(spark, sf_dir, "documents"))
@@ -4461,20 +4473,26 @@ def q_mpeg_ip_frames(spark, sf_dir):
         fd(7).alias("mean_i"),
         fd(8).alias("mean_copy"),
         fd(9).alias("mean_shift"),
+        fd(10).alias("mean_wide"),
     )
 
 
+# mean_wide: the f_code-2 picture predicts off the shifted frame
+# [L, L, L+21]; column 0 takes the +17 vector (refs pixels 17..32 ->
+# 15·L + 1·(L+21)), columns 1-2 would leave the frame and stay zero:
+# mean = (31L + 17(L+21))/48 = L + 357/48 = L + 7.4375 (exact dyadic)
 SQL_MPEG_IP_FRAMES = """
 WITH d AS (SELECT doc_id, 16 * (doc_id % 13) + 8 AS l0 FROM documents)
 SELECT doc_id,
        'mpeg' AS content_type,
        'decoded' AS decode_status,
        48 AS width, 16 AS height,
-       CAST(3 AS DOUBLE) AS n_frames,
-       ROUND(3.0 / 25, 6) AS duration_s,
+       CAST(4 AS DOUBLE) AS n_frames,
+       ROUND(4.0 / 25, 6) AS duration_s,
        CAST(l0 + 21 AS DOUBLE) AS mean_i,
        CAST(l0 + 21 AS DOUBLE) AS mean_copy,
-       CAST(l0 + 7 AS DOUBLE) AS mean_shift
+       CAST(l0 + 7 AS DOUBLE) AS mean_shift,
+       CAST(l0 + 7.4375 AS DOUBLE) AS mean_wide
 FROM d
 """
 

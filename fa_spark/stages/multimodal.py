@@ -245,8 +245,9 @@ def media_features_fn(mode: str = "describe"):
                     # display reordering — _mpeg_decode_b_picture). The
                     # envelope walk publishes the subset verdict as
                     # meta['mpeg:ipb_subset'], the same stage/lineage
-                    # shared gate as mp3:l3_subset; D streams and
-                    # f_code>1 fall through to the stub branch below.
+                    # shared gate as mp3:l3_subset. Round 7: all
+                    # f_codes 1-7 decode (motion_r residual bits); only
+                    # D streams fall through to the stub branch below.
                     vid = pure.decode_mpeg1(b)
                     if vid is not None:
                         status = "decoded"
