@@ -4577,14 +4577,16 @@ FROM d
 
 
 def _audio_container_batch(doc_id: pd.Series) -> pd.Series:
-    """Per-doc audio container rotating mp3 / ogg / flac (round 4 —
-    exiftool-parity envelope metadata). Geometries chosen so every
-    duration is an exact millisecond multiple (48 kHz mp3 frames = 24 ms;
-    ogg/flac sample counts are rate multiples of 0.1 s)."""
+    """Per-doc audio container rotating mp3 / ogg / flac / ADTS-AAC
+    (round 4; round 7 adds the ADTS frame walk — VERDICT r6 #7).
+    Geometries chosen so every duration is an exact millisecond multiple
+    (48 kHz mp3 frames = 24 ms; ogg/flac sample counts are rate
+    multiples of 0.1 s; the AAC rates 64/32/16/8 kHz make each
+    1024-sample frame an exact-ms length)."""
     out = []
     for did in doc_id:
         did = int(did)
-        kind = did % 3
+        kind = did % 4
         if kind == 0:
             out.append(
                 pure.mp3_envelope_encode(
@@ -4599,8 +4601,15 @@ def _audio_container_batch(doc_id: pd.Series) -> pd.Series:
                     total_samples=4800 * (1 + did % 5), n_audio_pages=2,
                 )
             )
-        else:
+        elif kind == 2:
             out.append(pure.flac_encode([7] * (1600 * (1 + did % 4)), 16000))
+        else:
+            j = did // 4  # distinct per aac doc (did % 4 == 3 here)
+            out.append(
+                pure.adts_encode(
+                    4 + j % 12, j % 4, 2 + 3 * ((j // 4) % 4), 1 + j % 2
+                )
+            )
     return pd.Series(out)
 
 
@@ -4644,6 +4653,14 @@ def q_audio_meta(spark, sf_dir):
                         "units": int(m["ogg:n_pages"]),
                         "title": m["ogg:codec"],
                     })
+                elif "aac:duration_s" in m:
+                    rows.append({
+                        "doc_id": int(did), "container": "aac",
+                        "duration_s": float(m["aac:duration_s"]),
+                        "sample_rate": int(m["aac:sample_rate"]),
+                        "units": int(m["aac:n_frames"]),
+                        "title": m["aac:profile"],
+                    })
                 else:
                     rows.append({
                         "doc_id": int(did), "container": "flac",
@@ -4662,23 +4679,37 @@ def q_audio_meta(spark, sf_dir):
 
 
 SQL_AUDIO_META = """
+WITH d AS (
+  SELECT doc_id, doc_id % 4 AS kind, doc_id // 4 AS j FROM documents),
+a AS (
+  SELECT doc_id, kind, j,
+         4 + j % 12 AS a_frames,
+         CASE (j // 4) % 4 WHEN 0 THEN 64000 WHEN 1 THEN 32000
+              WHEN 2 THEN 16000 ELSE 8000 END AS a_rate,
+         CASE j % 4 WHEN 0 THEN 'Main' WHEN 1 THEN 'LC'
+              WHEN 2 THEN 'SSR' ELSE 'LTP' END AS a_profile
+  FROM d)
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg' ELSE 'flac' END
-         AS container,
-       CASE doc_id % 3
+       CASE kind WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg' WHEN 2 THEN 'flac'
+            ELSE 'aac' END AS container,
+       CASE kind
          WHEN 0 THEN ROUND((10 + doc_id % 20) * 1152.0 / 48000, 3)
          WHEN 1 THEN ROUND(4800 * (1 + doc_id % 5) / 48000.0, 3)
-         ELSE ROUND(1600 * (1 + doc_id % 4) / 16000.0, 3) END AS duration_s,
-       CASE doc_id % 3 WHEN 2 THEN 16000 ELSE 48000 END AS sample_rate,
-       CASE doc_id % 3
+         WHEN 2 THEN ROUND(1600 * (1 + doc_id % 4) / 16000.0, 3)
+         ELSE ROUND(a_frames * 1024.0 / a_rate, 3) END AS duration_s,
+       CASE kind WHEN 2 THEN 16000 WHEN 3 THEN a_rate
+            ELSE 48000 END AS sample_rate,
+       CASE kind
          WHEN 0 THEN 10 + doc_id % 20
          WHEN 1 THEN 3
-         ELSE 1 END AS units,
-       CASE doc_id % 3
+         WHEN 2 THEN 1
+         ELSE a_frames END AS units,
+       CASE kind
          WHEN 0 THEN 'track ' || CAST(doc_id AS VARCHAR)
          WHEN 1 THEN CASE WHEN doc_id % 2 = 1 THEN 'vorbis' ELSE 'opus' END
-         ELSE NULL END AS title
-FROM documents
+         WHEN 2 THEN NULL
+         ELSE a_profile END AS title
+FROM a
 """
 
 
