@@ -360,6 +360,175 @@ def bench_scaling(sf_dir: str, repeat: int = 5, multiplier: int | None = None) -
     }
 
 
+def _media_blob(i: int):
+    """Deterministic mixed-media fixture #i -> (family, blob). One entry
+    per decode tier the multimodal stage distinguishes — real decoders
+    AND documented envelope-only stubs — so the census reports what
+    fraction of each container family decodes for real this round."""
+    from fa_spark import pure
+
+    fam = i % 22
+    k = i // 22
+    if fam == 0:
+        return "wav-pcm", pure.wav_encode([100 * (k % 3)] * 1600, 16000)
+    if fam == 1:
+        return "wav-ima-adpcm", pure.wav_adpcm_encode([800 + 10 * (k % 5)] * 4)
+    if fam == 2:
+        return "wav-g711", pure.wav_g711_encode(bytes([0x7F] * 800), "mulaw")
+    if fam == 3:
+        return "flac", pure.flac_encode([7] * 1600, 16000)
+    if fam == 4:
+        return "mp3-long", pure.mp3_tone_encode(k % 8, 1 + k % 4)
+    if fam == 5:
+        return "mp3-bigtable-ct1a", pure.mp3_huff_tone_encode(
+            7, 1 + k % 5, 2, 1, k % 16, 1
+        )
+    if fam == 6:
+        return "mp3-short", pure.mp3_short_tone_encode(k % 6, k % 2, 1)
+    if fam == 7:
+        return "mp3-ms-stereo", pure.mp3_ms_tone_encode(k % 8, 1 + k % 4)
+    if fam == 8:
+        return "mp1", pure.mp1_tone_encode(k % 32, 1 + k % 3)
+    if fam == 9:
+        return "mp2", pure.mp2_tone_encode(k % 27, 1 + k % 3)
+    if fam == 10:
+        return "ogg-vorbis", pure.vorbis_tone_encode(3 + k % 5, 0.25, 4)
+    if fam == 11:
+        return "ogg-opus", pure.ogg_envelope_encode(
+            "opus", 48000, 1, total_samples=4800, n_audio_pages=2
+        )
+    if fam == 12:
+        return "aac-adts", pure.adts_encode(6, 1 + k % 3, 5, 2)
+    if fam == 13:
+        return "png", pure.png_encode([[(10, 20, (30 + k) % 256)] * 16] * 16)
+    if fam == 14:
+        return "jpeg", pure.jpeg_encode([[20 + (k * 5) % 200] * 16] * 16,
+                                        gray=True)
+    if fam == 15:
+        return "gif", pure.gif_encode([[(10, 20, (40 + k) % 256)] * 16] * 16)
+    grid = [[64 + 16 * (k % 9)] * 48 for _ in range(16)]
+    if fam == 16:
+        return "mpeg1-i", pure.mpeg1_encode([grid])
+    if fam == 17:
+        return "mpeg1-ip-fcode2", pure.mpeg1_encode_ip(
+            grid, [("wideshift", 17, 2)]
+        )
+    if fam == 18:
+        return "mpeg1-ipb", pure.mpeg1_encode_ipb(grid, -16, [("interp",)])
+    if fam == 19:
+        return "mp4-avc-env", pure.mp4_envelope_encode(2.0, codec=b"avc1")
+    if fam == 20:
+        return "webm-vp9-env", pure.webm_envelope_encode(2.0, 320, 180)
+    jf = pure.jpeg_encode([[30 + (k * 3) % 180] * 16] * 16, gray=True)
+    return "avi-mjpeg", pure.avi_mjpeg_encode([jf], 25, 16, 16)
+
+
+MEDIA_MIX_START = "<!-- media-mix:start -->"
+MEDIA_MIX_END = "<!-- media-mix:end -->"
+
+
+def media_mix_census(cores: int = 8, per_family: int = 24) -> list[dict]:
+    """Round-7 (VERDICT r6 #5): decode-tier census over the mixed-media
+    fixture set — per container family, what fraction of rows the
+    multimodal stage decodes for REAL ('decoded') vs leaves in the
+    honest envelope-only tier ('stubbed'). Regenerated into
+    BENCH/BASELINE.md each round so subset widening is measurable."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fa_spark.stages.multimodal import extract_media_features
+
+    spark = _session(cores)
+    try:
+        n = per_family * 22
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    fam, blob = _media_blob(int(i))
+                    rows.append(
+                        {"media_id": int(i), "family": fam, "content": blob}
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "family", "content"]
+                )
+
+        media = spark.range(n).repartition(cores).mapInPandas(
+            gen, "media_id long, family string, content binary"
+        )
+        media = media.persist()
+        feats = extract_media_features(media, mode="describe")
+        agg = (
+            feats.withColumn("mid", F.col("media_id").cast("long"))
+            .join(media.select("media_id", "family"),
+                  F.col("mid") == media["media_id"])
+            .groupBy("family")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum((F.col("decode_status") == "decoded").cast("long"))
+                .alias("decoded"),
+                F.first("content_type").alias("content_type"),
+            )
+            .orderBy("family")
+            .collect()
+        )
+        media.unpersist()
+        return [
+            {
+                "family": r["family"],
+                "content_type": r["content_type"],
+                "rows": r["rows"],
+                "decoded": r["decoded"],
+                "stubbed": r["rows"] - r["decoded"],
+                "real_fraction": round(r["decoded"] / r["rows"], 3),
+            }
+            for r in agg
+        ]
+    finally:
+        spark.stop()
+
+
+def write_media_mix_md(rows: list[dict]) -> None:
+    """Replace (or append) the marker-delimited media-mix section in
+    BENCH/BASELINE.md with this round's census."""
+    os.makedirs("BENCH", exist_ok=True)
+    table = [
+        "",
+        MEDIA_MIX_START,
+        "## Decode-tier census (regenerated per round: "
+        "`python3 bench.py --media-mix`)",
+        "",
+        "Fraction of each mixed-media fixture family the multimodal stage",
+        "decodes for REAL vs leaves in the honest envelope-only stub tier",
+        "(the lineage stubbed_rows/stubbed_types accounting gates on the",
+        "same subset verdicts).",
+        "",
+        "| family | sniffed type | rows | decoded | stubbed | real |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        table.append(
+            f"| {r['family']} | {r['content_type']} | {r['rows']} "
+            f"| {r['decoded']} | {r['stubbed']} | {r['real_fraction']} |"
+        )
+    table += [MEDIA_MIX_END, ""]
+    block = "\n".join(table)
+    path = "BENCH/BASELINE.md"
+    text = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            text = f.read()
+    if MEDIA_MIX_START in text and MEDIA_MIX_END in text:
+        pre = text[: text.index(MEDIA_MIX_START)]
+        post = text[text.index(MEDIA_MIX_END) + len(MEDIA_MIX_END):]
+        text = pre.rstrip("\n") + "\n" + block + post.lstrip("\n")
+    else:
+        text = text + "\n" + block
+    with open(path, "w") as f:
+        f.write(text)
+
+
 def write_baseline_md(result: dict, note: str = "") -> None:
     os.makedirs("BENCH", exist_ok=True)
     sn, s4 = result.get("scale_n", SCALE_N), result.get("scale_4n", SCALE_4N)
@@ -396,11 +565,21 @@ def main() -> None:
     ap.add_argument("--worker-cores", type=int, default=None)
     ap.add_argument("--pages-path", default=None)
     ap.add_argument("--n-docs", type=int, default=None)
+    ap.add_argument("--media-mix", action="store_true",
+                    help="run the decode-tier census over the mixed-media "
+                         "fixture set and regenerate its BENCH/BASELINE.md "
+                         "section")
     args = ap.parse_args()
 
     if args.worker_cores:
         print(json.dumps(_throughput_worker(
             args.worker_cores, args.pages_path, args.n_docs, args.repeat)))
+        return
+
+    if args.media_mix:
+        rows = media_mix_census()
+        write_media_mix_md(rows)
+        print(json.dumps({"metric": "media-mix census", "families": rows}))
         return
 
     results = []
