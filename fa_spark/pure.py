@@ -1653,19 +1653,26 @@ def _shingle_windows(toks: list[str], k: int) -> "_np.ndarray":
         if not joined:
             return _np.empty(0, dtype=_np.uint64)
         return _np.array([_stable64(joined)], dtype=_np.uint64)
-    th = _np.empty(len(toks), dtype=_np.uint64)
-    for i, t in enumerate(toks):
-        th[i] = _stable64(t)  # global memo — vocab repeats across docs
+    # global memo — vocab repeats across docs; fromiter(map(...)) keeps
+    # the per-token loop in C (round 7 — the enumerate/store loop was
+    # ~13% of the fused analyzer)
+    th = _np.fromiter(
+        map(_stable64, toks), dtype=_np.uint64, count=len(toks)
+    )
     # windowed positional combine as k strided-slice FMAs (round 4 —
-    # sliding_window_view's as_strided + errstate machinery cost ~70 µs
-    # per call, dominating on web-page-sized token lists)
+    # sliding_window_view's as_strided cost ~70 µs per call, dominating
+    # on web-page-sized token lists). No errstate: numpy integer ARRAY
+    # ops wrap silently by design (only scalar ops warn on overflow,
+    # and every op here is array-valued — pinned by
+    # tests/test_pure.py::test_shingle_paths_warning_free), and the two
+    # per-doc errstate enters/exits were ~8% of the fused analyzer
+    # (round 7).
     coef = _shingle_coef(k)
     n_win = len(toks) - k + 1
-    with _np.errstate(over="ignore"):
-        acc = th[:n_win] * coef[0]
-        for j in range(1, k):
-            acc += th[j : n_win + j] * coef[j]
-        return _mix64(acc)
+    acc = th[:n_win] * coef[0]
+    for j in range(1, k):
+        acc += th[j : n_win + j] * coef[j]
+    return _mix64(acc)
 
 
 def _shingle_ids(toks: list[str], k: int) -> list[int]:
@@ -9431,9 +9438,61 @@ def _minhash_shingles(sh, num_hashes: int = 64) -> list[int]:
     if len(sh) == 0:
         return [0] * num_hashes
     x = sh if isinstance(sh, _np.ndarray) else _np.array(sh, dtype=_np.uint64)
-    with _np.errstate(over="ignore"):
-        m = _mix64(x[None, :] ^ _MINHASH_SEEDS[:num_hashes, None])
+    # array-only uint64 ops wrap silently — no errstate needed (round 7;
+    # see _shingle_windows)
+    m = _mix64(x[None, :] ^ _MINHASH_SEEDS[:num_hashes, None])
     return [int(v) for v in m.min(axis=1)]
+
+
+# flat-window chunk bound for the batched minhash: keeps the
+# (num_hashes, windows) temporary ~32 MB regardless of Arrow batch size
+_MINHASH_BATCH_CAP = 1 << 16
+
+
+def _minhash_windows_batch(
+    windows_list: list, num_hashes: int = 64
+) -> list:
+    """Batched _minhash_shingles over many docs' raw _shingle_windows
+    arrays (round 7 — the per-doc (seeds, windows) broadcast setup was
+    ~25 µs/doc of the fused analyzer): concatenate the docs' windows
+    into one flat mix and take per-doc minima with minimum.reduceat.
+    Bit-identical to the per-doc form — the min over a doc's columns is
+    the min over its segment of the flat array. Entries of None (docs
+    with no text) pass through as None; empty arrays get the [0]*k
+    signature the per-doc form returns. Chunked so the (num_hashes,
+    windows) temporary stays ~32 MB regardless of batch size."""
+    out: list = [None] * len(windows_list)
+    parts: list = []
+    starts: list[int] = []
+    idx: list[int] = []
+    pos = 0
+    chunk_cap = _MINHASH_BATCH_CAP
+
+    def flush():
+        nonlocal parts, starts, idx, pos
+        if not parts:
+            return
+        x = _np.concatenate(parts)
+        m = _mix64(x[None, :] ^ _MINHASH_SEEDS[:num_hashes, None])
+        mins = _np.minimum.reduceat(m, _np.array(starts), axis=1)
+        for j, i in enumerate(idx):
+            out[i] = mins[:, j].tolist()
+        parts, starts, idx, pos = [], [], [], 0
+
+    for i, w in enumerate(windows_list):
+        if w is None:
+            continue
+        if len(w) == 0:
+            out[i] = [0] * num_hashes
+            continue
+        if pos and pos + len(w) > chunk_cap:
+            flush()
+        parts.append(w)
+        starts.append(pos)
+        idx.append(i)
+        pos += len(w)
+    flush()
+    return out
 
 
 def _simhash_toks(toks: list[str]) -> int:
@@ -9515,7 +9574,8 @@ def _metadata_from_parse(
 
 
 def analyze_document(
-    data: bytes | None, minhash_k: int = 64, skip_simhash: bool = False
+    data: bytes | None, minhash_k: int = 64, skip_simhash: bool = False,
+    skip_minhash: bool = False,
 ) -> dict:
     """ONE pass per document: decode once, parse the DOM once, tokenize the
     extracted text once; every analyzer consumes the shared intermediates.
@@ -9524,7 +9584,10 @@ def analyze_document(
 
     ``skip_simhash``: the batch caller computes simhash for the WHOLE
     Arrow batch in one reduceat pass (_simhash_toks_batch, round 4) — the
-    returned "simhash" is 0 and "toks" carries what it needs."""
+    returned "simhash" is 0 and "toks" carries what it needs.
+    ``skip_minhash`` (round 7): same batching for minhash — "minhash" is
+    None and "mh_windows" carries the raw _shingle_windows array (None
+    for empty text) for _minhash_windows_batch."""
     b = data if data is not None else b""
     sn = sniff_bytes(b)
     ct = sn["content_type"]
@@ -9567,6 +9630,16 @@ def analyze_document(
 
     text = ex.text
     toks = tokenize(text)
+    if skip_minhash:
+        mh = None
+        mh_windows = _shingle_windows(toks, 5) if text else None
+    else:
+        mh = (
+            _minhash_shingles(_shingle_windows(toks, 5), minhash_k)
+            if text
+            else [0] * 0
+        )
+        mh_windows = None
     return {
         "sniff": sn,
         "meta": meta,
@@ -9574,9 +9647,8 @@ def analyze_document(
         "toks": toks,
         "quality": _quality_toks(text, toks),
         "detected_lang": _detect_lang_toks(toks),
-        "minhash": _minhash_shingles(_shingle_windows(toks, 5), minhash_k)
-        if text
-        else [0] * 0,
+        "minhash": mh,
+        "mh_windows": mh_windows,
         "simhash": 0 if skip_simhash else (_simhash_toks(toks) if text else 0),
         "tags": clean_tags(toks),
         "slug": page_slug(ex.title, text),

@@ -67,9 +67,12 @@ def analyze_batch(html: pd.Series) -> pd.DataFrame:
     # pass (pure._simhash_toks_batch) — bit-identical, ~4x cheaper than
     # per-doc numpy setup
     sim_toks: list[list] = []
+    mh_windows: list = []
     for data in html:
         b = bytes(data) if data is not None else b""
-        d = pure.analyze_document(b, MINHASH_K, skip_simhash=True)
+        d = pure.analyze_document(
+            b, MINHASH_K, skip_simhash=True, skip_minhash=True
+        )
         sn = d["sniff"]
         out["sniff"].append(
             {
@@ -96,7 +99,7 @@ def analyze_batch(html: pd.Series) -> pd.DataFrame:
         text = ex.text
         out["sigs"].append(pure.scan_text(text, _COMPILED_SIGS) if text else [])
         sim_toks.append(d["toks"] if text else [])
-        out["minhash"].append([_to_i64(h) for h in d["minhash"]])
+        mh_windows.append(d["mh_windows"])
         out["quality"].append(d["quality"])
         out["detected_lang"].append(d["detected_lang"])
         ws, bpe = d["token_count"]
@@ -106,6 +109,14 @@ def analyze_batch(html: pd.Series) -> pd.DataFrame:
         # a per-row op, so it lives here, not behind a groupBy shuffle
         out["tags"].append(d["tags"][:10])
         out["slug"].append(d["slug"])
+    # minhash, like simhash, is computed for the whole batch in one
+    # reduceat pass (pure._minhash_windows_batch, round 7 — bit-identical,
+    # drops the per-doc (seeds, windows) broadcast setup); empty-text
+    # docs keep the per-doc form's [] signature
+    out["minhash"] = [
+        [] if sig is None else [_to_i64(h) for h in sig]
+        for sig in pure._minhash_windows_batch(mh_windows, MINHASH_K)
+    ]
     out["simhash"] = [_to_i64(s) for s in pure._simhash_toks_batch(sim_toks)]
     return pd.DataFrame(out)
 
@@ -114,10 +125,17 @@ page_analysis = F.pandas_udf(analyze_batch, ANALYSIS_STRUCT)
 
 
 def _minhash_batch(text: pd.Series) -> pd.Series:
+    # one flat reduceat pass for the whole Arrow batch (round 7) —
+    # bit-identical to per-doc minhash_signature: the per-seed min is
+    # invariant to the dedup _shingle_ids would do
+    windows = [
+        pure._shingle_windows(pure.tokenize(t), 5) if t else None
+        for t in text
+    ]
     return pd.Series(
         [
-            [_to_i64(h) for h in pure.minhash_signature(t)] if t else []
-            for t in text
+            [] if sig is None else [_to_i64(h) for h in sig]
+            for sig in pure._minhash_windows_batch(windows)
         ]
     )
 

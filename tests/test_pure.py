@@ -1378,3 +1378,48 @@ def test_adts_hostile_total():
             b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
         pure._parse_adts_meta(bytes(b))
         pure.extract_metadata(bytes(b))
+
+
+def test_shingle_paths_warning_free():
+    """Round 7: the hot shingle/minhash paths dropped their per-doc
+    np.errstate contexts because every op is array-valued (numpy integer
+    ARRAY ops wrap silently; only scalar ops warn). This pin turns any
+    warning in those paths into a failure so a future scalar-op
+    regression is caught."""
+    import warnings
+
+    toks = ("the quick brown fox jumps over the lazy dog " * 30).split()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        w = pure._shingle_windows(toks, 5)
+        assert w.size == len(toks) - 4
+        sig = pure._minhash_shingles(w)
+        assert len(sig) == 64 and any(sig)
+        assert pure._shingle_windows(["solo"], 5).size == 1
+        assert pure._minhash_shingles([]) == [0] * 64
+
+
+def test_minhash_batch_equals_per_doc(monkeypatch):
+    """Round 7: the batched minhash (flat mix + minimum.reduceat) must be
+    bit-identical to the per-doc form, including across chunk-flush
+    boundaries, None (no-text) pass-through, and empty-window docs."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "",  # -> None sentinel
+        "short",  # < k tokens -> single joined-window hash
+        "completely different content about spark shuffle partitioning",
+        "!!! ...",  # tokenizes to nothing -> empty windows
+    ] * 7
+    windows = []
+    for t in texts:
+        if not t:
+            windows.append(None)
+        else:
+            windows.append(pure._shingle_windows(pure.tokenize(t), 5))
+    monkeypatch.setattr(pure, "_MINHASH_BATCH_CAP", 8)  # force many flushes
+    got = pure._minhash_windows_batch(windows)
+    for w, sig in zip(windows, got):
+        if w is None:
+            assert sig is None
+        else:
+            assert sig == pure._minhash_shingles(w)
