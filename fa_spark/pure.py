@@ -8569,10 +8569,15 @@ def decode_mp3(data: bytes | None) -> dict | None:
                         shorts.append(short)
                     if ms:
                         # M/S butterfly before the filterbank [ISO
-                        # 2.4.3.4.9.1]: l = (m+s)/sqrt2, r = (m-s)/sqrt2
-                        # (both channels share a granule's block split
-                        # in practice; the butterfly is per-line either
-                        # way)
+                        # 2.4.3.4.9.1]: l = (m+s)/sqrt2, r = (m-s)/sqrt2.
+                        # With equal block splits the butterfly commutes
+                        # with the short-block reorder (elementwise on
+                        # identically-permuted arrays); a granule whose
+                        # channels DISAGREE on block type would mix
+                        # mismatched spectral lines — reject it (round-7
+                        # self-review; no sane encoder emits it)
+                        if shorts[0] != shorts[1]:
+                            return None
                         s2 = _np.sqrt(2.0)
                         xrs = [(xrs[0] + xrs[1]) / s2, (xrs[0] - xrs[1]) / s2]
                     outs = [
