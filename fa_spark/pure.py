@@ -8965,12 +8965,11 @@ def decode_mp2(data: bytes | None) -> dict | None:
             if (b3 >> 6) & 3 != 3:
                 return None  # mono only (documented subset)
             # ISO 2.4.2.6 selects the allocation table by bitrate PER
-            # CHANNEL; mono is enforced just above, so nch == 1 here and
-            # the header's total bitrate IS the per-channel bitrate. If
-            # the stereo subset is ever widened, this division is the
-            # line that keeps the table selection correct.
-            kbps_per_ch = kbps // 1  # nch == 1 (mono gate above)
-            if (f_rate, kbps_per_ch) not in _MP2_TABLE_A:
+            # CHANNEL; mono is enforced just above, so nch == 1 and the
+            # header's total bitrate IS the per-channel bitrate here. If
+            # the stereo subset is ever widened, divide kbps by the
+            # channel count before this lookup (round-7 ADVICE).
+            if (f_rate, kbps) not in _MP2_TABLE_A:
                 return None  # allocation tables B.2b/c/d out of subset
             if rate is None:
                 rate = f_rate
