@@ -367,8 +367,8 @@ def _media_blob(i: int):
     fraction of each container family decodes for real this round."""
     from fa_spark import pure
 
-    fam = i % 22
-    k = i // 22
+    fam = i % 24
+    k = i // 24
     if fam == 0:
         return "wav-pcm", pure.wav_encode([100 * (k % 3)] * 1600, 16000)
     if fam == 1:
@@ -419,8 +419,16 @@ def _media_blob(i: int):
         return "mp4-avc-env", pure.mp4_envelope_encode(2.0, codec=b"avc1")
     if fam == 20:
         return "webm-vp9-env", pure.webm_envelope_encode(2.0, 320, 180)
-    jf = pure.jpeg_encode([[30 + (k * 3) % 180] * 16] * 16, gray=True)
-    return "avi-mjpeg", pure.avi_mjpeg_encode([jf], 25, 16, 16)
+    if fam == 21:
+        jf = pure.jpeg_encode([[30 + (k * 3) % 180] * 16] * 16, gray=True)
+        return "avi-mjpeg", pure.avi_mjpeg_encode([jf], 25, 16, 16)
+    if fam == 22:
+        return "mp1-stereo", pure.mp1_tone_encode(
+            k % 32, 1 + k % 3, amp_exp_r=1 + (k // 3) % 3
+        )
+    return "mp2-stereo", pure.mp2_tone_encode(
+        k % 27, 1 + k % 3, 44100, 128, amp_exp_r=1 + (k // 3) % 3
+    )
 
 
 MEDIA_MIX_START = "<!-- media-mix:start -->"
@@ -440,7 +448,7 @@ def media_mix_census(cores: int = 8, per_family: int = 24) -> list[dict]:
 
     spark = _session(cores)
     try:
-        n = per_family * 22
+        n = per_family * 24
 
         def gen(batches):
             for pdf in batches:

@@ -8895,10 +8895,11 @@ def mp3_ms_tone_encode(
 # grouped + ungrouped requantization [ISO 11172-3 2.4.3.3], then the
 # SAME polyphase synthesis filterbank as Layer III (_mp_synthesis — no
 # IMDCT in Layer II; subband samples feed the matrixing directly).
-# Documented subset: MPEG-1, mono, allocation table B.2a only (48 kHz
-# at 56-192 kbps, 44.1/32 kHz at 56-80 kbps — the table every mono
-# broadcast profile uses); B.2b/c/d selections return None and stay in
-# the honest stubbed tier. Reference surface: the exiftool/binwalk
+# Documented subset: MPEG-1, mono/stereo/dual channel (round 7 —
+# channels averaged; joint/intensity stereo rejects), allocation table
+# B.2a only, selected by the PER-CHANNEL bitrate (48 kHz at 56-192
+# kbps/ch, 44.1/32 kHz at 56-80 kbps/ch); B.2b/c/d selections return
+# None and stay in the honest stubbed tier. Reference surface: the exiftool/binwalk
 # audio envelope (/root/reference/src/core/analyzer.py:140-313); the
 # reference never decodes payloads — this tier is beyond-parity.
 
@@ -8950,10 +8951,10 @@ def decode_mp2(data: bytes | None) -> dict | None:
         return None
     try:
         chunks = []
-        rate = None
+        rate = nch = None
         n_frames = 0
         n_out = 0
-        fifo = [_np.zeros(32)]
+        fifo = [_np.zeros(32), _np.zeros(32)]
         while p + 4 <= len(data) and n_frames < MP3_MAX_DECODE_FRAMES:
             fr = _mp3_frame(data, p)
             if fr is None:
@@ -8962,76 +8963,88 @@ def decode_mp2(data: bytes | None) -> dict | None:
             b1, b3 = data[p + 1], data[p + 3]
             if (b1 >> 3) & 3 != 3 or 4 - ((b1 >> 1) & 3) != 2:
                 return None  # MPEG-1 Layer II only
-            if (b3 >> 6) & 3 != 3:
-                return None  # mono only (documented subset)
+            mode = (b3 >> 6) & 3
+            if mode == 1:
+                return None  # joint (intensity) stereo out of subset
+            f_nch = 1 if mode == 3 else 2
             # ISO 2.4.2.6 selects the allocation table by bitrate PER
-            # CHANNEL; mono is enforced just above, so nch == 1 and the
-            # header's total bitrate IS the per-channel bitrate here. If
-            # the stereo subset is ever widened, divide kbps by the
-            # channel count before this lookup (round-7 ADVICE).
-            if (f_rate, kbps) not in _MP2_TABLE_A:
+            # CHANNEL (round 7 — stereo/dual decode made this division
+            # live; round-7 ADVICE flagged the mono-era shortcut)
+            if (f_rate, kbps // f_nch) not in _MP2_TABLE_A:
                 return None  # allocation tables B.2b/c/d out of subset
             if rate is None:
-                rate = f_rate
-            elif f_rate != rate:
+                rate, nch = f_rate, f_nch
+            elif (f_rate, f_nch) != (rate, nch):
                 return None
             body = p + 4
             if not (b1 & 1):
                 body += 2  # CRC present
             r = _FBitReader(data, body)
             end_bit = min(p + flen, len(data)) * 8
-            alloc = []
+            chans = range(nch)
+            alloc = [[0] * _MP2_SBLIMIT_A for _ in chans]
             for sb in range(_MP2_SBLIMIT_A):
                 nbal, qlist = _MP2_ALLOC_A[sb]
-                a = r.read(nbal)
-                if a > len(qlist):
-                    return None
-                alloc.append(qlist[a - 1] if a else 0)
-            scfsi = [r.read(2) if alloc[sb] else 0
-                     for sb in range(_MP2_SBLIMIT_A)]
-            sf = [[0.0] * 3 for _ in range(_MP2_SBLIMIT_A)]
-            for sb in range(_MP2_SBLIMIT_A):
-                if not alloc[sb]:
-                    continue
-                pattern = {0: (0, 1, 2), 1: (0, 0, 2),
-                           2: (0, 0, 0), 3: (0, 1, 1)}[scfsi[sb]]
-                got: dict[int, float] = {}
-                for part in sorted(set(pattern)):
-                    idx = r.read(6)
-                    if idx > 62:
+                for ch in chans:  # channel-inner [ISO 2.4.1.6]
+                    a = r.read(nbal)
+                    if a > len(qlist):
                         return None
-                    got[part] = 2.0 * 2.0 ** (-idx / 3.0)
-                for part in range(3):
-                    sf[sb][part] = got[pattern[part]]
-            S = _np.zeros((36, 32))
+                    alloc[ch][sb] = qlist[a - 1] if a else 0
+            scfsi = [[0] * _MP2_SBLIMIT_A for _ in chans]
+            for sb in range(_MP2_SBLIMIT_A):
+                for ch in chans:
+                    if alloc[ch][sb]:
+                        scfsi[ch][sb] = r.read(2)
+            sf = [
+                [[0.0] * 3 for _ in range(_MP2_SBLIMIT_A)] for _ in chans
+            ]
+            for sb in range(_MP2_SBLIMIT_A):
+                for ch in chans:
+                    if not alloc[ch][sb]:
+                        continue
+                    pattern = {0: (0, 1, 2), 1: (0, 0, 2),
+                               2: (0, 0, 0), 3: (0, 1, 1)}[scfsi[ch][sb]]
+                    got: dict[int, float] = {}
+                    for part in sorted(set(pattern)):
+                        idx = r.read(6)
+                        if idx > 62:
+                            return None
+                        got[part] = 2.0 * 2.0 ** (-idx / 3.0)
+                    for part in range(3):
+                        sf[ch][sb][part] = got[pattern[part]]
+            S = [_np.zeros((36, 32)) for _ in chans]
             for gr in range(12):
                 part = gr >> 2
                 for sb in range(_MP2_SBLIMIT_A):
-                    nlv = alloc[sb]
-                    if not nlv:
-                        continue
-                    grouped, nb, cw = _MP2_CLASS[nlv]
-                    if grouped:
-                        code = r.read(cw)
-                        if code >= nlv * nlv * nlv:
-                            return None
-                        for i in range(3):
-                            v = code % nlv
-                            code //= nlv
-                            S[3 * gr + i, sb] = (
-                                _mp2_requant(v, nlv, nb, True) * sf[sb][part]
-                            )
-                    else:
-                        for i in range(3):
-                            v = r.read(nb)
-                            if v == nlv:  # all-ones is forbidden
+                    for ch in chans:
+                        nlv = alloc[ch][sb]
+                        if not nlv:
+                            continue
+                        grouped, nb, cw = _MP2_CLASS[nlv]
+                        if grouped:
+                            code = r.read(cw)
+                            if code >= nlv * nlv * nlv:
                                 return None
-                            S[3 * gr + i, sb] = (
-                                _mp2_requant(v, nlv, nb, False) * sf[sb][part]
-                            )
+                            for i in range(3):
+                                v = code % nlv
+                                code //= nlv
+                                S[ch][3 * gr + i, sb] = (
+                                    _mp2_requant(v, nlv, nb, True)
+                                    * sf[ch][sb][part]
+                                )
+                        else:
+                            for i in range(3):
+                                v = r.read(nb)
+                                if v == nlv:  # all-ones is forbidden
+                                    return None
+                                S[ch][3 * gr + i, sb] = (
+                                    _mp2_requant(v, nlv, nb, False)
+                                    * sf[ch][sb][part]
+                                )
             if r.pos * 8 + r.bit > end_bit:
                 return None  # payload overran the declared frame
-            pcm = _mp_synthesis(S, fifo, 0)
+            outs = [_mp_synthesis(S[ch], fifo, ch) for ch in chans]
+            pcm = outs[0] if nch == 1 else (outs[0] + outs[1]) / 2.0
             chunks.append(pcm)
             n_out += len(pcm)
             if n_out > VORBIS_MAX_SAMPLES:
@@ -9048,7 +9061,7 @@ def decode_mp2(data: bytes | None) -> dict | None:
         zc = int(_np.count_nonzero(pos_sign[1:] != pos_sign[:-1]))
         return {
             "rate": rate,
-            "n_channels": 1,
+            "n_channels": nch,
             "n_samples": n,
             "duration_s": n / rate,
             "rms": rms,
@@ -9066,7 +9079,9 @@ def decode_mp1(data: bytes | None) -> dict | None:
     2^(a+1)-1 levels), one 6-bit scalefactor per active subband, 12
     slots of one sample per subband (384 PCM samples/frame), the same
     ungrouped requantization and synthesis filterbank as Layer II.
-    Mono only (documented subset); None otherwise."""
+    Mono, stereo, and dual-channel decode (round 7 — channels averaged
+    into the mono feature shape); joint (intensity) stereo returns
+    None."""
     if not data:
         return None
     p = _id3v2_size(data)
@@ -9074,10 +9089,10 @@ def decode_mp1(data: bytes | None) -> dict | None:
         return None
     try:
         chunks = []
-        rate = None
+        rate = nch = None
         n_frames = 0
         n_out = 0
-        fifo = [_np.zeros(32)]
+        fifo = [_np.zeros(32), _np.zeros(32)]
         while p + 4 <= len(data) and n_frames < MP3_MAX_DECODE_FRAMES:
             fr = _mp3_frame(data, p)
             if fr is None:
@@ -9086,44 +9101,53 @@ def decode_mp1(data: bytes | None) -> dict | None:
             b1, b3 = data[p + 1], data[p + 3]
             if (b1 >> 3) & 3 != 3 or 4 - ((b1 >> 1) & 3) != 1:
                 return None  # MPEG-1 Layer I only
-            if (b3 >> 6) & 3 != 3:
-                return None  # mono only (documented subset)
+            mode = (b3 >> 6) & 3
+            if mode == 1:
+                return None  # joint (intensity) stereo out of subset
+            f_nch = 1 if mode == 3 else 2
             if rate is None:
-                rate = f_rate
-            elif f_rate != rate:
+                rate, nch = f_rate, f_nch
+            elif (f_rate, f_nch) != (rate, nch):
                 return None
             body = p + 4
             if not (b1 & 1):
                 body += 2  # CRC present
             r = _FBitReader(data, body)
             end_bit = min(p + flen, len(data)) * 8
-            nbits = []
-            for _sb in range(32):
-                a = r.read(4)
-                if a == 15:
-                    return None  # forbidden allocation
-                nbits.append(a + 1 if a else 0)
-            sf = [0.0] * 32
+            chans = range(nch)
+            nbits = [[0] * 32 for _ in chans]
             for sb in range(32):
-                if nbits[sb]:
-                    idx = r.read(6)
-                    if idx > 62:
-                        return None
-                    sf[sb] = 2.0 * 2.0 ** (-idx / 3.0)
-            S = _np.zeros((12, 32))
+                for ch in chans:  # channel-inner [ISO 2.4.1.5]
+                    a = r.read(4)
+                    if a == 15:
+                        return None  # forbidden allocation
+                    nbits[ch][sb] = a + 1 if a else 0
+            sf = [[0.0] * 32 for _ in chans]
+            for sb in range(32):
+                for ch in chans:
+                    if nbits[ch][sb]:
+                        idx = r.read(6)
+                        if idx > 62:
+                            return None
+                        sf[ch][sb] = 2.0 * 2.0 ** (-idx / 3.0)
+            S = [_np.zeros((12, 32)) for _ in chans]
             for t in range(12):
                 for sb in range(32):
-                    nb = nbits[sb]
-                    if not nb:
-                        continue
-                    v = r.read(nb)
-                    nlv = (1 << nb) - 1
-                    if v == nlv:  # all-ones is forbidden
-                        return None
-                    S[t, sb] = _mp2_requant(v, nlv, nb, False) * sf[sb]
+                    for ch in chans:
+                        nb = nbits[ch][sb]
+                        if not nb:
+                            continue
+                        v = r.read(nb)
+                        nlv = (1 << nb) - 1
+                        if v == nlv:  # all-ones is forbidden
+                            return None
+                        S[ch][t, sb] = (
+                            _mp2_requant(v, nlv, nb, False) * sf[ch][sb]
+                        )
             if r.pos * 8 + r.bit > end_bit:
                 return None
-            pcm = _mp_synthesis(S, fifo, 0)
+            outs = [_mp_synthesis(S[ch], fifo, ch) for ch in chans]
+            pcm = outs[0] if nch == 1 else (outs[0] + outs[1]) / 2.0
             chunks.append(pcm)
             n_out += len(pcm)
             if n_out > VORBIS_MAX_SAMPLES:
@@ -9140,7 +9164,7 @@ def decode_mp1(data: bytes | None) -> dict | None:
         zc = int(_np.count_nonzero(pos_sign[1:] != pos_sign[:-1]))
         return {
             "rate": rate,
-            "n_channels": 1,
+            "n_channels": nch,
             "n_samples": n,
             "duration_s": n / rate,
             "rms": rms,
@@ -9152,7 +9176,8 @@ def decode_mp1(data: bytes | None) -> dict | None:
 
 
 def mp1_tone_encode(
-    band_k: int, amp_exp: int, rate: int = 32000, bitrate_kbps: int = 64
+    band_k: int, amp_exp: int, rate: int = 32000, bitrate_kbps: int = 64,
+    amp_exp_r: int | None = None,
 ) -> bytes:
     """Deterministic single-frame MPEG-1 Layer I stream (fixture +
     oracle): subband ``band_k`` (0..31) gets allocation 1 (2-bit
@@ -9160,27 +9185,38 @@ def mp1_tone_encode(
     (4/3)*0.5 = +2/3 — at scalefactor index 3*amp_exp, so all 12 slots
     hold v = (4/3*0.5) * 2^(1-amp_exp) and the decoded 384-sample PCM
     is the bare two-term synthesis response (the Layer II closed form
-    with T=12) — re-derived by queries.SQL_MP1_FEATURES."""
+    with T=12) — re-derived by queries.SQL_MP1_FEATURES.
+    ``amp_exp_r`` (round 7) switches to mode-00 STEREO: both channels
+    carry the same subband pattern at per-channel scalefactor exponents
+    (amp_exp left, amp_exp_r right), so the channel-averaged PCM is the
+    mono closed form at the mean of the two dyadic gains."""
     if not 0 <= band_k < 32:
         raise ValueError("band_k outside the 32 subbands")
     br_idx = _MP3_BITRATES[(1, 1)].index(bitrate_kbps)
     sr_idx = _MP3_RATES[1].index(rate)
-    # sync + MPEG-1 (11) + Layer I (11) + no CRC; mode 11 single channel
-    hdr = bytes([0xFF, 0xFF, (br_idx << 4) | (sr_idx << 2), 0xC4])
+    stereo = amp_exp_r is not None
+    # sync + MPEG-1 (11) + Layer I (11) + no CRC; mode 11 mono / 00 stereo
+    hdr = bytes([0xFF, 0xFF, (br_idx << 4) | (sr_idx << 2),
+                 0x04 if stereo else 0xC4])
     flen = (12 * bitrate_kbps * 1000 // rate) * 4
 
+    exps = (amp_exp, amp_exp_r) if stereo else (amp_exp,)
     w = _FBitWriter()
     for sb in range(32):
-        w.write(1 if sb == band_k else 0, 4)
-    w.write(3 * amp_exp, 6)
+        for _ch in exps:  # channel-inner allocation [ISO 2.4.1.5]
+            w.write(1 if sb == band_k else 0, 4)
+    for e in exps:
+        w.write(3 * e, 6)
     for _t in range(12):
-        w.write(2, 2)
+        for _ch in exps:
+            w.write(2, 2)
     frame = hdr + w.bytes()
     return frame + b"\x00" * (flen - len(frame))
 
 
 def mp2_tone_encode(
-    band_k: int, amp_exp: int, rate: int = 44100, bitrate_kbps: int = 64
+    band_k: int, amp_exp: int, rate: int = 44100, bitrate_kbps: int = 64,
+    amp_exp_r: int | None = None,
 ) -> bytes:
     """Deterministic single-frame MPEG-1 Layer II stream (fixture +
     oracle): subband ``band_k`` (0 <= band_k < 27) carries the 3-level
@@ -9190,23 +9226,34 @@ def mp2_tone_encode(
     constant v = (4/3*0.5) * 2^(1-amp_exp), so the decoded PCM is the
     pure synthesis response
       p[32t+j] = v*(wa(j)*A(j,k) + (t>0)*wb(j)*B(j,k)) / 16
-    — re-derived independently by queries.SQL_MP2_FEATURES."""
+    — re-derived independently by queries.SQL_MP2_FEATURES.
+    ``amp_exp_r`` (round 7) switches to mode-00 STEREO: both channels
+    carry the pattern at per-channel scalefactor exponents; the table-A
+    lookup then keys on bitrate_kbps/2 per channel (pass a total
+    bitrate whose half is a table-A row, e.g. 128 at 44.1 kHz)."""
     if not 0 <= band_k < _MP2_SBLIMIT_A:
         raise ValueError("band_k outside table-A subbands")
     br_idx = _MP3_BITRATES[(1, 2)].index(bitrate_kbps)
     sr_idx = _MP3_RATES[1].index(rate)
+    stereo = amp_exp_r is not None
     # sync + MPEG-1 (version bits 11) + Layer II (10) + no CRC
-    hdr = bytes([0xFF, 0xFD, (br_idx << 4) | (sr_idx << 2), 0xC4])
+    hdr = bytes([0xFF, 0xFD, (br_idx << 4) | (sr_idx << 2),
+                 0x04 if stereo else 0xC4])
     flen = 144 * bitrate_kbps * 1000 // rate
 
+    exps = (amp_exp, amp_exp_r) if stereo else (amp_exp,)
     w = _FBitWriter()
     for sb in range(_MP2_SBLIMIT_A):
-        w.write(1 if sb == band_k else 0, _MP2_ALLOC_A[sb][0])
-    w.write(2, 2)  # scfsi: one scalefactor for all three parts
-    w.write(3 * amp_exp, 6)  # scalefactor index -> 2^(1-amp_exp)
+        for _ch in exps:  # channel-inner allocation [ISO 2.4.1.6]
+            w.write(1 if sb == band_k else 0, _MP2_ALLOC_A[sb][0])
+    for _ch in exps:
+        w.write(2, 2)  # scfsi: one scalefactor for all three parts
+    for e in exps:
+        w.write(3 * e, 6)  # scalefactor index -> 2^(1-e)
     code = 2 + 2 * 3 + 2 * 9  # grouped triple (2,2,2)
     for _gr in range(12):
-        w.write(code, 5)
+        for _ch in exps:
+            w.write(code, 5)
     body = w.bytes()
     frame = hdr + body
     return frame + b"\x00" * (flen - len(frame))

@@ -3276,11 +3276,25 @@ def _mp2_tone_batch(doc_id: pd.Series) -> pd.Series:
     """Single-frame MPEG-1 Layer II stream per doc (round 6): subband
     doc_id%27 carries the grouped 3-level code (2,2,2) at scalefactor
     index 3*(1+doc_id%4) — sweeping the subband over all 27 table-A
-    positions exercises every allocation-field width (nbal 4/4/3/2)."""
+    positions exercises every allocation-field width (nbal 4/4/3/2).
+    Round 7: odd docs are mode-00 STEREO at 128 kbps total (64/channel,
+    the table-A row — the per-channel bitrate selection goes live) with
+    the right channel at scalefactor exponent 1+(doc//4)%4; channels
+    average to the mono closed form at the mean dyadic gain."""
     out = []
     for did in doc_id:
         did = int(did)
-        out.append(pure.mp2_tone_encode(did % 27, 1 + did % 4, MP2_RATE, 64))
+        if did % 2:
+            out.append(
+                pure.mp2_tone_encode(
+                    did % 27, 1 + did % 4, MP2_RATE, 128,
+                    amp_exp_r=1 + (did // 4) % 4,
+                )
+            )
+        else:
+            out.append(
+                pure.mp2_tone_encode(did % 27, 1 + did % 4, MP2_RATE, 64)
+            )
     return pd.Series(out)
 
 
@@ -3290,7 +3304,9 @@ mp2_tone_udf = F.pandas_udf(_mp2_tone_batch, BinaryType())
 def q_mp2_features(spark, sf_dir):
     """REAL MPEG-1 Layer II decode round trip (round 6 — completes the
     MPEG-1 audio family beside Layer III): synthesize a one-frame Layer
-    II stream per document, decode it with pure.decode_mp2 (Table B.2a
+    II stream per document — odd docs mode-00 STEREO with per-channel
+    scalefactors and the PER-CHANNEL bitrate table selection live
+    (round 7) — decode it with pure.decode_mp2 (Table B.2a
     bit allocation, scfsi/scalefactors, grouped requantization, 32-band
     polyphase synthesis), and value-check rms/peak/zcr/duration against
     an oracle that independently recomputes the PCM from the synthesis
@@ -3329,22 +3345,33 @@ def q_mp2_features(spark, sf_dir):
 # unlike the mp3 oracle's silent first granule).
 SQL_MP2_FEATURES = f"""
 WITH d AS (
-  SELECT doc_id, doc_id % 27 AS k, 1 + doc_id % 4 AS e FROM documents),
+  SELECT doc_id, doc_id % 27 AS k, 1 + doc_id % 4 AS e,
+         1 + (doc_id // 4) % 4 AS er, doc_id % 2 AS st
+  FROM documents),
+-- round 7: odd docs are stereo; one row per channel, nch = 1 + st.
+-- The decoder averages the per-channel synthesis outputs, so
+-- p = SUM(p_ch) / nch (a 2-term float add is order-exact).
+ch AS (
+  SELECT doc_id, k, e AS ce, 1 + st AS nch FROM d
+  UNION ALL
+  SELECT doc_id, k, er AS ce, 2 AS nch FROM d WHERE st = 1),
 tj AS (
   SELECT t.t, j.j
   FROM (SELECT UNNEST(range(36)) AS t) t
   CROSS JOIN (SELECT UNNEST(range(32)) AS j) j),
 s AS (
-  SELECT d.doc_id, tj.t, tj.j,
-         ( (((4.0/3.0) * 0.5) * (2.0 * pow(2.0, -d.e))
-              * cos(pi()/128.0*((2*tj.j+33)*(2*d.k+1))))
+  SELECT ch.doc_id, tj.t, tj.j,
+         SUM(
+         ( (((4.0/3.0) * 0.5) * (2.0 * pow(2.0, -ch.ce))
+              * cos(pi()/128.0*((2*tj.j+33)*(2*ch.k+1))))
              * sin(pi()*(2*tj.j+1)/128.0)
          + (CASE WHEN tj.t = 0 THEN 0.0 ELSE
-              ((4.0/3.0) * 0.5) * (2.0 * pow(2.0, -d.e))
-              * cos(pi()/128.0*((2*tj.j+97)*(2*d.k+1))) END)
+              ((4.0/3.0) * 0.5) * (2.0 * pow(2.0, -ch.ce))
+              * cos(pi()/128.0*((2*tj.j+97)*(2*ch.k+1))) END)
              * sin(pi()*(2*(tj.j+32)+1)/128.0)
-         ) / 16.0 AS p
-  FROM d CROSS JOIN tj),
+         ) / 16.0) / MAX(ch.nch) AS p
+  FROM ch CROSS JOIN tj
+  GROUP BY ch.doc_id, tj.t, tj.j),
 win AS (
   SELECT doc_id, p,
          LAG(p, 1) OVER (PARTITION BY doc_id ORDER BY t, j) AS lp
@@ -3374,11 +3401,24 @@ MP1_RATE = 32000
 
 def _mp1_tone_batch(doc_id: pd.Series) -> pd.Series:
     """Single-frame MPEG-1 Layer I stream per doc: subband doc_id%32,
-    scalefactor index 3*(1+doc_id%4) — all 32 subbands swept."""
+    scalefactor index 3*(1+doc_id%4) — all 32 subbands swept. Round 7:
+    odd docs are mode-00 STEREO with the right channel at exponent
+    1+(doc//4)%4; channels average to the mono closed form at the mean
+    dyadic gain."""
     out = []
     for did in doc_id:
         did = int(did)
-        out.append(pure.mp1_tone_encode(did % 32, 1 + did % 4, MP1_RATE, 64))
+        if did % 2:
+            out.append(
+                pure.mp1_tone_encode(
+                    did % 32, 1 + did % 4, MP1_RATE, 64,
+                    amp_exp_r=1 + (did // 4) % 4,
+                )
+            )
+        else:
+            out.append(
+                pure.mp1_tone_encode(did % 32, 1 + did % 4, MP1_RATE, 64)
+            )
     return pd.Series(out)
 
 
@@ -3387,10 +3427,12 @@ mp1_tone_udf = F.pandas_udf(_mp1_tone_batch, BinaryType())
 
 def q_mp1_features(spark, sf_dir):
     """REAL MPEG-1 Layer I decode round trip (round 6 — with Layers II
-    and III this completes the MPEG-1 audio family): 4-bit linear
-    allocation, per-subband scalefactor, ungrouped requantization, the
-    shared synthesis filterbank (pure.decode_mp1). Oracle recomputes
-    the 384-sample PCM from the synthesis cosine closed form."""
+    and III this completes the MPEG-1 audio family; round 7 adds
+    mode-00 stereo on odd docs): 4-bit linear allocation, per-subband
+    per-channel scalefactors, ungrouped requantization, the shared
+    synthesis filterbank (pure.decode_mp1). Oracle recomputes the
+    384-sample PCM from the synthesis cosine closed form, channel rows
+    averaged exactly as the decoder does."""
     from fa_spark.stages.multimodal import extract_media_features
 
     docs = _spread(_t(spark, sf_dir, "documents"))
@@ -3417,22 +3459,31 @@ def q_mp1_features(spark, sf_dir):
 # T=12 slots (384 samples); v = ((4/3)*0.5) * 2^(1-e) as in SQL_MP2.
 SQL_MP1_FEATURES = f"""
 WITH d AS (
-  SELECT doc_id, doc_id % 32 AS k, 1 + doc_id % 4 AS e FROM documents),
+  SELECT doc_id, doc_id % 32 AS k, 1 + doc_id % 4 AS e,
+         1 + (doc_id // 4) % 4 AS er, doc_id % 2 AS st
+  FROM documents),
+-- round 7: odd docs are stereo (see SQL_MP2_FEATURES)
+ch AS (
+  SELECT doc_id, k, e AS ce, 1 + st AS nch FROM d
+  UNION ALL
+  SELECT doc_id, k, er AS ce, 2 AS nch FROM d WHERE st = 1),
 tj AS (
   SELECT t.t, j.j
   FROM (SELECT UNNEST(range(12)) AS t) t
   CROSS JOIN (SELECT UNNEST(range(32)) AS j) j),
 s AS (
-  SELECT d.doc_id, tj.t, tj.j,
-         ( (((4.0/3.0) * 0.5) * (2.0 * pow(2.0, -d.e))
-              * cos(pi()/128.0*((2*tj.j+33)*(2*d.k+1))))
+  SELECT ch.doc_id, tj.t, tj.j,
+         SUM(
+         ( (((4.0/3.0) * 0.5) * (2.0 * pow(2.0, -ch.ce))
+              * cos(pi()/128.0*((2*tj.j+33)*(2*ch.k+1))))
              * sin(pi()*(2*tj.j+1)/128.0)
          + (CASE WHEN tj.t = 0 THEN 0.0 ELSE
-              ((4.0/3.0) * 0.5) * (2.0 * pow(2.0, -d.e))
-              * cos(pi()/128.0*((2*tj.j+97)*(2*d.k+1))) END)
+              ((4.0/3.0) * 0.5) * (2.0 * pow(2.0, -ch.ce))
+              * cos(pi()/128.0*((2*tj.j+97)*(2*ch.k+1))) END)
              * sin(pi()*(2*(tj.j+32)+1)/128.0)
-         ) / 16.0 AS p
-  FROM d CROSS JOIN tj),
+         ) / 16.0) / MAX(ch.nch) AS p
+  FROM ch CROSS JOIN tj
+  GROUP BY ch.doc_id, tj.t, tj.j),
 win AS (
   SELECT doc_id, p,
          LAG(p, 1) OVER (PARTITION BY doc_id ORDER BY t, j) AS lp
@@ -5347,13 +5398,16 @@ REGISTRY: dict[str, tuple] = {
     # widenings, page_meta rel fix, SURT port fix, zstd multi-frame,
     # extract_metadata/sniff aac dispatch, fused-analyzer minhash
     # batching reaching extract_synth/pdf_extract via page_analysis),
-    # then the oldest official rows (the r05 tail). Two tail rows whose
-    # code is untouched since their r05 green (doc_jaccard_pairs,
-    # duplicate_passages — stages/text.py had no r07 edits) defer to
-    # the r08 window: 93 queries no longer fit a 50-row window with
-    # zero 2-round-stale rows, so the unchanged, locally-swept pair
-    # carries the slack. Every entry still runs in the full per-round
-    # DuckDB oracle sweep (tests/test_oracle.py).
+    # then the oldest official rows (the r05 tail). Four tail rows
+    # whose code is untouched since their r05 green (doc_jaccard_pairs,
+    # duplicate_passages, corpus_sample, mp4_frames — their stage files
+    # had no r07 edits) defer to the r08 window, displaced by the
+    # changed-kernel rows (incl. mp1/mp2_features, whose decoders went
+    # stereo late in r07): 93 queries no longer fit a 50-row window
+    # with zero 2-round-stale rows, so unchanged, locally-swept rows
+    # carry the slack and MUST lead the r08 window. Every entry still
+    # runs in the full per-round DuckDB oracle sweep
+    # (tests/test_oracle.py).
     #
     # -- window (first 50) --
     "mp3_huff_features": (q_mp3_huff_features, SQL_MP3_HUFF_FEATURES),
@@ -5374,6 +5428,8 @@ REGISTRY: dict[str, tuple] = {
     "surt_keys": (q_surt_keys, SQL_SURT_KEYS),
     "zstd_roundtrip": (q_zstd_roundtrip, SQL_ZSTD_ROUNDTRIP),
     "media_plumbing": (q_media_plumbing, SQL_MEDIA_PLUMBING),
+    "mp1_features": (q_mp1_features, SQL_MP1_FEATURES),
+    "mp2_features": (q_mp2_features, SQL_MP2_FEATURES),
     "extract_synth": (q_extract_synth, SQL_EXTRACT_SYNTH),
     "pdf_extract": (q_pdf_extract, SQL_PDF_EXTRACT),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
@@ -5404,12 +5460,12 @@ REGISTRY: dict[str, tuple] = {
     "flac_features": (q_flac_features, SQL_FLAC_FEATURES),
     "video_features": (q_video_features, SQL_VIDEO_FEATURES),
     "mjpeg_features": (q_mjpeg_features, SQL_MJPEG_FEATURES),
-    "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
-    "mp4_frames": (q_mp4_frames, SQL_MP4_FRAMES),
     "doc_surprisal": (q_doc_surprisal, SQL_DOC_SURPRISAL),
     "latest_snapshot": (q_latest_snapshot, SQL_LATEST_SNAPSHOT),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     # -- tail: official r06 rows, kernels untouched in r07 --
+    "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
+    "mp4_frames": (q_mp4_frames, SQL_MP4_FRAMES),
     "wav_codec_features": (q_wav_codec_features, SQL_WAV_CODEC_FEATURES),
     "jsonld_extract": (q_jsonld_extract, SQL_JSONLD_EXTRACT),
     "robots_eval": (q_robots_eval, SQL_ROBOTS_EVAL),
@@ -5417,8 +5473,6 @@ REGISTRY: dict[str, tuple] = {
     "sitemap_urls": (q_sitemap_urls, SQL_SITEMAP_URLS),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
-    "mp2_features": (q_mp2_features, SQL_MP2_FEATURES),
-    "mp1_features": (q_mp1_features, SQL_MP1_FEATURES),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "doc_bigram_surprisal": (q_doc_bigram_surprisal, SQL_DOC_BIGRAM_SURPRISAL),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),

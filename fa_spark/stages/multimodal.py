@@ -267,14 +267,16 @@ def media_features_fn(mode: str = "describe"):
                     # synthesis, pure.decode_mp3, incl. M/S joint
                     # stereo), Layer II (Table B.2a bit allocation +
                     # grouped requantization, pure.decode_mp2), Layer I
-                    # (mono table-A, pure.decode_mp1); the sniffer types
-                    # all layers 'mp3', the raw MPEG-audio family. Only
-                    # out-of-subset streams (intensity stereo, Huffman
-                    # tables beyond the pure.py subset, stereo Layer
-                    # I/II, allocation tables B.2b/c/d — see the pure.py
-                    # section headers) return None from their decoder
-                    # and keep the honest stubbed tier below; the gate
-                    # is the decode itself, like ogg's codec gate.
+                    # (table-A, pure.decode_mp1 — mono/stereo/dual for
+                    # Layers I/II as of round 7); the sniffer types all
+                    # layers 'mp3', the raw MPEG-audio family. Only
+                    # out-of-subset streams (intensity stereo in any
+                    # layer, Huffman ESC tables beyond the pure.py
+                    # subset, allocation tables B.2b/c/d — see the
+                    # pure.py section headers) return None from their
+                    # decoder and keep the honest stubbed tier below;
+                    # the gate is the decode itself, like ogg's codec
+                    # gate.
                     status = "decoded"
                     feature = _real_wav_features(aud)
                 elif ct == "ogg" and meta.get("ogg:codec") == "vorbis":

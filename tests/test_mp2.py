@@ -169,3 +169,64 @@ def test_ms_hostile_total():
             b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
         r = pure.decode_mp3(bytes(b))
         assert r is None or np.isfinite(r["rms"])
+
+
+def test_mp1_stereo_decode_matches_channel_average():
+    """Round 7: Layer I mode-00 stereo — channel-inner allocation and
+    per-channel scalefactors; output is the channel average, so the
+    stereo rms relates to the mono rms by the mean of the dyadic
+    gains."""
+    for k, el, er in ((0, 1, 2), (7, 2, 3), (31, 3, 1)):
+        st = pure.decode_mp1(pure.mp1_tone_encode(k, el, amp_exp_r=er))
+        mono = pure.decode_mp1(pure.mp1_tone_encode(k, el))
+        assert st is not None and st["n_channels"] == 2
+        gl, gr = 2.0 ** (1 - el), 2.0 ** (1 - er)
+        assert st["rms"] == pytest.approx(
+            mono["rms"] * (gl + gr) / (2 * gl), abs=1e-12
+        )
+        assert st["n_samples"] == 384
+
+
+def test_mp2_stereo_decode_and_per_channel_table_gate():
+    """Round 7: Layer II mode-00 stereo — the ISO 2.4.2.6 PER-CHANNEL
+    bitrate table selection is live: 128 kbps total stereo (64/ch) is a
+    table-A row and decodes; 64 kbps total stereo (32/ch) is not and
+    rejects."""
+    for k, el, er in ((0, 1, 2), (13, 2, 4), (26, 3, 1)):
+        st = pure.decode_mp2(
+            pure.mp2_tone_encode(k, el, 44100, 128, amp_exp_r=er)
+        )
+        mono = pure.decode_mp2(pure.mp2_tone_encode(k, el))
+        assert st is not None and st["n_channels"] == 2
+        gl, gr = 2.0 ** (1 - el), 2.0 ** (1 - er)
+        assert st["rms"] == pytest.approx(
+            mono["rms"] * (gl + gr) / (2 * gl), abs=1e-12
+        )
+    assert pure.decode_mp2(
+        pure.mp2_tone_encode(3, 1, 44100, 64, amp_exp_r=2)
+    ) is None
+
+
+def test_layer12_joint_stereo_rejects():
+    b2 = bytearray(pure.mp2_tone_encode(3, 1, 44100, 128, amp_exp_r=2))
+    b2[3] = (b2[3] & 0x3F) | 0x40  # mode 01: intensity stereo
+    assert pure.decode_mp2(bytes(b2)) is None
+    b1 = bytearray(pure.mp1_tone_encode(3, 1, amp_exp_r=2))
+    b1[3] = (b1[3] & 0x3F) | 0x40
+    assert pure.decode_mp1(bytes(b1)) is None
+
+
+def test_layer12_stereo_hostile_bitflips():
+    import random
+
+    rnd = random.Random(53)
+    for base in (
+        pure.mp1_tone_encode(5, 2, amp_exp_r=3),
+        pure.mp2_tone_encode(13, 2, 44100, 128, amp_exp_r=4),
+    ):
+        for _ in range(200):
+            b = bytearray(base)
+            for _ in range(4):
+                b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+            pure.decode_mp1(bytes(b))
+            pure.decode_mp2(bytes(b))
