@@ -5960,15 +5960,20 @@ def adts_encode(
 
 def _mp3_l3_subset_frame(data: bytes, p: int, flen: int) -> bool:
     """True iff the frame at p is inside decode_mp3's documented subset,
-    judged from header + side info alone (conservative: a granule that
-    COULD enter the count1 region with table A, or could select a big
-    Huffman table, fails). Cheap — ~17/32 bytes of bit reads per frame."""
+    judged from header + side info alone (conservative: a granule whose
+    table_select names an ESC table fails even if the big-value region
+    never reaches that table's region). Round 7 tracks the widened
+    decoder: M/S and intensity joint stereo, pure-short blocks, count1
+    table A, and big-value tables 2-9 are all IN subset now; only
+    M/S+intensity combined (mode_ext 3), mixed blocks, and ESC tables
+    remain out. Cheap — ~17/32 bytes of bit reads per frame."""
     b1, b3 = data[p + 1], data[p + 3]
     if (b1 >> 3) & 3 != 3 or 4 - ((b1 >> 1) & 3) != 3:
         return False  # MPEG-1 Layer III only
     mode = (b3 >> 6) & 3
-    if mode == 1:
-        return False  # joint stereo
+    ext = (b3 >> 4) & 3
+    if mode == 1 and ext == 3:
+        return False  # M/S + intensity combined
     nch = 1 if mode == 3 else 2
     body = p + 4 + (0 if (b1 & 1) else 2)
     side_len = 17 if nch == 1 else 32
@@ -5981,13 +5986,18 @@ def _mp3_l3_subset_frame(data: bytes, p: int, flen: int) -> bool:
         return False
     for chs in grans:
         for g in chs:
-            if g["block_type"] == 2:
-                return False
+            if g["wsf"] and g["block_type"] == 0:
+                return False  # reserved combination
+            if g["block_type"] == 2 and g["mixed"]:
+                return False  # mixed blocks out of subset
             if g["big_values"] and any(
-                t not in (0, 1) for t in g["table_select"]
+                t not in _MP3_HUFF_BV for t in g["table_select"]
             ):
-                return False
-            if g["count1table"] == 0 and g["part2_3_length"]:
+                return False  # ESC/linbits tables out of subset
+        if mode == 1 and ext == 2 and nch == 2:
+            # the M/S butterfly needs both channels on the same block
+            # split (decode_mp3 round-7 self-review gate)
+            if (chs[0]["block_type"] == 2) != (chs[1]["block_type"] == 2):
                 return False
     return True
 
@@ -6002,7 +6012,9 @@ def mp3_envelope_encode(
     6 an all-zero payload is a legitimately DECODABLE Layer III stream
     (part2_3_length 0 = digital silence, decode_mp3); pass
     ``joint_stereo=True`` for a fixture that stays in the stubbed tier
-    (joint stereo is outside decode_mp3's documented subset)."""
+    — it writes mode_ext 11 (M/S + intensity COMBINED), the one joint
+    mode still outside decode_mp3's subset after round 7 widened plain
+    joint headers, M/S, and intensity to real decode."""
     out = bytearray()
     if title or artist:
         frames = bytearray()
@@ -6017,7 +6029,7 @@ def mp3_envelope_encode(
     sr_idx = _MP3_RATES[1].index(rate)
     hdr = bytes([
         0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2),
-        0x40 if joint_stereo else 0x00,
+        0x70 if joint_stereo else 0x00,
     ])
     flen = 144 * bitrate_kbps * 1000 // rate
     frame = hdr + b"\x00" * (flen - 4)
@@ -8502,11 +8514,20 @@ def decode_mp3(data: bytes | None) -> dict | None:
             mode = (b3 >> 6) & 3
             ms = False
             if mode == 1:
-                # joint stereo: M/S only (round 6) — intensity stereo
-                # stays out of subset
-                if (b3 >> 4) & 3 != 2:
-                    return None
-                ms = True
+                ext = (b3 >> 4) & 3
+                if ext == 2:
+                    ms = True  # M/S butterfly (round 6)
+                elif ext == 3:
+                    return None  # M/S + intensity combined: out of subset
+                # ext 0 (joint header, nothing switched on) and ext 1
+                # (intensity stereo, round 7) decode as INDEPENDENT
+                # channels: intensity reconstruction splits each coded
+                # band value between L and R with tan-ratio factors that
+                # sum to exactly 1 (ISO 2.4.3.4.9.3), so the channel
+                # AVERAGE this engine reports — its entire output
+                # surface — equals the independent decode bit-for-bit
+                # (the intensity bands' right-channel spectrum is zero
+                # either way; per-channel output would need the split).
             f_nch = 1 if mode == 3 else 2
             f_rate = fr[2]
             if rate is None:
@@ -8747,6 +8768,73 @@ def mp3_huff_tone_encode(
     for b in range(4):
         if (quad_idx >> (3 - b)) & 1:
             m.write(0, 1)  # positive
+    main = m.bytes()
+
+    frame = hdr + side + main
+    return frame + b"\x00" * (flen - len(frame))
+
+
+def mp3_intensity_tone_encode(
+    bin_k: int, amp_exp: int, is_pos: int, rate: int = 32000,
+    bitrate_kbps: int = 48,
+) -> bytes:
+    """Deterministic single-frame INTENSITY-STEREO Layer III stream
+    (round 7, mode 01 / mode_ext 01): granule 0 silent in both
+    channels; granule 1 LEFT carries the mp3_tone_encode single-line
+    plant, RIGHT carries ONLY scalefactors — the intensity position
+    ``is_pos`` (0..6) in every band, no spectral data (the rzero
+    region starts at line 0, so every band is an intensity band). The
+    engine's channel-averaged output equals the mono closed form at
+    HALF amplitude regardless of is_pos (the tan-ratio split sums to 1
+    per band) — re-derived by queries.SQL_MP3_INTENSITY_FEATURES, which
+    is exactly the mono form at amp_exp+1."""
+    if not 0 <= bin_k <= 7:
+        raise ValueError("bin_k outside the closed-form subband-0 range")
+    if not 0 <= is_pos <= 6:
+        raise ValueError("is_pos outside the legal 0..6 range")
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[1].index(rate)
+    # mode 01 (joint stereo), mode_ext 01 (intensity on, M/S off)
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x54])
+    flen = 144 * bitrate_kbps * 1000 // rate
+
+    quad, pos_in_quad = divmod(bin_k, 4)
+    p23_l = 5 + 4 * quad
+    # right channel: scalefac_compress 13 -> slen (3,3); long-block
+    # scalefactor bits = 11*3 + 10*3 = 63, no Huffman data
+    p23_r = 63
+
+    w = _FBitWriter()
+    w.write(0, 9)  # main_data_begin
+    w.write(0, 3)  # private (stereo)
+    w.write(0, 8)  # scfsi, both channels
+    # side-info order: gr0ch0, gr0ch1, gr1ch0 (left: tone), gr1ch1 (pos)
+    for gr_p23, compress in ((0, 0), (0, 0), (p23_l, 0), (p23_r, 13)):
+        w.write(gr_p23, 12)  # part2_3_length
+        w.write(0, 9)  # big_values
+        w.write(210 - 4 * amp_exp, 8)  # global_gain
+        w.write(compress, 4)  # scalefac_compress
+        w.write(0, 1)  # window_switching_flag
+        for _ in range(3):
+            w.write(0, 5)  # table_select
+        w.write(0, 4)  # region0_count
+        w.write(0, 3)  # region1_count
+        w.write(0, 1)  # preflag
+        w.write(0, 1)  # scalefac_scale
+        w.write(1, 1)  # count1table_select -> table B
+    side = w.bytes()
+    assert len(side) == 32
+
+    m = _FBitWriter()
+    # granule 1 left: the tone
+    for _ in range(quad):
+        m.write(0xF, 4)  # all-zero quad
+    m.write((1 << (3 - pos_in_quad)) ^ 0xF, 4)
+    m.write(0, 1)  # sign: positive
+    # granule 1 right: 21 intensity positions (3 bits each under
+    # compress 13)
+    for _band in range(21):
+        m.write(is_pos, 3)
     main = m.bytes()
 
     frame = hdr + side + main

@@ -3183,6 +3183,103 @@ FROM agg
 """
 
 
+def _mp3_intensity_tone_batch(doc_id: pd.Series) -> pd.Series:
+    """Intensity-stereo Layer III frame per doc (round 7): the mono
+    tone plant in the LEFT channel, intensity positions doc%7 in every
+    band of the RIGHT channel's scalefactors (no right spectral data —
+    every band is an intensity band). The engine's channel average is
+    the mono closed form at half amplitude for ANY position, which is
+    exactly why the independent-channel decode is bit-exact here."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        out.append(
+            pure.mp3_intensity_tone_encode(
+                did % 8, 1 + did % 4, did % 7, MP3_RATE, 48
+            )
+        )
+    return pd.Series(out)
+
+
+mp3_intensity_tone_udf = F.pandas_udf(_mp3_intensity_tone_batch, BinaryType())
+
+
+def q_mp3_intensity_features(spark, sf_dir):
+    """REAL intensity-stereo Layer III decode round trip (round 7 —
+    the last common joint-stereo mode joins M/S): mode_ext 01 streams
+    decode as independent channels, which is EXACT for this engine's
+    channel-averaged surface because the ISO tan-ratio intensity split
+    sums to 1 per band (pure.decode_mp3 mode dispatch documents the
+    argument; M/S+intensity combined stays the one rejected joint
+    mode). The fixture sweeps all seven legal intensity positions; the
+    oracle is the mono IMDCT+synthesis closed form at half amplitude."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        mp3_intensity_tone_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    fd = _feat_d
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        fd(1).alias("rms"),
+        fd(2).alias("peak"),
+        fd(3).alias("zcr"),
+        fd(4).alias("n_samples"),
+        fd(7).alias("n_channels"),
+        fd(6).alias("duration_s"),
+    )
+
+
+# channel average = the mono closed form at amplitude 2^-(e+1): the left
+# channel carries the tone, the right decodes to exact zeros, and
+# (x + 0)/2 is an exact dyadic scale.
+SQL_MP3_INTENSITY_FEATURES = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS k, 2 + doc_id % 4 AS e FROM documents),
+tj AS (
+  SELECT t.t, j.j
+  FROM (SELECT UNNEST(range(18)) AS t) t
+  CROSS JOIN (SELECT UNNEST(range(32)) AS j) j),
+s AS (
+  SELECT d.doc_id, tj.t, tj.j,
+         ( (sin(pi()*(2*tj.t+1)/72.0)
+              * (cos(pi()/72.0*((2*tj.t+19)*(2*d.k+1))) * pow(2.0, -d.e)))
+             * cos(pi()/128.0*(2*tj.j+33)) * sin(pi()*(2*tj.j+1)/128.0)
+         + (CASE WHEN tj.t = 0 THEN 0.0 ELSE
+              sin(pi()*(2*(tj.t-1)+1)/72.0)
+              * (cos(pi()/72.0*((2*(tj.t-1)+19)*(2*d.k+1))) * pow(2.0, -d.e))
+            END)
+             * cos(pi()/128.0*(2*tj.j+97)) * sin(pi()*(2*(tj.j+32)+1)/128.0)
+         ) / 16.0 AS p
+  FROM d CROSS JOIN tj),
+win AS (
+  SELECT doc_id, p,
+         LAG(p, 1, 0.0) OVER (PARTITION BY doc_id ORDER BY t, j) AS lp
+  FROM s),
+agg AS (
+  SELECT doc_id,
+         sqrt(sum(p*p) / 1152.0) AS rms,
+         max(abs(p)) AS peak,
+         SUM(CASE WHEN (lp >= 0) != (p >= 0) THEN 1 ELSE 0 END) AS zc
+  FROM win GROUP BY doc_id)
+SELECT doc_id,
+       'mp3' AS content_type,
+       'decoded' AS decode_status,
+       ROUND(rms, 6) AS rms,
+       ROUND(peak, 6) AS peak,
+       ROUND_EVEN(zc / 1152.0, 6) AS zcr,
+       CAST(1152 AS DOUBLE) AS n_samples,
+       CAST(2 AS DOUBLE) AS n_channels,
+       ROUND(1152.0 / {MP3_RATE}, 6) AS duration_s
+FROM agg
+"""
+
+
 def _mp3_ms_tone_batch(doc_id: pd.Series) -> pd.Series:
     """M/S joint-stereo Layer III frame per doc (round 6): the mono
     tone plant in the MID channel, side silent — both output channels
@@ -5400,7 +5497,8 @@ REGISTRY: dict[str, tuple] = {
     # batching reaching extract_synth/pdf_extract via page_analysis),
     # then the oldest official rows (the r05 tail). Four tail rows
     # whose code is untouched since their r05 green (doc_jaccard_pairs,
-    # duplicate_passages, corpus_sample, mp4_frames — their stage files
+    # duplicate_passages, corpus_sample, mp4_frames, host_pagerank —
+    # their stage files
     # had no r07 edits) defer to the r08 window, displaced by the
     # changed-kernel rows (incl. mp1/mp2_features, whose decoders went
     # stereo late in r07): 93 queries no longer fit a 50-row window
@@ -5412,6 +5510,7 @@ REGISTRY: dict[str, tuple] = {
     # -- window (first 50) --
     "mp3_huff_features": (q_mp3_huff_features, SQL_MP3_HUFF_FEATURES),
     "mp3_short_features": (q_mp3_short_features, SQL_MP3_SHORT_FEATURES),
+    "mp3_intensity_features": (q_mp3_intensity_features, SQL_MP3_INTENSITY_FEATURES),
     "ocr_extract": (q_ocr_extract, SQL_OCR_EXTRACT),
     "gif_frames": (q_gif_frames, SQL_GIF_FRAMES),
     "ogg_features": (q_ogg_features, SQL_OGG_FEATURES),
@@ -5462,8 +5561,8 @@ REGISTRY: dict[str, tuple] = {
     "mjpeg_features": (q_mjpeg_features, SQL_MJPEG_FEATURES),
     "doc_surprisal": (q_doc_surprisal, SQL_DOC_SURPRISAL),
     "latest_snapshot": (q_latest_snapshot, SQL_LATEST_SNAPSHOT),
-    "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     # -- tail: official r06 rows, kernels untouched in r07 --
+    "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "mp4_frames": (q_mp4_frames, SQL_MP4_FRAMES),
     "wav_codec_features": (q_wav_codec_features, SQL_WAV_CODEC_FEATURES),

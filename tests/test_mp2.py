@@ -151,11 +151,33 @@ def test_ms_stereo_is_mono_over_sqrt2():
         assert ms["zero_crossings"] == mono["zero_crossings"]
 
 
-def test_intensity_stereo_stays_rejected():
-    d = bytearray(pure.mp3_ms_tone_encode(1, 1))
-    for ext in (0x54, 0x74, 0x44):  # intensity, ms+intensity, neither
+def test_joint_stereo_modes_round7():
+    """Round 7 widens joint stereo: intensity (mode_ext 01) and plain
+    joint headers (mode_ext 00) decode as independent channels — the
+    intensity tan-ratio split sums to 1 per band, so the channel
+    AVERAGE (this engine's whole output surface) equals the independent
+    decode exactly. Only M/S + intensity combined (mode_ext 11) stays
+    rejected. Re-headering the M/S fixture turns off the butterfly, so
+    the planted mid-channel tone lands in the LEFT channel alone and
+    the average is the mono closed form at HALF amplitude (vs 1/sqrt(2)
+    under M/S)."""
+    base = pure.mp3_ms_tone_encode(1, 1)
+    ms = pure.decode_mp3(base)
+    assert ms is not None
+    import math
+
+    for ext in (0x54, 0x44):  # intensity on / nothing on
+        d = bytearray(base)
         d[3] = ext
-        assert pure.decode_mp3(bytes(d)) is None
+        got = pure.decode_mp3(bytes(d))
+        assert got is not None and got["n_channels"] == 2
+        # ms avg = pattern/sqrt(2); independent avg = pattern/2
+        assert got["rms"] == pytest.approx(
+            ms["rms"] * math.sqrt(2.0) / 2.0, rel=1e-12
+        )
+    d = bytearray(base)
+    d[3] = 0x74  # M/S + intensity combined: still out of subset
+    assert pure.decode_mp3(bytes(d)) is None
 
 
 def test_ms_hostile_total():

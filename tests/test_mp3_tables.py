@@ -212,3 +212,22 @@ def test_hostile_bitflips_are_total():
         for _ in range(rnd.randint(1, 6)):
             b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
         pure.decode_mp3(bytes(b))  # must never raise
+
+
+def test_l3_subset_gate_tracks_the_widened_decoder():
+    """Round 7: mp3:l3_subset (the lineage stub-accounting gate) must
+    agree with decode_mp3 on every fixture family — a stale gate would
+    mislabel decodable streams as stubbed in the counters."""
+    fixtures = [
+        (pure.mp3_tone_encode(3, 1), True),
+        (pure.mp3_huff_tone_encode(7, 2, 1, -1, 9, 1), True),
+        (pure.mp3_short_tone_encode(4, 1, 2), True),
+        (pure.mp3_ms_tone_encode(5, 1), True),
+        (pure.mp3_intensity_tone_encode(2, 1, 4), True),
+        # M/S + intensity combined: the one rejected joint mode
+        (pure.mp3_envelope_encode(2, joint_stereo=True), False),
+    ]
+    for blob, expect in fixtures:
+        meta = pure._parse_mp3_meta(blob)
+        assert meta.get("mp3:l3_subset") == ("1" if expect else "0"), blob[:4]
+        assert (pure.decode_mp3(blob) is not None) == expect
