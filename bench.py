@@ -367,8 +367,8 @@ def _media_blob(i: int):
     fraction of each container family decodes for real this round."""
     from fa_spark import pure
 
-    fam = i % 24
-    k = i // 24
+    fam = i % 26
+    k = i // 26
     if fam == 0:
         return "wav-pcm", pure.wav_encode([100 * (k % 3)] * 1600, 16000)
     if fam == 1:
@@ -426,8 +426,18 @@ def _media_blob(i: int):
         return "mp1-stereo", pure.mp1_tone_encode(
             k % 32, 1 + k % 3, amp_exp_r=1 + (k // 3) % 3
         )
-    return "mp2-stereo", pure.mp2_tone_encode(
-        k % 27, 1 + k % 3, 44100, 128, amp_exp_r=1 + (k // 3) % 3
+    if fam == 23:
+        return "mp2-stereo", pure.mp2_tone_encode(
+            k % 27, 1 + k % 3, 44100, 128, amp_exp_r=1 + (k // 3) % 3
+        )
+    if fam == 24:
+        return "mp3-intensity", pure.mp3_intensity_tone_encode(
+            k % 8, 1 + k % 3, k % 7
+        )
+    return "mp3-mixed", (
+        pure.mp3_mixed_tone_encode(k % 8, None, 0, 1 + k % 3)
+        if k % 2
+        else pure.mp3_mixed_tone_encode(None, k % 4, (k // 4) % 2, 1 + k % 3)
     )
 
 
@@ -448,7 +458,7 @@ def media_mix_census(cores: int = 8, per_family: int = 24) -> list[dict]:
 
     spark = _session(cores)
     try:
-        n = per_family * 24
+        n = per_family * 26
 
         def gen(batches):
             for pdf in batches:

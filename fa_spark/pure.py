@@ -5964,8 +5964,8 @@ def _mp3_l3_subset_frame(data: bytes, p: int, flen: int) -> bool:
     table_select names an ESC table fails even if the big-value region
     never reaches that table's region). Round 7 tracks the widened
     decoder: M/S and intensity joint stereo, pure-short blocks, count1
-    table A, and big-value tables 2-9 are all IN subset now; only
-    M/S+intensity combined (mode_ext 3), mixed blocks, and ESC tables
+    table A, big-value tables 2-9, and mixed blocks are all IN subset
+    now; only M/S+intensity combined (mode_ext 3) and the ESC tables
     remain out. Cheap — ~17/32 bytes of bit reads per frame."""
     b1, b3 = data[p + 1], data[p + 3]
     if (b1 >> 3) & 3 != 3 or 4 - ((b1 >> 1) & 3) != 3:
@@ -5988,16 +5988,16 @@ def _mp3_l3_subset_frame(data: bytes, p: int, flen: int) -> bool:
         for g in chs:
             if g["wsf"] and g["block_type"] == 0:
                 return False  # reserved combination
-            if g["block_type"] == 2 and g["mixed"]:
-                return False  # mixed blocks out of subset
             if g["big_values"] and any(
                 t not in _MP3_HUFF_BV for t in g["table_select"]
             ):
                 return False  # ESC/linbits tables out of subset
         if mode == 1 and ext == 2 and nch == 2:
             # the M/S butterfly needs both channels on the same block
-            # split (decode_mp3 round-7 self-review gate)
-            if (chs[0]["block_type"] == 2) != (chs[1]["block_type"] == 2):
+            # layout (decode_mp3 round-7 self-review gate)
+            la = (chs[0]["block_type"] == 2, chs[0]["mixed"])
+            lb = (chs[1]["block_type"] == 2, chs[1]["mixed"])
+            if la != lb:
                 return False
     return True
 
@@ -8090,10 +8090,11 @@ def webm_envelope_encode(
 # honest `stubbed` lineage tier, exactly like floor0 Vorbis):
 #   * MPEG-1 only (mono / stereo / dual / M/S joint stereo; intensity
 #     stereo and MPEG-2/2.5 LSF are out of scope),
-#   * all block types: long 0/1/3 AND pure-short 2 (round 7 — Table B.8
+#   * ALL block types (round 7): long 0/1/3, pure-short 2 (Table B.8
 #     short bands, band-major scalefactors, reorder, subblock gains,
-#     three 12-point IMDCTs per subband with 6/12/18 overlap); MIXED
-#     blocks (mixed_block_flag 1) return None,
+#     three 12-point IMDCTs per subband with 6/12/18 overlap) AND mixed
+#     blocks (two long subbands + short bands from band 3, alias
+#     reduction at the single long-long boundary),
 #   * big_values Huffman tables 0-3 and 5-9 (the full small-value
 #     family, xmax 5) plus BOTH count1 tables A and B (round 7) — the
 #     tables whose (hlen, hcod) rows this module states with confidence,
@@ -8313,6 +8314,80 @@ def _mp3_scalefactors_short(r, g):
             sf[band][w] = r.read(slen) if slen else 0
             bits += slen
     return sf, bits
+
+
+def _mp3_scalefactors_mixed(r, g):
+    """Mixed-block scalefactors [ISO 2.4.2.7]: 8 LONG bands (slen1,
+    lines 0-35 = the two long subbands), then short bands 3-5 (slen1)
+    and 6-11 (slen2), band-major with windows inner."""
+    slen1, slen2 = _MP3_SLEN[g["scalefac_compress"]]
+    sf_long = [0] * 8
+    bits = 0
+    for b in range(8):
+        sf_long[b] = r.read(slen1) if slen1 else 0
+        bits += slen1
+    sf_short = [[0] * 3 for _ in range(12)]
+    for band in range(3, 12):
+        slen = slen1 if band < 6 else slen2
+        for w in range(3):
+            sf_short[band][w] = r.read(slen) if slen else 0
+            bits += slen
+    return sf_long, sf_short, bits
+
+
+def _mp3_requantize_mixed(is_, g, sf_long, sf_short, sfb_long, sfb_short):
+    """Requantize a MIXED granule and place into filterbank layout:
+    Huffman lines 0-35 are the long region (8 long scale bands, two
+    long subbands — identity placement, pretab applies), lines 36+ are
+    the short region from short band 3 up (per-window index 12-191,
+    reordered exactly like _mp3_requantize_short)."""
+    xr = _np.zeros(576)
+    vals = _np.array(is_, dtype=_np.float64)
+    gain = 2.0 ** ((g["global_gain"] - 210) / 4.0)
+    mult = 0.5 * (g["scalefac_scale"] + 1)
+    mag = _np.sign(vals) * _np.abs(vals) ** (4.0 / 3.0) * gain
+    pos = 0
+    for b in range(8):
+        lo, hi = sfb_long[b], sfb_long[b + 1]
+        s = sf_long[b] + (g["preflag"] * _MP3_PRETAB[b])
+        f = 2.0 ** (-mult * s)
+        for p in range(lo, hi):
+            xr[p] = mag[pos] * f
+            pos += 1
+    for band in range(3, 13):
+        lo, hi = sfb_short[band], sfb_short[band + 1]
+        for w in range(3):
+            s = sf_short[band][w] if band < 12 else 0
+            f = 2.0 ** (-mult * s - 2.0 * g["subblock_gain"][w])
+            for p in range(lo, hi):
+                xr[(p // 6) * 18 + w * 6 + (p % 6)] = mag[pos] * f
+                pos += 1
+    return xr
+
+
+def _mp3_granule_pcm_mixed(xr_fb, tails, fifo, ch):
+    """Mixed granule: subbands 0-1 run the 36-point long IMDCT with the
+    normal window, subbands 2-31 the three 12-point short IMDCTs; alias
+    reduction applies ONLY at the single long-long boundary (lines
+    17/18) [ISO 2.4.3.4.10.1 mixed case]."""
+    d = _mp3_dsp()
+    cs, ca = d["cs"], d["ca"]
+    for i in range(8):
+        lo, hi = 17 - i, 18 + i
+        a, b = xr_fb[lo], xr_fb[hi]
+        xr_fb[lo] = a * cs[i] - b * ca[i]
+        xr_fb[hi] = b * cs[i] + a * ca[i]
+    X = xr_fb.reshape(32, 18)
+    Y = _np.zeros((36, 32))
+    zl = d["imdct"] @ X[:2].T  # (36, 2) long subbands
+    Y[:, :2] += zl * d["windows"][0][:, None]
+    for w in range(3):
+        Z = d["imdct12"] @ X[2:, w * 6 : (w + 1) * 6].T  # (12, 30)
+        Y[6 + 6 * w : 18 + 6 * w, 2:] += Z * d["w12"][:, None]
+    S = Y[:18, :] + tails[ch]
+    tails[ch] = Y[18:, :]
+    S[1::2, 1::2] *= -1.0
+    return _mp_synthesis(S, fifo, ch)
 
 
 def _mp3_requantize_short(is_, g, sf, sfb_short):
@@ -8555,22 +8630,29 @@ def decode_mp3(data: bytes | None) -> dict | None:
                 prev_sf = [None] * nch
                 for gr in range(2):
                     xrs = []
-                    shorts = []
+                    layouts = []
                     for ch in range(nch):
                         g = grans[gr][ch]
                         if g["wsf"] and g["block_type"] == 0:
                             return None  # reserved: forbidden combination
-                        short = g["block_type"] == 2
-                        if short and g["mixed"]:
-                            return None  # mixed blocks out of subset
+                        bt2 = g["block_type"] == 2
+                        layout = (
+                            "long" if not bt2
+                            else ("mixed" if g["mixed"] else "short")
+                        )
                         gr_start = mr.pos * 8 + mr.bit
-                        if short:
+                        if bt2:
                             # scfsi reuse is long-block-only [ISO
                             # 2.4.2.7]; a stream pairing it with a
-                            # short granule is malformed
+                            # window-switched granule is malformed
                             if gr == 1 and any(scfsi[ch]):
                                 return None
-                            sf, p2bits = _mp3_scalefactors_short(mr, g)
+                            if g["mixed"]:
+                                sfl, sfs, p2bits = _mp3_scalefactors_mixed(
+                                    mr, g
+                                )
+                            else:
+                                sf, p2bits = _mp3_scalefactors_short(mr, g)
                         else:
                             sf, p2bits = _mp3_scalefactors(
                                 mr, g, gr, scfsi[ch], prev_sf[ch]
@@ -8582,28 +8664,37 @@ def decode_mp3(data: bytes | None) -> dict | None:
                         # absolute reposition past stuffing bits
                         total = gr_start + g["part2_3_length"]
                         mr.pos, mr.bit = total >> 3, total & 7
-                        xrs.append(
-                            _mp3_requantize_short(is_, g, sf, sfb_short)
-                            if short
-                            else _mp3_requantize(is_, g, sf, sfb_long)
-                        )
-                        shorts.append(short)
+                        if layout == "mixed":
+                            xrs.append(
+                                _mp3_requantize_mixed(
+                                    is_, g, sfl, sfs, sfb_long, sfb_short
+                                )
+                            )
+                        elif layout == "short":
+                            xrs.append(
+                                _mp3_requantize_short(is_, g, sf, sfb_short)
+                            )
+                        else:
+                            xrs.append(_mp3_requantize(is_, g, sf, sfb_long))
+                        layouts.append(layout)
                     if ms:
                         # M/S butterfly before the filterbank [ISO
                         # 2.4.3.4.9.1]: l = (m+s)/sqrt2, r = (m-s)/sqrt2.
-                        # With equal block splits the butterfly commutes
-                        # with the short-block reorder (elementwise on
+                        # With equal block layouts the butterfly
+                        # commutes with the reorder (elementwise on
                         # identically-permuted arrays); a granule whose
-                        # channels DISAGREE on block type would mix
+                        # channels DISAGREE on layout would mix
                         # mismatched spectral lines — reject it (round-7
                         # self-review; no sane encoder emits it)
-                        if shorts[0] != shorts[1]:
+                        if layouts[0] != layouts[1]:
                             return None
                         s2 = _np.sqrt(2.0)
                         xrs = [(xrs[0] + xrs[1]) / s2, (xrs[0] - xrs[1]) / s2]
                     outs = [
                         _mp3_granule_pcm_short(xrs[ch], tails, fifo, ch)
-                        if shorts[ch]
+                        if layouts[ch] == "short"
+                        else _mp3_granule_pcm_mixed(xrs[ch], tails, fifo, ch)
+                        if layouts[ch] == "mixed"
                         else _mp3_granule_pcm(
                             xrs[ch], grans[gr][ch]["block_type"],
                             tails, fifo, ch,
@@ -8914,6 +9005,87 @@ def mp3_short_tone_encode(
     m = _FBitWriter()
     for _ in range(quad):
         m.write(0xF, 4)  # all-zero quad
+    m.write((1 << (3 - pos_in_quad)) ^ 0xF, 4)
+    m.write(0, 1)  # sign: positive
+    main = m.bytes()
+
+    frame = hdr + side + main
+    return frame + b"\x00" * (flen - len(frame))
+
+
+def mp3_mixed_tone_encode(
+    long_k: int | None, short_i: int | None, w0: int, amp_exp: int,
+    rate: int = 32000, bitrate_kbps: int = 64,
+) -> bytes:
+    """Deterministic single-frame Layer III stream with a MIXED granule
+    (round 7 — block_type 2, mixed_block_flag 1): granule 0 silent
+    long, granule 1 mixed with exactly one +1 count1-region value,
+    either
+      * in the LONG region at line ``long_k`` (0..7, subband 0 — the
+        decoded PCM is exactly the long-block mp3_tone closed form), or
+      * in the SHORT region at short band 3, in-band offset ``short_i``
+        (0..3 -> per-window line 12+i, subband 2), window ``w0`` (0/1)
+        — the 12-point closed form of mp3_short_tone_encode transposed
+        to subband 2 (synthesis cosines at (2j+33)*5 / (2j+97)*5).
+    Re-derived independently by queries.SQL_MP3_MIXED_FEATURES."""
+    if (long_k is None) == (short_i is None):
+        raise ValueError("exactly one of long_k / short_i")
+    if long_k is not None:
+        if not 0 <= long_k <= 7:
+            raise ValueError("long_k outside the closed-form range")
+        idx = long_k
+    else:
+        if not 0 <= short_i <= 3 or w0 not in (0, 1):
+            raise ValueError("short plant outside the closed-form range")
+        # Huffman order: 36 long lines, then short bands from band 3
+        # (width 4), band-major windows inner
+        idx = 36 + w0 * 4 + short_i
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[1].index(rate)
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC4])
+    flen = 144 * bitrate_kbps * 1000 // rate
+
+    quad, pos_in_quad = divmod(idx, 4)
+    p23 = 4 * (quad + 1) + 1
+
+    w = _FBitWriter()
+    w.write(0, 9)  # main_data_begin
+    w.write(0, 5)  # private
+    w.write(0, 4)  # scfsi
+    # granule 0: silent, long
+    w.write(0, 12)
+    w.write(0, 9)
+    w.write(210 - 4 * amp_exp, 8)
+    w.write(0, 4)
+    w.write(0, 1)
+    for _ in range(3):
+        w.write(0, 5)
+    w.write(0, 4)
+    w.write(0, 3)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(1, 1)
+    # granule 1: mixed
+    w.write(p23, 12)
+    w.write(0, 9)  # big_values 0
+    w.write(210 - 4 * amp_exp, 8)
+    w.write(0, 4)  # scalefac_compress 0
+    w.write(1, 1)  # window_switching_flag
+    w.write(2, 2)  # block_type 2
+    w.write(1, 1)  # mixed_block_flag 1
+    w.write(0, 5)
+    w.write(0, 5)
+    for _ in range(3):
+        w.write(0, 3)  # subblock_gain
+    w.write(0, 1)  # preflag
+    w.write(0, 1)  # scalefac_scale
+    w.write(1, 1)  # count1table B
+    side = w.bytes()
+    assert len(side) == 17
+
+    m = _FBitWriter()
+    for _ in range(quad):
+        m.write(0xF, 4)
     m.write((1 << (3 - pos_in_quad)) ^ 0xF, 4)
     m.write(0, 1)  # sign: positive
     main = m.bytes()

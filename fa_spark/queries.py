@@ -3183,6 +3183,125 @@ FROM agg
 """
 
 
+def _mp3_mixed_tone_batch(doc_id: pd.Series) -> pd.Series:
+    """Mixed-block Layer III frame per doc (round 7): doc%3 selects the
+    plant — 0: LONG region line doc%8 (subband 0), 1/2: SHORT region
+    band 3 offset doc%4 (subband 2) in window 0/1 — so both halves of
+    the mixed hybrid filterbank and both overlap offsets are oracle-
+    checked; dyadic amplitude 2^-(1+doc%4)."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        kind = did % 3
+        e = 1 + did % 4
+        if kind == 0:
+            out.append(
+                pure.mp3_mixed_tone_encode(did % 8, None, 0, e, MP3_RATE, 64)
+            )
+        else:
+            out.append(
+                pure.mp3_mixed_tone_encode(
+                    None, did % 4, kind - 1, e, MP3_RATE, 64
+                )
+            )
+    return pd.Series(out)
+
+
+mp3_mixed_tone_udf = F.pandas_udf(_mp3_mixed_tone_batch, BinaryType())
+
+
+def q_mp3_mixed_features(spark, sf_dir):
+    """REAL mixed-block Layer III decode round trip (round 7 —
+    completes the window-switching family beside pure-short blocks):
+    mixed granules run two long subbands through the 36-point IMDCT and
+    the rest through the 12-point short path, with alias reduction only
+    at the single long-long boundary and the mixed scalefactor layout
+    (8 long bands + short bands from band 3 —
+    pure._mp3_scalefactors_mixed/_mp3_requantize_mixed/
+    _mp3_granule_pcm_mixed). The oracle recomputes the PCM from the
+    matching closed form: the long-window form for long plants, the
+    12-point subband-2 form for short plants."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        mp3_mixed_tone_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    fd = _feat_d
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "content_type",
+        "decode_status",
+        fd(1).alias("rms"),
+        fd(2).alias("peak"),
+        fd(3).alias("zcr"),
+        fd(4).alias("n_samples"),
+        fd(5).alias("sample_rate"),
+        fd(6).alias("duration_s"),
+    )
+
+
+# kind 0 (long plant, subband 0): h(t) = the SQL_MP3_FEATURES long form.
+# kind 1/2 (short plant, subband 2): h(t) = the SQL_MP3_SHORT_FEATURES
+# 12-point form at m0 = doc%4, off = 6 + 6*(kind-1); the synthesis
+# cosines then run at (2j+33)*5 / (2j+97)*5 (subband index 2).
+SQL_MP3_MIXED_FEATURES = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS kind, doc_id % 8 AS k, doc_id % 4 AS m0,
+         1 + doc_id % 4 AS e,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 5 END AS kf,
+         6 + 6*(doc_id % 3 - 1) AS off
+  FROM documents),
+hh0 AS (
+  SELECT d.doc_id, d.kf, t.t AS t,
+         CASE
+           WHEN d.kind = 0 THEN
+             sin(pi()*(2*t.t+1)/72.0)
+               * (cos(pi()/72.0*((2*t.t+19)*(2*d.k+1))) * pow(2.0, -d.e))
+           WHEN t.t >= d.off AND t.t - d.off < 12 THEN
+             (pow(2.0, -d.e)
+                * cos(pi()/24.0*((2*(t.t - d.off)+7)*(2*d.m0+1))))
+               * sin(pi()*(2*(t.t - d.off)+1)/24.0)
+           ELSE 0.0
+         END AS h
+  FROM d CROSS JOIN (SELECT UNNEST(range(18)) AS t) t),
+hh AS (
+  SELECT doc_id, kf, t, h,
+         LAG(h, 1, 0.0) OVER (PARTITION BY doc_id ORDER BY t) AS hp
+  FROM hh0),
+s AS (
+  SELECT hh.doc_id, hh.t, j.j,
+         ( hh.h * cos(pi()/128.0*((2*j.j+33)*hh.kf))
+             * sin(pi()*(2*j.j+1)/128.0)
+         + hh.hp * cos(pi()/128.0*((2*j.j+97)*hh.kf))
+             * sin(pi()*(2*(j.j+32)+1)/128.0)
+         ) / 16.0 AS p
+  FROM hh CROSS JOIN (SELECT UNNEST(range(32)) AS j) j),
+win AS (
+  SELECT doc_id, p,
+         LAG(p, 1, 0.0) OVER (PARTITION BY doc_id ORDER BY t, j) AS lp
+  FROM s),
+agg AS (
+  SELECT doc_id,
+         sqrt(sum(p*p) / 1152.0) AS rms,
+         max(abs(p)) AS peak,
+         SUM(CASE WHEN (lp >= 0) != (p >= 0) THEN 1 ELSE 0 END) AS zc
+  FROM win GROUP BY doc_id)
+SELECT doc_id,
+       'mp3' AS content_type,
+       'decoded' AS decode_status,
+       ROUND(rms, 6) AS rms,
+       ROUND(peak, 6) AS peak,
+       ROUND_EVEN(zc / 1152.0, 6) AS zcr,
+       CAST(1152 AS DOUBLE) AS n_samples,
+       CAST({MP3_RATE} AS DOUBLE) AS sample_rate,
+       ROUND(1152.0 / {MP3_RATE}, 6) AS duration_s
+FROM agg
+"""
+
+
 def _mp3_intensity_tone_batch(doc_id: pd.Series) -> pd.Series:
     """Intensity-stereo Layer III frame per doc (round 7): the mono
     tone plant in the LEFT channel, intensity positions doc%7 in every
@@ -5497,7 +5616,8 @@ REGISTRY: dict[str, tuple] = {
     # batching reaching extract_synth/pdf_extract via page_analysis),
     # then the oldest official rows (the r05 tail). Four tail rows
     # whose code is untouched since their r05 green (doc_jaccard_pairs,
-    # duplicate_passages, corpus_sample, mp4_frames, host_pagerank —
+    # duplicate_passages, corpus_sample, mp4_frames, host_pagerank,
+    # latest_snapshot —
     # their stage files
     # had no r07 edits) defer to the r08 window, displaced by the
     # changed-kernel rows (incl. mp1/mp2_features, whose decoders went
@@ -5511,6 +5631,7 @@ REGISTRY: dict[str, tuple] = {
     "mp3_huff_features": (q_mp3_huff_features, SQL_MP3_HUFF_FEATURES),
     "mp3_short_features": (q_mp3_short_features, SQL_MP3_SHORT_FEATURES),
     "mp3_intensity_features": (q_mp3_intensity_features, SQL_MP3_INTENSITY_FEATURES),
+    "mp3_mixed_features": (q_mp3_mixed_features, SQL_MP3_MIXED_FEATURES),
     "ocr_extract": (q_ocr_extract, SQL_OCR_EXTRACT),
     "gif_frames": (q_gif_frames, SQL_GIF_FRAMES),
     "ogg_features": (q_ogg_features, SQL_OGG_FEATURES),
@@ -5560,8 +5681,8 @@ REGISTRY: dict[str, tuple] = {
     "video_features": (q_video_features, SQL_VIDEO_FEATURES),
     "mjpeg_features": (q_mjpeg_features, SQL_MJPEG_FEATURES),
     "doc_surprisal": (q_doc_surprisal, SQL_DOC_SURPRISAL),
-    "latest_snapshot": (q_latest_snapshot, SQL_LATEST_SNAPSHOT),
     # -- tail: official r06 rows, kernels untouched in r07 --
+    "latest_snapshot": (q_latest_snapshot, SQL_LATEST_SNAPSHOT),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "mp4_frames": (q_mp4_frames, SQL_MP4_FRAMES),

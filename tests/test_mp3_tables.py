@@ -182,7 +182,11 @@ def test_short_block_gates():
 
     mixed = bytearray(frame)
     setbit(mixed, 32 + 113, 1)
-    assert pure.decode_mp3(bytes(mixed)) is None  # mixed out of subset
+    # round 7: flipping mixed_block_flag re-types the granule as MIXED,
+    # which now decodes (the count1 plant lands in the mixed layout's
+    # long region instead) — value-level mixed coverage lives in
+    # test_mixed_block_*_roundtrips
+    assert pure.decode_mp3(bytes(mixed)) is not None
     bt0 = bytearray(frame)
     setbit(bt0, 32 + 111, 0)
     setbit(bt0, 32 + 112, 0)
@@ -231,3 +235,72 @@ def test_l3_subset_gate_tracks_the_widened_decoder():
         meta = pure._parse_mp3_meta(blob)
         assert meta.get("mp3:l3_subset") == ("1" if expect else "0"), blob[:4]
         assert (pure.decode_mp3(blob) is not None) == expect
+
+
+def _expected_pcm_mixed_long(k: int, e: int) -> np.ndarray:
+    return _expected_pcm({k: 2.0**-e})
+
+
+def _expected_pcm_mixed_short(i: int, w0: int, e: int) -> np.ndarray:
+    """Short plant in subband 2 of a mixed granule: the 12-point form
+    with synthesis cosines at (2j+33)*5 / (2j+97)*5."""
+    t = np.arange(18)
+    off = 6 + 6 * w0
+    jj = t - off
+    h = np.where(
+        (jj >= 0) & (jj < 12),
+        2.0**-e
+        * np.cos(np.pi / 24.0 * (2 * jj + 7) * (2 * i + 1))
+        * np.sin(np.pi * (2 * jj + 1) / 24.0),
+        0.0,
+    )
+    j = np.arange(32)
+    a = np.cos(np.pi / 128.0 * ((2 * j + 33) * 5))
+    b = np.cos(np.pi / 128.0 * ((2 * j + 97) * 5))
+    w64 = np.sin(np.pi * (2 * np.arange(64) + 1) / 128.0)
+    hp = np.concatenate([[0.0], h[:-1]])
+    p = (
+        h[:, None] * a[None, :] * w64[None, :32]
+        + hp[:, None] * b[None, :] * w64[None, 32:]
+    ) / 16.0
+    return np.concatenate([np.zeros(576), p.ravel()])
+
+
+def _check_pcm(frame, pcm, tag):
+    got = pure.decode_mp3(frame)
+    assert got is not None, tag
+    assert got["rms"] == pytest.approx(
+        float(np.sqrt(np.mean(pcm * pcm))), abs=1e-12
+    ), tag
+    assert got["peak"] == pytest.approx(
+        float(np.max(np.abs(pcm))), abs=1e-12
+    ), tag
+    pos = pcm >= 0
+    assert got["zero_crossings"] == int(
+        np.count_nonzero(pos[1:] != pos[:-1])
+    ), tag
+
+
+@pytest.mark.parametrize("k", range(8))
+def test_mixed_block_long_region_roundtrips(k):
+    frame = pure.mp3_mixed_tone_encode(k, None, 0, 1 + k % 3)
+    _check_pcm(frame, _expected_pcm_mixed_long(k, 1 + k % 3), f"long{k}")
+
+
+@pytest.mark.parametrize("w0", (0, 1))
+@pytest.mark.parametrize("i", range(4))
+def test_mixed_block_short_region_roundtrips(i, w0):
+    frame = pure.mp3_mixed_tone_encode(None, i, w0, 2)
+    _check_pcm(frame, _expected_pcm_mixed_short(i, w0, 2), f"s{i}w{w0}")
+
+
+def test_mixed_block_hostile_bitflips():
+    import random
+
+    rnd = random.Random(23)
+    base = pure.mp3_mixed_tone_encode(None, 2, 1, 1)
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(rnd.randint(1, 6)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        pure.decode_mp3(bytes(b))  # must never raise
