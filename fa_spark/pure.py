@@ -5858,7 +5858,86 @@ def _parse_mp3_meta(data: bytes) -> dict[str, str]:
     # header). The multimodal stage and lineage stub accounting both gate
     # on this key (the ogg:codec pattern), so the two stay in sync.
     out["mp3:l3_subset"] = "1" if subset else "0"
+    out.update(_mp3_xing(data, _id3v2_size(data)))
+    out.update(_parse_id3v1(data))
     return out
+
+
+def _mp3_xing(data: bytes, p: int) -> dict[str, str]:
+    """Xing/Info VBR header (round 7 — the LAME/Xing convention every
+    VBR encoder emits): sits in the FIRST frame right after the side
+    info; 'Xing' marks VBR, 'Info' marks CBR. Flags (big-endian) gate
+    the optional frame-count / byte-count fields; the declared frame
+    count is what players use for VBR duration, so it joins the
+    envelope beside the exact frame-walk numbers."""
+    fr = _mp3_frame(data, p)
+    if fr is None or p + 4 > len(data):
+        return {}
+    b1, b3 = data[p + 1], data[p + 3]
+    if 4 - ((b1 >> 1) & 3) != 3:
+        return {}  # Xing is a Layer III convention
+    mono = (b3 >> 6) & 3 == 3
+    off = p + 4 + (0 if b1 & 1 else 2) + (17 if mono else 32)
+    if off + 8 > len(data):
+        return {}
+    tag = data[off : off + 4]
+    if tag not in (b"Xing", b"Info"):
+        return {}
+    out = {"mp3:xing": "vbr" if tag == b"Xing" else "cbr"}
+    flags = int.from_bytes(data[off + 4 : off + 8], "big")
+    q = off + 8
+    if flags & 1 and q + 4 <= len(data):
+        out["mp3:xing_frames"] = str(int.from_bytes(data[q : q + 4], "big"))
+        q += 4
+    if flags & 2 and q + 4 <= len(data):
+        out["mp3:xing_bytes"] = str(int.from_bytes(data[q : q + 4], "big"))
+    return out
+
+
+def _parse_id3v1(data: bytes) -> dict[str, str]:
+    """ID3v1 trailer (round 7): the fixed 128-byte 'TAG' block at EOF —
+    still everywhere in older web audio. Fields are space/NUL-padded
+    Latin-1; emitted under id3v1:* so ID3v2 keys keep precedence."""
+    if len(data) < 128 or data[-128:-125] != b"TAG":
+        return {}
+    blk = data[-128:]
+
+    def field(lo: int, hi: int) -> str:
+        return blk[lo:hi].split(b"\x00")[0].decode("latin-1").strip()
+
+    out = {}
+    for key, lo, hi in (
+        ("id3v1:title", 3, 33),
+        ("id3v1:artist", 33, 63),
+        ("id3v1:album", 63, 93),
+        ("id3v1:year", 93, 97),
+    ):
+        v = field(lo, hi)
+        if v:
+            out[key] = v
+    # ID3v1.1: a NUL at comment byte 28 marks a track number in byte 29
+    if blk[125] == 0 and blk[126]:
+        out["id3v1:track"] = str(blk[126])
+    return out
+
+
+def id3v1_encode(
+    title: str, artist: str, album: str = "", year: str = "",
+    track: int = 0,
+) -> bytes:
+    """Fixture/writer for the 128-byte ID3v1(.1) trailer."""
+    def pad(s: str, n: int) -> bytes:
+        return s.encode("latin-1")[:n].ljust(n, b"\x00")
+
+    blk = b"TAG" + pad(title, 30) + pad(artist, 30) + pad(album, 30)
+    blk += pad(year, 4)
+    if track:
+        blk += pad("", 28) + b"\x00" + bytes([track])
+    else:
+        blk += pad("", 30)
+    blk += b"\xff"  # genre: none
+    assert len(blk) == 128
+    return blk
 
 
 ADTS_MAX_FRAMES = 8192  # envelope-walk bound for hostile input

@@ -1423,3 +1423,49 @@ def test_minhash_batch_equals_per_doc(monkeypatch):
             assert sig is None
         else:
             assert sig == pure._minhash_shingles(w)
+
+
+def test_mp3_xing_and_id3v1_envelope():
+    """Round 7: Xing/Info VBR header + ID3v1 trailer join the mp3
+    envelope surface."""
+    base = pure.mp3_tone_encode(3, 1)  # mono L3 frame, 32 kHz
+    # plant an Xing header right after the mono side info (4 + 17)
+    b = bytearray(base)
+    off = 4 + 17
+    b[off : off + 4] = b"Xing"
+    b[off + 4 : off + 8] = (3).to_bytes(4, "big")  # frames + bytes
+    b[off + 8 : off + 12] = (1234).to_bytes(4, "big")
+    b[off + 12 : off + 16] = (567890).to_bytes(4, "big")
+    m = pure._parse_mp3_meta(bytes(b))
+    assert m["mp3:xing"] == "vbr"
+    assert m["mp3:xing_frames"] == "1234"
+    assert m["mp3:xing_bytes"] == "567890"
+    b[off : off + 4] = b"Info"
+    assert pure._parse_mp3_meta(bytes(b))["mp3:xing"] == "cbr"
+    # no header -> no keys
+    assert "mp3:xing" not in pure._parse_mp3_meta(base)
+    # ID3v1(.1) trailer
+    tagged = base + pure.id3v1_encode("My Song", "An Artist", "Album",
+                                      "1999", track=7)
+    m = pure._parse_mp3_meta(tagged)
+    assert m["id3v1:title"] == "My Song"
+    assert m["id3v1:artist"] == "An Artist"
+    assert m["id3v1:album"] == "Album"
+    assert m["id3v1:year"] == "1999"
+    assert m["id3v1:track"] == "7"
+    # extract_metadata routes through the same walk
+    assert pure.extract_metadata(tagged)["id3v1:title"] == "My Song"
+
+
+def test_mp3_xing_id3v1_hostile():
+    import random
+
+    rnd = random.Random(77)
+    base = pure.mp3_tone_encode(2, 1) + pure.id3v1_encode("t", "a")
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(5):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        pure._parse_mp3_meta(bytes(b))
+    for cut in range(0, len(base), 11):
+        pure._parse_mp3_meta(base[:cut])
