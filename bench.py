@@ -367,8 +367,8 @@ def _media_blob(i: int):
     fraction of each container family decodes for real this round."""
     from fa_spark import pure
 
-    fam = i % 26
-    k = i // 26
+    fam = i % 27
+    k = i // 27
     if fam == 0:
         return "wav-pcm", pure.wav_encode([100 * (k % 3)] * 1600, 16000)
     if fam == 1:
@@ -434,10 +434,15 @@ def _media_blob(i: int):
         return "mp3-intensity", pure.mp3_intensity_tone_encode(
             k % 8, 1 + k % 3, k % 7
         )
-    return "mp3-mixed", (
-        pure.mp3_mixed_tone_encode(k % 8, None, 0, 1 + k % 3)
-        if k % 2
-        else pure.mp3_mixed_tone_encode(None, k % 4, (k // 4) % 2, 1 + k % 3)
+    if fam == 25:
+        return "mp3-mixed", (
+            pure.mp3_mixed_tone_encode(k % 8, None, 0, 1 + k % 3)
+            if k % 2
+            else pure.mp3_mixed_tone_encode(None, k % 4, (k // 4) % 2,
+                                            1 + k % 3)
+        )
+    return "webp-env", pure.webp_encode_envelope(
+        ("lossy", "lossless", "extended")[k % 3], 64 + k, 48 + k
     )
 
 
@@ -458,7 +463,7 @@ def media_mix_census(cores: int = 8, per_family: int = 24) -> list[dict]:
 
     spark = _session(cores)
     try:
-        n = per_family * 26
+        n = per_family * 27
 
         def gen(batches):
             for pdf in batches:

@@ -114,6 +114,8 @@ def sniff_bytes(data: bytes | None) -> dict:
         if data.startswith(prefix):
             content_type = kind
             break
+    if content_type == "riff" and len(data) >= 12 and data[8:12] == b"WEBP":
+        content_type = "webp"  # round 7: the web's own RIFF form
     head = data[:2048]
     if content_type is None and len(data) >= 12 and data[4:8] == b"ftyp":
         content_type = "mp4"
@@ -974,6 +976,7 @@ def extract_metadata(data: bytes | None) -> dict[str, str]:
     out.update(_parse_mp4_meta(data))
     out.update(_parse_webm_meta(data))
     out.update(_parse_mpeg_meta(data))
+    out.update(_parse_webp_meta(data))
     out.update(_parse_avi_meta(data))
     out.update(_parse_zip_meta(data))
     out.update(_parse_gzip_meta(data))
@@ -7588,6 +7591,95 @@ def zstd_raw_encode(payload: bytes, block_size: int = 1 << 17) -> bytes:
         if last:
             break
     return bytes(out)
+
+
+def _parse_webp_meta(data: bytes) -> dict[str, str]:
+    """WebP envelope (round 7 — the modern web's dominant image
+    container beside jpeg/png): RIFF form 'WEBP' with one of three
+    layouts — 'VP8 ' lossy (keyframe start code + 14-bit dims), 'VP8L'
+    lossless (0x2F signature + packed 14-bit dims + alpha bit), 'VP8X'
+    extended (feature flags + 24-bit canvas dims). Payload decode is a
+    full VP8 codec and stays honestly envelope-only, the AVC/VP9
+    tier."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return {}
+    four = data[12:16]
+    size = int.from_bytes(data[16:20], "little")
+    out = {"webp:kind": four.decode("latin-1").strip()}
+    p = 20
+    if four == b"VP8 " and len(data) >= p + 10:
+        tag = int.from_bytes(data[p : p + 3], "little")
+        if tag & 1:
+            return out  # interframe first: malformed still image
+        if data[p + 3 : p + 6] != b"\x9d\x01\x2a":
+            return out  # missing keyframe start code
+        w = int.from_bytes(data[p + 6 : p + 8], "little") & 0x3FFF
+        h = int.from_bytes(data[p + 8 : p + 10], "little") & 0x3FFF
+        out.update({
+            "webp:format": "lossy",
+            "webp:width": str(w),
+            "webp:height": str(h),
+        })
+    elif four == b"VP8L" and len(data) >= p + 5 and data[p] == 0x2F:
+        bits = int.from_bytes(data[p + 1 : p + 5], "little")
+        out.update({
+            "webp:format": "lossless",
+            "webp:width": str((bits & 0x3FFF) + 1),
+            "webp:height": str(((bits >> 14) & 0x3FFF) + 1),
+            "webp:alpha": str((bits >> 28) & 1),
+        })
+    elif four == b"VP8X" and len(data) >= p + 10:
+        flags = data[p]
+        out.update({
+            "webp:format": "extended",
+            "webp:width": str(
+                int.from_bytes(data[p + 4 : p + 7], "little") + 1
+            ),
+            "webp:height": str(
+                int.from_bytes(data[p + 7 : p + 10], "little") + 1
+            ),
+            "webp:alpha": str((flags >> 4) & 1),
+            "webp:animation": str((flags >> 1) & 1),
+        })
+    else:
+        return out
+    out["webp:chunk_bytes"] = str(size)
+    return out
+
+
+def webp_encode_envelope(
+    kind: str, width: int, height: int, alpha: int = 0, animation: int = 0,
+    payload: bytes = b"\x00" * 16,
+) -> bytes:
+    """Structurally-valid WebP envelope fixture for the three layouts
+    (headers real, VP8 entropy payload fake — the parser never reads
+    past the dimensions)."""
+    if kind == "lossy":
+        body = (
+            (0).to_bytes(3, "little")  # keyframe tag
+            + b"\x9d\x01\x2a"
+            + (width & 0x3FFF).to_bytes(2, "little")
+            + (height & 0x3FFF).to_bytes(2, "little")
+            + payload
+        )
+        chunk = b"VP8 " + len(body).to_bytes(4, "little") + body
+    elif kind == "lossless":
+        bits = (width - 1) | ((height - 1) << 14) | (alpha << 28)
+        body = b"\x2f" + bits.to_bytes(4, "little") + payload
+        chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
+    elif kind == "extended":
+        body = (
+            bytes([(alpha << 4) | (animation << 1)])
+            + b"\x00\x00\x00"
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+            + payload
+        )
+        chunk = b"VP8X" + len(body).to_bytes(4, "little") + body
+    else:
+        raise ValueError(f"unknown webp kind {kind!r}")
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
 
 
 def _parse_avi_meta(data: bytes) -> dict[str, str]:

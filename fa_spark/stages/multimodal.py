@@ -57,7 +57,7 @@ MODE_RESOLUTION = {"describe": 512, "detect": 384, "document": 768}
 # only for non-Vorbis codecs (opus etc.) — Vorbis decodes for real as of
 # round 5 via pure.decode_vorbis. Shared with lineage stub accounting
 # (lineage.commit_lineage) so the two stay in sync.
-STUB_CONTAINER_TYPES = ("ogg", "riff", "mp3", "mp4", "webm", "mpeg")
+STUB_CONTAINER_TYPES = ("ogg", "riff", "mp3", "mp4", "webm", "mpeg", "webp", "aac")
 
 MEDIA_FEATURES = T.StructType(
     [

@@ -266,3 +266,46 @@ def test_xz_sniffed():
     assert pure.sniff_bytes(b"\xfd7zXZ\x00\x00\x04" + b"\0" * 32)[
         "content_type"
     ] == "xz"
+
+
+def test_webp_envelope_three_layouts():
+    """Round 7: WebP envelope — the modern web's dominant image
+    container; all three layouts parse (payload decode stays the
+    documented envelope-only tier)."""
+    lossy = pure.webp_encode_envelope("lossy", 320, 240)
+    assert pure.sniff_bytes(lossy)["content_type"] == "webp"
+    m = pure.extract_metadata(lossy)
+    assert m["webp:format"] == "lossy"
+    assert (m["webp:width"], m["webp:height"]) == ("320", "240")
+    m = pure.extract_metadata(pure.webp_encode_envelope("lossless", 16, 9, alpha=1))
+    assert m["webp:format"] == "lossless"
+    assert (m["webp:width"], m["webp:height"], m["webp:alpha"]) == ("16", "9", "1")
+    m = pure.extract_metadata(
+        pure.webp_encode_envelope("extended", 4096, 2160, alpha=1, animation=1)
+    )
+    assert m["webp:format"] == "extended"
+    assert (m["webp:width"], m["webp:height"]) == ("4096", "2160")
+    assert (m["webp:alpha"], m["webp:animation"]) == ("1", "1")
+    # a WAVE riff must NOT be retyped
+    w = pure.wav_encode([0] * 160, 16000)
+    assert pure.sniff_bytes(w)["content_type"] == "riff"
+    # interframe-first / missing start code stay kind-only
+    bad = bytearray(pure.webp_encode_envelope("lossy", 32, 32))
+    bad[20] |= 1  # frame tag: interframe
+    mm = pure._parse_webp_meta(bytes(bad))
+    assert mm["webp:kind"] == "VP8" and "webp:width" not in mm
+
+
+def test_webp_hostile_total():
+    import random
+
+    rnd = random.Random(31)
+    base = pure.webp_encode_envelope("extended", 100, 50)
+    for cut in range(len(base)):
+        pure._parse_webp_meta(base[:cut])
+        pure.sniff_bytes(base[:cut])
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(4):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        pure.extract_metadata(bytes(b))
