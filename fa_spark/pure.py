@@ -5846,7 +5846,7 @@ def _parse_mp3_meta(data: bytes) -> dict[str, str]:
         elif br != bitrate:
             vbr = True
         if subset:
-            subset = _mp3_l3_subset_frame(data, p, flen)
+            subset = _mpeg_audio_subset_frame(data, p, flen)
         total_samples += samples
         n_frames += 1
         p += flen
@@ -5856,10 +5856,11 @@ def _parse_mp3_meta(data: bytes) -> dict[str, str]:
     out["mp3:sample_rate"] = str(rate)
     out["mp3:bitrate_kbps"] = ("vbr~" if vbr else "") + str(bitrate)
     out["mp3:duration_s"] = f"{total_samples / rate:.3f}"
-    # round 6: decode-subset verdict from the side-info walk — '1' iff
-    # every frame sits inside decode_mp3's documented subset (9c⁵ section
-    # header). The multimodal stage and lineage stub accounting both gate
-    # on this key (the ogg:codec pattern), so the two stay in sync.
+    # rounds 6-7: decode-subset verdict — '1' iff every frame sits
+    # inside the REAL decoder family's documented subset (decode_mp3 via
+    # the side-info walk; decode_mp2/mp1 via their mode/table gates —
+    # the key name keeps its round-6 spelling because the stage and
+    # lineage stub accounting both gate on it).
     out["mp3:l3_subset"] = "1" if subset else "0"
     out.update(_mp3_xing(data, _id3v2_size(data)))
     out.update(_parse_id3v1(data))
@@ -6038,6 +6039,35 @@ def adts_encode(
         )
         out += b"\x00" * payload_len
     return bytes(out)
+
+
+def _mpeg_audio_subset_frame(data: bytes, p: int, flen: int) -> bool:
+    """True iff the MPEG-audio frame at p is inside SOME real decoder's
+    documented subset — Layer III via _mp3_l3_subset_frame, Layer II via
+    decode_mp2's gates (non-joint mode + per-channel-bitrate table A),
+    Layer I via decode_mp1's (non-joint mode). Round 7: before this
+    dispatch, real-decoding Layer I/II streams were miscounted as
+    stubbed in the lineage accounting because the verdict only
+    understood Layer III."""
+    b1, b3 = data[p + 1], data[p + 3]
+    layer = 4 - ((b1 >> 1) & 3)
+    if layer == 3:
+        return _mp3_l3_subset_frame(data, p, flen)
+    if (b1 >> 3) & 3 != 3:
+        return False  # MPEG-2/2.5 out of every decoder's subset
+    mode = (b3 >> 6) & 3
+    if mode == 1:
+        return False  # joint (intensity) stereo: Layers I/II reject
+    if layer == 1:
+        return True
+    if layer == 2:
+        fr = _mp3_frame(data, p)
+        if fr is None:
+            return False
+        _flen, _samples, f_rate, kbps = fr
+        nch = 1 if mode == 3 else 2
+        return (f_rate, kbps // nch) in _MP2_TABLE_A
+    return False
 
 
 def _mp3_l3_subset_frame(data: bytes, p: int, flen: int) -> bool:

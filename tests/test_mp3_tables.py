@@ -304,3 +304,27 @@ def test_mixed_block_hostile_bitflips():
         for _ in range(rnd.randint(1, 6)):
             b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
         pure.decode_mp3(bytes(b))  # must never raise
+
+
+def test_subset_gate_covers_layers_one_and_two():
+    """Round 7: the lineage verdict must also track the Layer I/II
+    decoders — real-decoding mono AND stereo streams verdict '1',
+    joint mode and non-table-A stereo bitrates verdict '0'."""
+    cases = [
+        (pure.mp1_tone_encode(5, 1), True, pure.decode_mp1),
+        (pure.mp1_tone_encode(5, 1, amp_exp_r=2), True, pure.decode_mp1),
+        (pure.mp2_tone_encode(13, 1), True, pure.decode_mp2),
+        (pure.mp2_tone_encode(13, 1, 44100, 128, amp_exp_r=2), True,
+         pure.decode_mp2),
+        # 64 kbps total stereo = 32/ch, not a table-A row
+        (pure.mp2_tone_encode(13, 1, 44100, 64, amp_exp_r=2), False,
+         pure.decode_mp2),
+    ]
+    for blob, expect, dec in cases:
+        meta = pure._parse_mp3_meta(blob)
+        assert meta.get("mp3:l3_subset") == ("1" if expect else "0")
+        assert (dec(blob) is not None) == expect
+    # joint mode rejects in both layers
+    b = bytearray(pure.mp1_tone_encode(5, 1, amp_exp_r=2))
+    b[3] = (b[3] & 0x3F) | 0x40
+    assert pure._parse_mp3_meta(bytes(b)).get("mp3:l3_subset") == "0"
