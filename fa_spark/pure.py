@@ -11444,6 +11444,10 @@ def mpeg1_encode_ip(
                           macroblock whose reference window stays
                           in-frame, vector 0 elsewhere — the round-7
                           f_code > 1 fixture
+      ('vshift', dy[, fc])  full-pel VERTICAL vector dy with the same
+                          stays-in-frame rule — pins the vertical
+                          motion path (identical decode machinery,
+                          orthogonal geometry)
       ('residual', lvl)   no-MC coded macroblocks, cbp 60, one DC-only
                           escape-coded residual `lvl` per luma block"""
     base = mpeg1_encode([first], fps, qs)
@@ -11453,10 +11457,11 @@ def mpeg1_encode_ip(
     total = mbw * mbh
     for t, spec in enumerate(specs, start=1):
         kind = spec[0]
-        full_pel = 1 if kind in ("copy", "shift", "wideshift") else 0
+        full_pel = 1 if kind in ("copy", "shift", "wideshift", "vshift") else 0
         fc = (
             spec[2]
-            if kind in ("shift", "halfpel", "wideshift") and len(spec) > 2
+            if kind in ("shift", "halfpel", "wideshift", "vshift")
+            and len(spec) > 2
             else 1
         )
         bw = _FBitWriter()
@@ -11496,6 +11501,17 @@ def mpeg1_encode_ip(
                 mv = d if 0 <= x0 + d and x0 + 16 + d <= w else 0
                 _mpeg_mv_write(bw, mv - pred, fc)
                 _mpeg_mv_write(bw, 0, fc)  # vertical motion_code 0
+                pred = mv
+        elif kind == "vshift":
+            d = spec[1]
+            pred = 0
+            for a in range(total):
+                _mba_write(bw, 1)
+                bw.write(0b001, 3)  # mc, not coded
+                y0 = (a // mbw) * 16
+                mv = d if 0 <= y0 + d and y0 + 16 + d <= h else 0
+                _mpeg_mv_write(bw, 0, fc)  # horizontal motion_code 0
+                _mpeg_mv_write(bw, mv - pred, fc)
                 pred = mv
         elif kind == "residual":
             level = spec[1]

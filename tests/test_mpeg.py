@@ -594,3 +594,37 @@ def test_p_fcode2_hostile_bitflips_total():
             b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
         r = pure.decode_mpeg1(bytes(b))
         assert r is None or all(np.isfinite(m) for m in r["frame_means"])
+
+
+def _rowbands(vals, w=32):
+    """Horizontal bands: 16 rows per value."""
+    return [[v] * w for v in vals for _ in range(16)]
+
+
+def test_p_vertical_shift_exact():
+    """Round 7: vertical motion vectors through the same reconstruct/MC
+    machinery — a 32x32 picture with two row bands, vshift -16 copies
+    the top band into the bottom macroblock row (top row keeps vector
+    0, its window would leave the frame)."""
+    es = pure.mpeg1_encode_ip(_rowbands([80, 200]), [("vshift", -16)])
+    d = pure.decode_mpeg1(es)
+    assert d is not None and d["n_frames"] == 2
+    assert d["frame_means"] == [140.0, 80.0]
+
+
+def test_p_vertical_shift_fcode2_exact():
+    """Vertical f_code 2 (-20): macroblock rows whose window leaves the
+    frame keep vector 0; row 2 references 20 px up (4 px of band 0 +
+    12 px of band 1 per column)."""
+    vals = [80, 120, 200]
+    es = pure.mpeg1_encode_ip(_rowbands(vals), [("vshift", -20, 2)])
+    d = pure.decode_mpeg1(es)
+    assert d is not None
+    ref = np.array(_rowbands(vals), dtype=np.int64)
+    exp = ref.copy()
+    h = ref.shape[0]
+    for r in range(3):
+        y0 = r * 16
+        if y0 - 20 >= 0 and y0 - 4 <= h:
+            exp[y0 : y0 + 16, :] = ref[y0 - 20 : y0 - 4, :]
+    assert d["frame_means"][1] == float(exp.mean())
