@@ -7456,10 +7456,18 @@ def _parse_zip_meta(data: bytes) -> dict[str, str]:
     return out
 
 
+GZIP_WALK_MAX_MEMBERS = 64
+GZIP_WALK_MAX_BYTES = 1 << 24  # per-member decode bound for the walk
+
+
 def _parse_gzip_meta(data: bytes) -> dict[str, str]:
-    """GZIP member header (RFC 1952): original filename + mtime when
-    present, plus the decompressed size of the FIRST member from the
-    trailing ISIZE field (mod 2^32, single-member exact)."""
+    """GZIP envelope (RFC 1952): first-member filename + mtime when
+    present, the trailing ISIZE field (which belongs to the LAST member
+    — exact only for single-member files), and — round 7 — a bounded
+    MEMBER WALK: concatenated members are the normal web-archive shape,
+    so count them and sum their decoded sizes. The walk stops silently
+    at the bounds or the first malformed member; counts are only
+    emitted for what actually decoded."""
     if len(data) < 18 or data[:2] != b"\x1f\x8b" or data[2] != 8:
         return {}
     out: dict[str, str] = {}
@@ -7479,6 +7487,30 @@ def _parse_gzip_meta(data: bytes) -> dict[str, str]:
             out["gzip:name"] = data[p:end].decode("latin-1")
         p = end + 1 if end >= 0 else p
     out["gzip:isize"] = str(int.from_bytes(data[-4:], "little"))
+    n_members = 0
+    total = 0
+    q = 0
+    try:
+        while (
+            q + 18 <= len(data)
+            and n_members < GZIP_WALK_MAX_MEMBERS
+            and data[q : q + 2] == b"\x1f\x8b"
+        ):
+            d = zlib.decompressobj(wbits=31)
+            chunk = d.decompress(data[q:], GZIP_WALK_MAX_BYTES)
+            if not d.eof:
+                break  # truncated or over-bound member: stop the walk
+            total += len(chunk)
+            n_members += 1
+            consumed = len(data) - q - len(d.unused_data)
+            if consumed <= 0:
+                break
+            q += consumed
+    except zlib.error:
+        pass
+    if n_members:
+        out["gzip:members"] = str(n_members)
+        out["gzip:decoded_bytes"] = str(total)
     return out
 
 

@@ -1469,3 +1469,27 @@ def test_mp3_xing_id3v1_hostile():
         pure._parse_mp3_meta(bytes(b))
     for cut in range(0, len(base), 11):
         pure._parse_mp3_meta(base[:cut])
+
+
+def test_gzip_member_walk():
+    """Round 7: concatenated gzip members (the web-archive shape) are
+    counted with their total decoded size; truncated tails stop the
+    walk without dropping the header fields."""
+    import gzip as _gz
+
+    two = _gz.compress(b"hello ") + _gz.compress(b"world")
+    m = pure._parse_gzip_meta(two)
+    assert m["gzip:members"] == "2"
+    assert m["gzip:decoded_bytes"] == "11"
+    one = _gz.compress(b"payload" * 10)
+    m1 = pure._parse_gzip_meta(one)
+    assert m1["gzip:members"] == "1"
+    assert m1["gzip:decoded_bytes"] == "70"
+    assert m1["gzip:isize"] == "70"
+    # truncated second member: first still counted
+    cut = pure._parse_gzip_meta(two[:-3])
+    assert cut.get("gzip:members") == "1"
+    assert cut["gzip:decoded_bytes"] == "6"
+    # garbage after a valid member stops the walk silently
+    g = pure._parse_gzip_meta(_gz.compress(b"x") + b"\x1f\x8b\x08garbage!!!!!!!!!!")
+    assert g["gzip:members"] == "1"
