@@ -6093,23 +6093,35 @@ def _mp3_l3_subset_frame(data: bytes, p: int, flen: int) -> bool:
         return False
     try:
         r = _FBitReader(data, body)
-        _mdb, _scfsi, grans = _mp3_side_info(r, nch)
+        _mdb, scfsi, grans = _mp3_side_info(r, nch)
     except EOFError:
         return False
-    for chs in grans:
-        for g in chs:
+
+    def _layout(g):
+        # the decoder's layout classes: block_type!=2 is plain LONG
+        # regardless of the mixed bit (mixed only modifies short blocks)
+        if g["block_type"] != 2:
+            return "long"
+        return "mixed" if g["mixed"] else "short"
+
+    for gr, chs in enumerate(grans):
+        for ch, g in enumerate(chs):
             if g["wsf"] and g["block_type"] == 0:
                 return False  # reserved combination
+            if gr == 1 and g["block_type"] == 2 and any(scfsi[ch]):
+                # scfsi reuse is long-block-only [ISO 2.4.2.7]; the
+                # decoder rejects it paired with a window-switched
+                # granule 1 (round-8 ADVICE: mirror the exact gate)
+                return False
             if g["big_values"] and any(
                 t not in _MP3_HUFF_BV for t in g["table_select"]
             ):
-                return False  # ESC/linbits tables out of subset
+                return False  # tables outside the decoder's set
         if mode == 1 and ext == 2 and nch == 2:
             # the M/S butterfly needs both channels on the same block
-            # layout (decode_mp3 round-7 self-review gate)
-            la = (chs[0]["block_type"] == 2, chs[0]["mixed"])
-            lb = (chs[1]["block_type"] == 2, chs[1]["mixed"])
-            if la != lb:
+            # LAYOUT as the decoder classifies it (round-8 ADVICE: the
+            # mixed bit only matters for block_type 2)
+            if _layout(chs[0]) != _layout(chs[1]):
                 return False
     return True
 
@@ -7457,7 +7469,7 @@ def _parse_zip_meta(data: bytes) -> dict[str, str]:
 
 
 GZIP_WALK_MAX_MEMBERS = 64
-GZIP_WALK_MAX_BYTES = 1 << 24  # per-member decode bound for the walk
+GZIP_WALK_MAX_BYTES = 1 << 24  # TOTAL decode budget across the whole walk
 
 
 def _parse_gzip_meta(data: bytes) -> dict[str, str]:
@@ -7467,7 +7479,12 @@ def _parse_gzip_meta(data: bytes) -> dict[str, str]:
     MEMBER WALK: concatenated members are the normal web-archive shape,
     so count them and sum their decoded sizes. The walk stops silently
     at the bounds or the first malformed member; counts are only
-    emitted for what actually decoded."""
+    emitted for what actually decoded. GZIP_WALK_MAX_BYTES is a TOTAL
+    inflation budget across the walk (round-8 ADVICE: a per-member cap
+    times 64 members let a ~1 MB hostile concat force ~1 GiB of zlib
+    work in the hot extract_metadata path — asymmetric CPU
+    amplification); each member decodes against the remaining budget
+    and the walk stops when it is exhausted."""
     if len(data) < 18 or data[:2] != b"\x1f\x8b" or data[2] != 8:
         return {}
     out: dict[str, str] = {}
@@ -7490,16 +7507,19 @@ def _parse_gzip_meta(data: bytes) -> dict[str, str]:
     n_members = 0
     total = 0
     q = 0
+    budget = GZIP_WALK_MAX_BYTES
     try:
         while (
             q + 18 <= len(data)
             and n_members < GZIP_WALK_MAX_MEMBERS
+            and budget > 0
             and data[q : q + 2] == b"\x1f\x8b"
         ):
             d = zlib.decompressobj(wbits=31)
-            chunk = d.decompress(data[q:], GZIP_WALK_MAX_BYTES)
+            chunk = d.decompress(data[q:], budget)
             if not d.eof:
-                break  # truncated or over-bound member: stop the walk
+                break  # truncated or over-budget member: stop the walk
+            budget -= len(chunk)
             total += len(chunk)
             n_members += 1
             consumed = len(data) - q - len(d.unused_data)
@@ -7577,9 +7597,18 @@ def decode_zstd_raw(data: bytes | None) -> bytes | None:
     frames). Round-7 ADVICE: a zstd STREAM is a sequence of frames —
     concatenated data frames append, skippable frames (RFC 8878 §3.1.2)
     are skipped, and any other trailing bytes reject the whole decode,
-    so a truncated tail can never pass as a successful decode."""
-    if not data or _zstd_header(data) is None:
+    so a truncated tail can never pass as a successful decode.
+    Round-8 ADVICE: LEADING skippable frames (metadata frames some
+    writers emit before the first data frame) are valid RFC 8878 — the
+    frame loop handles them from byte 0, and the stream is accepted iff
+    at least one DATA frame decodes (an all-skippable stream has no
+    content and stays rejected)."""
+    if not data or len(data) < 8:
         return None
+    magic0 = int.from_bytes(data[:4], "little")
+    if magic0 & 0xFFFFFFF0 != ZSTD_SKIP_MAGIC_LO and _zstd_header(data) is None:
+        return None
+    n_data_frames = 0
     out = bytearray()
     p = 0
     while p < len(data):
@@ -7595,6 +7624,7 @@ def decode_zstd_raw(data: bytes | None) -> bytes | None:
         if hdr is None:
             return None  # trailing bytes that are not a frame: reject
         p, _dict_id, content_size, checksum, _single = hdr
+        n_data_frames += 1
         frame_out = 0
         last = False
         while not last:
@@ -7626,6 +7656,8 @@ def decode_zstd_raw(data: bytes | None) -> bytes | None:
             p += 4  # XXH64 low bits: present but not verified
         if content_size is not None and frame_out != content_size:
             return None  # header/payload disagreement: reject loudly
+    if n_data_frames == 0:
+        return None  # all-skippable stream: no content to decode
     return bytes(out)
 
 

@@ -5317,6 +5317,10 @@ def q_surt_keys(spark, sf_dir):
         F.lit("http://sub"), s, F.lit(".example"), h,
         F.lit(".com/p/"), d, F.lit("?q="), q,
     )
+    multi_at = F.concat(  # round-8 ADVICE: host starts after the LAST @
+        F.lit("http://a@b@sub"), s, F.lit(".example"), h,
+        F.lit(".com/p/"), d, F.lit("?q="), q,
+    )
     k_clean = surt_key_expr(clean)
     return docs.select(
         "doc_id",
@@ -5324,6 +5328,7 @@ def q_surt_keys(spark, sf_dir):
         (
             (surt_key_expr(messy) == k_clean)
             & (surt_key_expr(https) == k_clean)
+            & (surt_key_expr(multi_at) == k_clean)
         ).alias("keys_match"),
         (surt_key_expr(cross) != k_clean).alias("cross_port_kept"),
     )

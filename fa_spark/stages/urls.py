@@ -124,9 +124,11 @@ def surt_key_expr(col) -> Column:
     hostport = F.lower(
         F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
     )
-    # userinfo precedes the host and never contains '/' — strip it so
-    # credentialed variants collapse to the same dedup key
-    hostport = F.regexp_replace(hostport, r"^[^/@]*@", "")
+    # userinfo precedes the host; per RFC 3986 the host starts after
+    # the LAST '@' in the authority (userinfo itself may contain '@' in
+    # malformed/phishing-shaped URLs like http://a@b@evil.com/), so
+    # strip GREEDILY to the last '@' — hostport cannot contain '/'
+    hostport = F.regexp_replace(hostport, r"^.*@", "")
     hostport = F.regexp_replace(hostport, r"^www\.", "")
     default_port = (
         F.when(scheme == "http", F.lit("80"))

@@ -237,6 +237,54 @@ def test_l3_subset_gate_tracks_the_widened_decoder():
         assert (pure.decode_mp3(blob) is not None) == expect
 
 
+def test_l3_subset_gate_mirrors_decoder_exactly():
+    """Round-8 ADVICE: the header-only mp3:l3_subset verdict must model
+    the decoder's EXACT side-info gates — (a) scfsi reuse paired with a
+    window-switched granule 1 rejects in both, (b) the M/S layout
+    equality check ignores the mixed bit for non-short block types
+    (the decoder treats block_type!=2 as plain long either way)."""
+    # (a) scfsi bit set on a mono fixture whose granule 1 is
+    # window-switched: decoder rejects (scfsi reuse is long-block-only,
+    # ISO 2.4.2.7) and the verdict must agree — before round 8 it said
+    # '1' while decode returned None, skewing lineage stub accounting
+    base = pure.mp3_short_tone_encode(4, 0, 2)
+    p = pure._id3v2_size(base)
+    b = bytearray(base)
+    b[p + 5] |= 0x02  # scfsi bit 0 (side-info bit 14, mono layout)
+    blob = bytes(b)
+    assert pure._parse_mp3_meta(blob).get("mp3:l3_subset") == "0"
+    assert pure.decode_mp3(blob) is None
+
+    # (b) M/S frame, granule 0 both channels wsf long-start
+    # (block_type 1) with DIFFERING mixed bits and part2_3_length 0:
+    # the decoder classifies both layouts "long" and decodes; the old
+    # verdict compared (bt2, mixed) tuples and falsely rejected
+    base = pure.mp3_ms_tone_encode(5, 1)
+    p = pure._id3v2_size(base)
+    b = bytearray(base)
+
+    def setbit(side_bit, val=1):
+        byte = (p + 4) + side_bit // 8
+        mask = 1 << (7 - side_bit % 8)
+        if val:
+            b[byte] |= mask
+        else:
+            b[byte] &= ~mask
+
+    # stereo side info: 20 bits of mdb/private/scfsi, 59 bits/granule/ch;
+    # wsf sits 33 bits into a granule (p23 12 + bv 9 + gg 8 + sfc 4)
+    setbit(53), setbit(54, 0), setbit(55, 1), setbit(56, 1)  # ch0: bt1 mixed1
+    setbit(112), setbit(113, 0), setbit(114, 1), setbit(115, 0)  # ch1: bt1 mixed0
+    blob = bytes(b)
+    assert pure._parse_mp3_meta(blob).get("mp3:l3_subset") == "1"
+    assert pure.decode_mp3(blob) is not None
+    # sanity: the crafted side info is what the test thinks it is
+    r = pure._FBitReader(blob, p + 4)
+    _mdb, _scfsi, grans = pure._mp3_side_info(r, 2)
+    assert [g["block_type"] for g in grans[0]] == [1, 1]
+    assert [g["mixed"] for g in grans[0]] == [1, 0]
+
+
 def _expected_pcm_mixed_long(k: int, e: int) -> np.ndarray:
     return _expected_pcm({k: 2.0**-e})
 

@@ -1493,3 +1493,26 @@ def test_gzip_member_walk():
     # garbage after a valid member stops the walk silently
     g = pure._parse_gzip_meta(_gz.compress(b"x") + b"\x1f\x8b\x08garbage!!!!!!!!!!")
     assert g["gzip:members"] == "1"
+
+
+def test_gzip_walk_total_budget(monkeypatch):
+    """Round-8 ADVICE: GZIP_WALK_MAX_BYTES is a TOTAL inflation budget
+    across the member walk, not per-member — a small hostile
+    concatenation of high-ratio members can no longer force
+    members x cap worth of zlib work in the hot extract_metadata path."""
+    import gzip as _gz
+
+    member = _gz.compress(b"A" * 1000)  # ~1000:1-ish ratio member
+    blob = member * 10
+    monkeypatch.setattr(pure, "GZIP_WALK_MAX_BYTES", 2500)
+    m = pure._parse_gzip_meta(blob)
+    # members 1+2 fit (2000 <= 2500); member 3 would need 1000 against
+    # the remaining 500 and stops the walk — total inflation is bounded
+    # by the budget + one partial member, never members x cap
+    assert m["gzip:members"] == "2"
+    assert m["gzip:decoded_bytes"] == "2000"
+    # exact-budget walk decodes fully
+    monkeypatch.setattr(pure, "GZIP_WALK_MAX_BYTES", 10_000)
+    full = pure._parse_gzip_meta(blob)
+    assert full["gzip:members"] == "10"
+    assert full["gzip:decoded_bytes"] == "10000"

@@ -236,7 +236,14 @@ def test_zstd_multi_frame_stream():
     )
     assert pure.decode_zstd_raw(a + b) == b"hello world"
     assert pure.decode_zstd_raw(a + skip + b) == b"hello world"
-    assert pure.decode_zstd_raw(skip + a) is None  # must START with a frame
+    # round-8 ADVICE: LEADING skippable frames are valid RFC 8878 —
+    # writers emit metadata frames before the first data frame
+    assert pure.decode_zstd_raw(skip + a) == b"hello "
+    assert pure.decode_zstd_raw(skip + skip + a + b) == b"hello world"
+    assert pure.decode_zstd_raw(skip) is None  # all-skippable: no content
+    assert pure.decode_zstd_raw(skip + skip) is None
+    assert pure.decode_zstd_raw(skip + b"garbage") is None
+    assert pure.decode_zstd_raw(skip[:6]) is None  # truncated leading skip
     assert pure.decode_zstd_raw(a + b"garbage") is None
     assert pure.decode_zstd_raw(a + skip[:6]) is None  # truncated skippable
     # skippable declaring more bytes than remain
