@@ -269,9 +269,11 @@ def media_features_fn(mode: str = "describe"):
                     # grouped requantization, pure.decode_mp2), Layer I
                     # (table-A, pure.decode_mp1 — mono/stereo/dual for
                     # Layers I/II as of round 7); the sniffer types all
-                    # layers 'mp3', the raw MPEG-audio family. Only
-                    # out-of-subset streams (intensity stereo in any
-                    # layer, Huffman ESC tables beyond the pure.py
+                    # layers 'mp3', the raw MPEG-audio family; Layer
+                    # III intensity stereo (mode_ext 01) also decodes
+                    # as of late round 7. Only out-of-subset streams
+                    # (M/S+intensity combined, intensity in Layers
+                    # I/II, Huffman ESC tables beyond the pure.py
                     # subset, allocation tables B.2b/c/d — see the
                     # pure.py section headers) return None from their
                     # decoder and keep the honest stubbed tier below;
