@@ -4862,12 +4862,26 @@ def _audio_container_batch(doc_id: pd.Series) -> pd.Series:
                 )
             )
         elif kind == 1:
-            out.append(
-                pure.ogg_envelope_encode(
-                    "vorbis" if did % 2 else "opus", 48000, 1 + did % 2,
-                    total_samples=4800 * (1 + did % 5), n_audio_pages=2,
+            if did % 2:
+                out.append(
+                    pure.ogg_envelope_encode(
+                        "vorbis", 48000, 2,
+                        total_samples=4800 * (1 + did % 5), n_audio_pages=2,
+                    )
                 )
-            )
+            else:
+                # round 8 (VERDICT r7 #4): real Opus packets so the TOC
+                # walk is under the value-hash gate — config sweeps all
+                # 32 RFC 6716 entries, frame-count codes 0-3, 1-3
+                # packets per stream, all closed-form from doc_id.
+                k = did // 2
+                cfg, c = k % 32, k % 4
+                out.append(
+                    pure.ogg_opus_encode(
+                        [(cfg, k % 2, c, 1 + k % 2, 6)] * (1 + k % 3),
+                        channels=1 + k % 2,
+                    )
+                )
         elif kind == 2:
             out.append(pure.flac_encode([7] * (1600 * (1 + did % 4)), 16000))
         else:
@@ -4912,6 +4926,17 @@ def q_audio_meta(spark, sf_dir):
                         "units": int(m["mp3:n_frames"]),
                         "title": m.get("mp3:title"),
                     })
+                elif m.get("opus:toc_status") == "ok":
+                    rows.append({
+                        "doc_id": int(did), "container": "ogg",
+                        "duration_s": float(m["opus:toc_duration_s"]),
+                        "sample_rate": int(m["ogg:sample_rate"]),
+                        "units": int(m["opus:n_frames"]),
+                        "title": "opus-%s-%s-s%s" % (
+                            m["opus:mode"], m["opus:bandwidth"],
+                            m["opus:stereo"],
+                        ),
+                    })
                 elif "ogg:codec" in m:
                     rows.append({
                         "doc_id": int(did), "container": "ogg",
@@ -4947,36 +4972,60 @@ def q_audio_meta(spark, sf_dir):
 
 SQL_AUDIO_META = """
 WITH d AS (
-  SELECT doc_id, doc_id % 4 AS kind, doc_id // 4 AS j FROM documents),
+  SELECT doc_id, doc_id % 4 AS kind, doc_id // 4 AS j, doc_id // 2 AS k
+  FROM documents),
 a AS (
   SELECT doc_id, kind, j,
          4 + j % 12 AS a_frames,
          CASE (j // 4) % 4 WHEN 0 THEN 64000 WHEN 1 THEN 32000
               WHEN 2 THEN 16000 ELSE 8000 END AS a_rate,
          CASE j % 4 WHEN 0 THEN 'Main' WHEN 1 THEN 'LC'
-              WHEN 2 THEN 'SSR' ELSE 'LTP' END AS a_profile
-  FROM d)
+              WHEN 2 THEN 'SSR' ELSE 'LTP' END AS a_profile,
+         k % 32 AS cfg, k % 2 AS st, k % 4 AS code,
+         (1 + k % 3) * (CASE k % 4 WHEN 0 THEN 1 WHEN 3 THEN 1 + k % 2
+                        ELSE 2 END) AS o_frames
+  FROM d),
+o AS (
+  SELECT *,
+         CASE WHEN cfg < 12 THEN 'silk' WHEN cfg < 16 THEN 'hybrid'
+              ELSE 'celt' END AS o_mode,
+         CASE WHEN cfg < 4 THEN 'nb' WHEN cfg < 8 THEN 'mb'
+              WHEN cfg < 12 THEN 'wb'
+              WHEN cfg < 14 THEN 'swb' WHEN cfg < 16 THEN 'fb'
+              WHEN cfg < 20 THEN 'nb' WHEN cfg < 24 THEN 'wb'
+              WHEN cfg < 28 THEN 'swb' ELSE 'fb' END AS o_bw,
+         CASE WHEN cfg < 12 THEN
+                CASE cfg % 4 WHEN 0 THEN 100 WHEN 1 THEN 200
+                     WHEN 2 THEN 400 ELSE 600 END
+              WHEN cfg < 16 THEN CASE cfg % 2 WHEN 0 THEN 100 ELSE 200 END
+              ELSE CASE cfg % 4 WHEN 0 THEN 25 WHEN 1 THEN 50
+                   WHEN 2 THEN 100 ELSE 200 END END AS o_tenthms
+  FROM a)
 SELECT doc_id,
        CASE kind WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg' WHEN 2 THEN 'flac'
             ELSE 'aac' END AS container,
        CASE kind
          WHEN 0 THEN ROUND((10 + doc_id % 20) * 1152.0 / 48000, 3)
-         WHEN 1 THEN ROUND(4800 * (1 + doc_id % 5) / 48000.0, 3)
+         WHEN 1 THEN CASE WHEN doc_id % 2 = 1
+                     THEN ROUND(4800 * (1 + doc_id % 5) / 48000.0, 3)
+                     ELSE ROUND(o_frames * o_tenthms / 10000.0, 4) END
          WHEN 2 THEN ROUND(1600 * (1 + doc_id % 4) / 16000.0, 3)
          ELSE ROUND(a_frames * 1024.0 / a_rate, 3) END AS duration_s,
        CASE kind WHEN 2 THEN 16000 WHEN 3 THEN a_rate
             ELSE 48000 END AS sample_rate,
        CASE kind
          WHEN 0 THEN 10 + doc_id % 20
-         WHEN 1 THEN 3
+         WHEN 1 THEN CASE WHEN doc_id % 2 = 1 THEN 3 ELSE o_frames END
          WHEN 2 THEN 1
          ELSE a_frames END AS units,
        CASE kind
          WHEN 0 THEN 'track ' || CAST(doc_id AS VARCHAR)
-         WHEN 1 THEN CASE WHEN doc_id % 2 = 1 THEN 'vorbis' ELSE 'opus' END
+         WHEN 1 THEN CASE WHEN doc_id % 2 = 1 THEN 'vorbis'
+                     ELSE 'opus-' || o_mode || '-' || o_bw || '-s'
+                          || CAST(st AS VARCHAR) END
          WHEN 2 THEN NULL
          ELSE a_profile END AS title
-FROM a
+FROM o
 """
 
 

@@ -599,6 +599,62 @@ def test_ogg_envelope_roundtrip():
     assert op["ogg:codec"] == "opus" and op["ogg:duration_s"] == "1.000"
 
 
+def test_opus_toc_walk():
+    # Every RFC 6716 config x frame-count code decodes to the table row.
+    for cfg in range(32):
+        for c in range(4):
+            m_frames = 1 + (cfg % 2)
+            blob = pure.ogg_opus_encode([(cfg, cfg % 2, c, m_frames, 6)])
+            m = pure.extract_metadata(blob)
+            assert m["opus:toc_status"] == "ok", (cfg, c, m)
+            assert m["opus:mode"] == pure._OPUS_MODE[cfg]
+            assert m["opus:bandwidth"] == pure._OPUS_BW[cfg]
+            assert (m["opus:frame_ms"]
+                    == f"{pure._OPUS_FRAME_TENTHMS[cfg] / 10:.1f}")
+            assert m["opus:stereo"] == str(cfg % 2)
+            exp_n = {0: 1, 1: 2, 2: 2, 3: m_frames}[c]
+            assert m["opus:n_frames"] == str(exp_n), (cfg, c, m)
+    # Multi-packet stream with a 255-lacing page-spanning packet: the
+    # TOC-summed duration and the granule duration agree (pre_skip 0).
+    blob = pure.ogg_opus_encode(
+        [(14, 1, 0, 1, 4), (30, 0, 3, 2, 300), (5, 0, 1, 1, 8)],
+        span_index=1,
+    )
+    m = pure.extract_metadata(blob)
+    assert m["opus:n_packets"] == "3" and m["opus:n_frames"] == "5"
+    assert m["opus:toc_duration_s"] == "0.0700"
+    assert m["ogg:duration_s"] == "0.070"
+    assert m["opus:mode"] == "hybrid" and m["opus:stereo"] == "1"
+
+
+def test_opus_toc_rejects_malformed_packets():
+    # R5: code-3 total duration > 120 ms
+    assert pure._opus_toc(bytes([(11 << 3) | 3, 3, 1, 2, 3])) is None
+    # code-3 with M = 0
+    assert pure._opus_toc(bytes([(0 << 3) | 3, 0])) is None
+    # R3: code-1 odd payload
+    assert pure._opus_toc(bytes([(0 << 3) | 1, 1, 2, 3])) is None
+    # R4: code-2 first-frame length missing / longer than the payload
+    assert pure._opus_toc(bytes([(0 << 3) | 2])) is None
+    assert pure._opus_toc(bytes([(0 << 3) | 2, 9, 1])) is None
+    assert pure._opus_toc(b"") is None
+    # An invalid packet inside a stream marks the walk, drops the fields.
+    # Patch the audio packet's TOC (the blob's last 0x00 byte — config 0
+    # code 0 followed by 0x20.. filler) to code 2: the first payload
+    # byte 0x20 then reads as a 32-byte first-frame length against a
+    # 3-byte remainder, an R4 violation.
+    good = pure.ogg_opus_encode([(0, 0, 0, 1, 4)])
+    bad = bytearray(good)
+    bad[good.rindex(b"\x00")] = (0 << 3) | 2
+    mb = pure.extract_metadata(bytes(bad))
+    assert mb["opus:toc_status"] == "invalid"
+    assert "opus:n_frames" not in mb
+    # truncation at every cut never raises
+    blob = pure.ogg_opus_encode([(20, 0, 2, 1, 300)], span_index=0)
+    for cut in range(0, len(blob), 23):
+        pure.extract_metadata(blob[:cut])
+
+
 def test_flac_tags_and_streaminfo_meta():
     base = bytearray(pure.flac_encode([9] * 1600, 16000))
     base[4] &= 0x7F  # STREAMINFO no longer the last metadata block
