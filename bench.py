@@ -367,8 +367,8 @@ def _media_blob(i: int):
     fraction of each container family decodes for real this round."""
     from fa_spark import pure
 
-    fam = i % 27
-    k = i // 27
+    fam = i % 28
+    k = i // 28
     if fam == 0:
         return "wav-pcm", pure.wav_encode([100 * (k % 3)] * 1600, 16000)
     if fam == 1:
@@ -441,9 +441,20 @@ def _media_blob(i: int):
             else pure.mp3_mixed_tone_encode(None, k % 4, (k // 4) % 2,
                                             1 + k % 3)
         )
-    return "webp-env", pure.webp_encode_envelope(
-        ("lossy", "lossless", "extended")[k % 3], 64 + k, 48 + k
-    )
+    if fam == 26:
+        # lossy / extended stay the documented envelope tier; lossless
+        # moved to its own REAL family below (round 8)
+        return "webp-env", pure.webp_encode_envelope(
+            ("lossy", "extended")[k % 2], 64 + k, 48 + k
+        )
+    rows = [[(k % 251, x * 17 % 256, y * 17 % 256) for x in range(16)]
+            for y in range(16)]
+    opts = (
+        {}, {"subtract_green": True}, {"cache_bits": 1 + k % 8},
+        {"predictor": k % 14}, {"color": (k % 256, 239, 5)},
+        {"palette": True},
+    )[k % 6]
+    return "webp-vp8l", pure.webp_vp8l_encode(rows, **opts)
 
 
 MEDIA_MIX_START = "<!-- media-mix:start -->"
@@ -463,7 +474,7 @@ def media_mix_census(cores: int = 8, per_family: int = 24) -> list[dict]:
 
     spark = _session(cores)
     try:
-        n = per_family * 27
+        n = per_family * 28
 
         def gen(batches):
             for pdf in batches:

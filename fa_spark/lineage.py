@@ -282,10 +282,16 @@ def commit_lineage(
     non_stub_mpeg = (ct == "mpeg") & (
         F.coalesce(F.col("meta").getItem("mpeg:ip_subset"), F.lit("")) == "1"
     )
+    # webp is non-stub for lossless (VP8L) payloads — real decode as of
+    # round 8 (pure.decode_webp_lossless); lossy/extended stay stubbed
+    non_stub_webp = (ct == "webp") & (
+        F.coalesce(F.col("meta").getItem("webp:format"), F.lit(""))
+        == "lossless"
+    )
     stub_ct = F.when(
         ct.isin(*STUB_CONTAINER_TYPES)
         & ~non_stub_riff & ~non_stub_ogg & ~non_stub_mp4 & ~non_stub_mp3
-        & ~non_stub_mpeg,
+        & ~non_stub_mpeg & ~non_stub_webp,
         ct,
     )
     # two-level agg: (bucket, stub type) partial-aggregates map-side, then

@@ -7943,6 +7943,886 @@ def webp_encode_envelope(
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
 
 
+# ---------------------------------------------------------------------------
+# WebP VP8L (lossless) decode — round 8, VERDICT r7 #3. A from-scratch
+# implementation of the public WebP Lossless Bitstream Specification
+# (RFC 9649 section 3 / libwebp's documented format): LSB-first
+# bitstream, canonical prefix codes (simple 1-2-symbol form and the
+# code-length-coded form with 16/17/18 repeats), up to four transforms
+# (predictor with all 14 modes, color with the signed >>5 delta
+# multipliers, subtract-green, color-indexing with pixel bundling),
+# color cache, meta prefix images, and LZ77 backward references with
+# the 120-entry close-neighborhood distance mapping. The reference repo
+# shells out to external tooling for images (analyzer.py metadata
+# path); this decoder plays the same role as decode_png/decode_jpeg —
+# closes the `webp-env` stub tier for lossless payloads. VP8 (lossy)
+# payloads stay a documented envelope tier beside AVC/VP9.
+# ---------------------------------------------------------------------------
+
+VP8L_MAX_PIXELS = PNG_MAX_PIXELS
+
+# code-length-code symbol transmission order [spec 3.7.2.2]
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _vp8l_plane_pairs() -> list:
+    """The 120 close-neighborhood (dx, dy) offsets for distance codes
+    1..120 [spec 3.6.4 'Distance Mapping']: dy 0 row has dx 1..8, rows
+    dy 1..7 have dx -7..8, ordered by squared distance, then |dx|, with
+    the positive dx of a pair first. Generated rather than typed so a
+    transcription slip is structurally impossible."""
+    pairs = [(x, 0) for x in range(1, 9)]
+    pairs += [(x, y) for y in range(1, 8) for x in range(-7, 9)]
+    pairs.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0))
+    return pairs
+
+
+_VP8L_PLANE = _vp8l_plane_pairs()
+_VP8L_PLANE_CODE = {p: i + 1 for i, p in enumerate(_VP8L_PLANE)}
+
+
+def _vp8l_subsample(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _vp8l_canonical(lengths: list):
+    """Canonical prefix map {(len, code): symbol} from code lengths
+    (deflate/VP8L convention: codes assigned in symbol order within
+    increasing length). A single used symbol yields the 0-bit tree
+    {(0, 0): sym} (libwebp's single-leaf root). Raises ValueError for
+    an incomplete or oversubscribed code."""
+    used = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+    if not used:
+        raise ValueError("empty code")
+    if len(used) == 1:
+        return {(0, 0): used[0][1]}, 0
+    maxlen = max(ln for ln, _ in used)
+    if maxlen > 15:
+        raise ValueError("code length > 15")
+    bl_count = [0] * (maxlen + 1)
+    for ln, _ in used:
+        bl_count[ln] += 1
+    next_code = [0] * (maxlen + 1)
+    code = 0
+    for ln in range(1, maxlen + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    m: dict = {}
+    kraft = 0
+    for s, ln in enumerate(lengths):
+        if ln > 0:
+            m[(ln, next_code[ln])] = s
+            next_code[ln] += 1
+            kraft += 1 << (maxlen - ln)
+    if kraft != 1 << maxlen:
+        raise ValueError("incomplete prefix code")
+    return m, maxlen
+
+
+def _vp8l_read_sym(r: "_VBitReader", tree) -> int:
+    m, maxlen = tree
+    if maxlen == 0:
+        return m[(0, 0)]
+    code = 0
+    for ln in range(1, maxlen + 1):
+        code = (code << 1) | r.read1()
+        s = m.get((ln, code))
+        if s is not None:
+            return s
+    raise ValueError("invalid prefix codeword")
+
+
+def _vp8l_read_code(r: "_VBitReader", alphabet: int):
+    """One prefix code [spec 3.7.2]: simple (1-2 symbols) or
+    code-length-coded canonical form."""
+    if r.read1():  # simple code
+        nsym = r.read1() + 1
+        s0 = r.read(8) if r.read1() else r.read1()
+        if nsym == 1:
+            if s0 >= alphabet:
+                raise ValueError("simple symbol out of range")
+            return {(0, 0): s0}, 0
+        s1 = r.read(8)
+        if s0 >= alphabet or s1 >= alphabet or s0 == s1:
+            raise ValueError("bad simple pair")
+        return {(1, 0): s0, (1, 1): s1}, 1
+    num_codes = r.read(4) + 4
+    if num_codes > 19:
+        raise ValueError("bad code-length-code count")
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_VP8L_CL_ORDER[i]] = r.read(3)
+    cl_tree = _vp8l_canonical(cl_lengths)
+    lengths = [0] * alphabet
+    if r.read1():  # explicit max_symbol
+        length_nbits = 2 + 2 * r.read(3)
+        max_symbol = 2 + r.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    sym = 0
+    prev = 8  # kDefaultCodeLength
+    while sym < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        cl = _vp8l_read_sym(r, cl_tree)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev = cl
+        else:
+            if cl == 16:
+                rep, fill = 3 + r.read(2), prev
+            elif cl == 17:
+                rep, fill = 3 + r.read(3), 0
+            else:
+                rep, fill = 11 + r.read(7), 0
+            if sym + rep > alphabet:
+                raise ValueError("code-length repeat overflow")
+            for _ in range(rep):
+                lengths[sym] = fill
+                sym += 1
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_prefix_val(r: "_VBitReader", code: int) -> int:
+    """LZ77 length/distance prefix decode [spec 3.6.3]: codes 0-3 map
+    to 1-4; above that (2 + (code&1)) << extra_bits + extra + 1."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + r.read(extra) + 1
+
+
+def _vp8l_decode_image(r: "_VBitReader", w: int, h: int, is_level0: bool):
+    """Decode one entropy-coded image [spec 3.7.3]. Returns (pixels as
+    ARGB ints row-major, transforms in read order, coded width).
+    Transform sub-images, meta prefix images, and palettes recurse here
+    with is_level0=False (no transforms / meta image, color cache
+    allowed)."""
+    transforms: list = []
+    aw = w  # active width: reduced by color-indexing pixel bundling
+    if is_level0:
+        seen = set()
+        while r.read1():
+            t = r.read(2)
+            if t in seen:
+                raise ValueError("duplicate transform")
+            seen.add(t)
+            if t in (0, 1):  # predictor / color transform
+                bits = r.read(3) + 2
+                sw, sh = _vp8l_subsample(aw, bits), _vp8l_subsample(h, bits)
+                sub, _, _ = _vp8l_decode_image(r, sw, sh, False)
+                transforms.append((t, bits, sub, aw))
+            elif t == 2:  # subtract green
+                transforms.append((2, 0, None, aw))
+            else:  # color indexing
+                tsize = r.read(8) + 1
+                pal, _, _ = _vp8l_decode_image(r, tsize, 1, False)
+                for i in range(1, tsize):  # palette is delta coded
+                    p0, p1 = pal[i - 1], pal[i]
+                    pal[i] = (
+                        (((p1 >> 24) + (p0 >> 24)) & 0xFF) << 24
+                        | ((((p1 >> 16) + (p0 >> 16)) & 0xFF) << 16)
+                        | ((((p1 >> 8) + (p0 >> 8)) & 0xFF) << 8)
+                        | ((p1 + p0) & 0xFF)
+                    )
+                if tsize <= 2:
+                    wb = 3
+                elif tsize <= 4:
+                    wb = 2
+                elif tsize <= 16:
+                    wb = 1
+                else:
+                    wb = 0
+                transforms.append((3, wb, pal, aw))
+                aw = _vp8l_subsample(aw, wb)
+    cache_bits = 0
+    if r.read1():
+        cache_bits = r.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad color cache size")
+    meta = None
+    ngroups = 1
+    if is_level0 and r.read1():
+        mbits = r.read(3) + 2
+        mw, mh = _vp8l_subsample(aw, mbits), _vp8l_subsample(h, mbits)
+        mimg, _, _ = _vp8l_decode_image(r, mw, mh, False)
+        meta = (mimg, mw, mbits)
+        ngroups = max(((px >> 8) & 0xFFFF) for px in mimg) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = []
+    for _ in range(ngroups):
+        groups.append((
+            _vp8l_read_code(r, 256 + 24 + cache_size),
+            _vp8l_read_code(r, 256),
+            _vp8l_read_code(r, 256),
+            _vp8l_read_code(r, 256),
+            _vp8l_read_code(r, 40),
+        ))
+    npx = aw * h
+    if npx <= 0 or npx > VP8L_MAX_PIXELS:
+        raise ValueError("pixel budget")
+    out = [0] * npx
+    cache = [0] * cache_size
+    grp = groups[0]
+    pos = 0
+    while pos < npx:
+        if meta is not None:
+            x, y = pos % aw, pos // aw
+            mpx = meta[0][(y >> meta[2]) * meta[1] + (x >> meta[2])]
+            grp = groups[(mpx >> 8) & 0xFFFF]
+        s = _vp8l_read_sym(r, grp[0])
+        if s < 256:  # literal: green, then red / blue / alpha
+            red = _vp8l_read_sym(r, grp[1])
+            blue = _vp8l_read_sym(r, grp[2])
+            alpha = _vp8l_read_sym(r, grp[3])
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            pos += 1
+            if cache_size:
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        elif s < 280:  # LZ77 backward reference
+            length = _vp8l_prefix_val(r, s - 256)
+            dcode = _vp8l_prefix_val(r, _vp8l_read_sym(r, grp[4]))
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _VP8L_PLANE[dcode - 1]
+                dist = max(dy * aw + dx, 1)
+            if dist > pos or pos + length > npx:
+                raise ValueError("backward reference out of window")
+            for _ in range(length):
+                px = out[pos - dist]
+                out[pos] = px
+                pos += 1
+                if cache_size:
+                    cache[
+                        (0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)
+                    ] = px
+        else:  # color cache hit
+            idx = s - 280
+            if idx >= cache_size:
+                raise ValueError("cache index out of range")
+            out[pos] = cache[idx]
+            pos += 1
+    return out, transforms, aw
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) & 0xFF) + ((b >> 24) & 0xFF)) >> 1) << 24
+        | (((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) >> 1) << 16)
+        | (((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) >> 1) << 8)
+        | (((a & 0xFF) + (b & 0xFF)) >> 1)
+    )
+
+
+def _vp8l_add(a: int, b: int) -> int:
+    """Per-channel modular sum of two ARGB pixels."""
+    return (
+        ((((a >> 24) + (b >> 24)) & 0xFF) << 24)
+        | ((((a >> 16) + (b >> 16)) & 0xFF) << 16)
+        | ((((a >> 8) + (b >> 8)) & 0xFF) << 8)
+        | ((a + b) & 0xFF)
+    )
+
+
+def _vp8l_clamp_full(l: int, t: int, tl: int) -> int:
+    px = 0
+    for sh in (24, 16, 8, 0):
+        v = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        px |= max(0, min(255, v)) << sh
+    return px
+
+
+def _vp8l_clamp_half(l: int, t: int, tl: int) -> int:
+    ave = _vp8l_avg2(l, t)
+    px = 0
+    for sh in (24, 16, 8, 0):
+        a = (ave >> sh) & 0xFF
+        d = a - ((tl >> sh) & 0xFF)
+        # C-style truncation toward zero for the signed halving
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        px |= max(0, min(255, a + half)) << sh
+    return px
+
+
+def _vp8l_select(t: int, l: int, tl: int) -> int:
+    s = 0
+    for sh in (24, 16, 8, 0):
+        lc, tc, tlc = (l >> sh) & 0xFF, (t >> sh) & 0xFF, (tl >> sh) & 0xFF
+        s += abs(lc - tlc) - abs(tc - tlc)
+    return t if s <= 0 else l
+
+
+def _vp8l_predict(mode: int, l: int, t: int, tr: int, tl: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(l, tr), t)
+    if mode == 6:
+        return _vp8l_avg2(l, tl)
+    if mode == 7:
+        return _vp8l_avg2(l, t)
+    if mode == 8:
+        return _vp8l_avg2(tl, t)
+    if mode == 9:
+        return _vp8l_avg2(t, tr)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(l, tl), _vp8l_avg2(t, tr))
+    if mode == 11:
+        return _vp8l_select(t, l, tl)
+    if mode == 12:
+        return _vp8l_clamp_full(l, t, tl)
+    if mode == 13:
+        return _vp8l_clamp_half(l, t, tl)
+    raise ValueError("bad predictor mode")
+
+
+def _s8(v: int) -> int:
+    return v - 256 if v > 127 else v
+
+
+def _vp8l_color_delta(pred: int, color: int) -> int:
+    """ColorTransformDelta [spec 3.5.2]: int8 x int8 product, arithmetic
+    shift right 5."""
+    return (_s8(pred & 0xFF) * _s8(color & 0xFF)) >> 5
+
+
+def _vp8l_inverse_transforms(pixels: list, h: int, transforms: list) -> tuple:
+    """Apply inverse transforms in reverse read order [spec 3.4];
+    returns (pixels, final width). Each color-indexing inverse restores
+    the width active before that transform's pixel bundling."""
+    for t, bits, aux, pre_w in reversed(transforms):
+        if t == 3:  # color indexing
+            pal = aux
+            if bits == 0:
+                pixels = [
+                    pal[(px >> 8) & 0xFF] if ((px >> 8) & 0xFF) < len(pal)
+                    else 0
+                    for px in pixels
+                ]
+            else:
+                packed_w = _vp8l_subsample(pre_w, bits)
+                bpp = 8 >> bits
+                mask = (1 << bpp) - 1
+                xmask = (1 << bits) - 1
+                new = [0] * (pre_w * h)
+                for y in range(h):
+                    row = y * packed_w
+                    orow = y * pre_w
+                    for x in range(pre_w):
+                        g = (pixels[row + (x >> bits)] >> 8) & 0xFF
+                        idx = (g >> ((x & xmask) * bpp)) & mask
+                        new[orow + x] = pal[idx] if idx < len(pal) else 0
+                pixels = new
+            w = pre_w
+        elif t == 2:  # subtract green
+            w = pre_w
+            for i, px in enumerate(pixels):
+                g = (px >> 8) & 0xFF
+                pixels[i] = (
+                    (px & 0xFF000000)
+                    | ((((px >> 16) + g) & 0xFF) << 16)
+                    | (px & 0xFF00)
+                    | ((px + g) & 0xFF)
+                )
+        elif t == 1:  # color transform
+            w = pre_w
+            sub_w = _vp8l_subsample(w, bits)
+            for y in range(h):
+                srow = (y >> bits) * sub_w
+                for x in range(w):
+                    i = y * w + x
+                    px = pixels[i]
+                    cte = aux[srow + (x >> bits)]
+                    g2r, g2b, r2b = cte & 0xFF, (cte >> 8) & 0xFF, (cte >> 16) & 0xFF
+                    g = (px >> 8) & 0xFF
+                    red = ((px >> 16) & 0xFF) + _vp8l_color_delta(g2r, g)
+                    red &= 0xFF
+                    blue = (
+                        (px & 0xFF)
+                        + _vp8l_color_delta(g2b, g)
+                        + _vp8l_color_delta(r2b, red)
+                    ) & 0xFF
+                    pixels[i] = (px & 0xFF00FF00) | (red << 16) | blue
+        elif t == 0:  # predictor
+            w = pre_w
+            sub_w = _vp8l_subsample(w, bits)
+            for y in range(h):
+                srow = (y >> bits) * sub_w
+                for x in range(w):
+                    i = y * w + x
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = pixels[i - 1]
+                    elif x == 0:
+                        pred = pixels[i - w]
+                    else:
+                        mode = (aux[srow + (x >> bits)] >> 8) & 0xFF
+                        # TR of the last column wraps to the first pixel
+                        # of the current row (spec border rule; both are
+                        # i - w + 1 in the row-major buffer)
+                        pred = _vp8l_predict(
+                            mode, pixels[i - 1], pixels[i - w],
+                            pixels[i - w + 1], pixels[i - w - 1],
+                        )
+                    pixels[i] = _vp8l_add(pixels[i], pred)
+        else:
+            raise ValueError("bad transform")
+    final_w = transforms[0][3] if transforms else None
+    return pixels, final_w
+
+
+def decode_webp_lossless(data: bytes | None) -> dict | None:
+    """Real WebP-lossless decode: RIFF walk to the VP8L chunk (plain or
+    inside a VP8X extended layout), then the full bitstream decode
+    described above. Returns the shared raster contract {width, height,
+    channels, pixels(bytearray row-major)} — RGBA when the header's
+    alpha hint is set, RGB otherwise — or None on malformed /
+    non-lossless input (VP8-lossy stays a documented envelope tier)."""
+    if (
+        not data or len(data) < 12
+        or data[:4] != b"RIFF" or data[8:12] != b"WEBP"
+    ):
+        return None
+    payload = None
+    p, n = 12, len(data)
+    for _ in range(64):  # bounded chunk walk
+        if p + 8 > n:
+            break
+        cid = data[p : p + 4]
+        csz = int.from_bytes(data[p + 4 : p + 8], "little")
+        if csz > n - p - 8:
+            break
+        if cid == b"VP8L":
+            payload = data[p + 8 : p + 8 + csz]
+            break
+        p += 8 + csz + (csz & 1)
+    if payload is None or len(payload) < 5 or payload[0] != 0x2F:
+        return None
+    try:
+        r = _VBitReader(payload[1:])
+        w = r.read(14) + 1
+        h = r.read(14) + 1
+        alpha_hint = r.read1()
+        if r.read(3) != 0:  # version must be 0
+            return None
+        if w * h > VP8L_MAX_PIXELS:
+            return None
+        argb, transforms, aw = _vp8l_decode_image(r, w, h, True)
+        argb, _ = _vp8l_inverse_transforms(argb, h, transforms)
+        if len(argb) != w * h:
+            return None
+    except (ValueError, EOFError, IndexError, KeyError):
+        return None
+    channels = 4 if alpha_hint else 3
+    px = bytearray(w * h * channels)
+    i = 0
+    for v in argb:
+        px[i] = (v >> 16) & 0xFF
+        px[i + 1] = (v >> 8) & 0xFF
+        px[i + 2] = v & 0xFF
+        if channels == 4:
+            px[i + 3] = (v >> 24) & 0xFF
+        i += channels
+    return {"width": w, "height": h, "channels": channels, "pixels": px}
+
+
+# --- VP8L encoder (fixture side) -------------------------------------------
+# A real, spec-conformant encoder over the same bitstream features the
+# decoder supports: canonical prefix codes (simple + code-length-coded),
+# LZ77 left-runs through the plane-code distance map, color cache, and
+# all four transforms (uniform-mode predictor / uniform-element color
+# sub-images, subtract-green, palette with pixel bundling). Used by the
+# oracle fixtures and tests; kept deliberately greedy/simple — the point
+# is exact bitstream validity, not compression ratio.
+
+def _vp8l_huff_lengths(freqs: dict, alphabet: int) -> list:
+    import heapq
+
+    lengths = [0] * alphabet
+    items = sorted((f, s) for s, f in freqs.items() if f > 0)
+    if not items:
+        return lengths
+    if len(items) == 1:
+        lengths[items[0][1]] = 1
+        return lengths
+    heap = [(f, i, (s,)) for i, (f, s) in enumerate(items)]
+    heapq.heapify(heap)
+    depth = {s: 0 for _, s in items}
+    nxt = len(heap)
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, nxt, s1 + s2))
+        nxt += 1
+    if max(depth.values()) > 15:
+        raise ValueError("fixture Huffman depth > 15")
+    for s, d in depth.items():
+        lengths[s] = d
+    return lengths
+
+
+def _vp8l_writer_map(lengths: list) -> dict:
+    """sym -> (nbits, code), mirroring the decoder's canonical
+    assignment (single used symbol -> zero bits)."""
+    used = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+    if len(used) == 1:
+        return {used[0][1]: (0, 0)}
+    maxlen = max(ln for ln, _ in used)
+    bl_count = [0] * (maxlen + 1)
+    for ln, _ in used:
+        bl_count[ln] += 1
+    next_code = [0] * (maxlen + 1)
+    code = 0
+    for ln in range(1, maxlen + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    out = {}
+    for s, ln in enumerate(lengths):
+        if ln > 0:
+            out[s] = (ln, next_code[ln])
+            next_code[ln] += 1
+    return out
+
+
+def _vp8l_write_sym(wtr: "_VBitWriter", wmap: dict, sym: int) -> None:
+    ln, code = wmap[sym]
+    for b in range(ln - 1, -1, -1):  # prefix codewords go MSB-first
+        wtr.write((code >> b) & 1, 1)
+
+
+def _vp8l_write_prefix_code(wtr: "_VBitWriter", lengths: list) -> dict:
+    """Emit one prefix code header, returning the writer map."""
+    used = [s for s, ln in enumerate(lengths) if ln > 0]
+    if not used:  # tree never read: 1-symbol placeholder
+        lengths = lengths[:]
+        lengths[0] = 1
+        used = [0]
+    if len(used) <= 2 and max(used) <= 255:
+        wtr.write(1, 1)  # simple code
+        wtr.write(len(used) - 1, 1)
+        if used[0] <= 1:
+            wtr.write(0, 1)
+            wtr.write(used[0], 1)
+        else:
+            wtr.write(1, 1)
+            wtr.write(used[0], 8)
+        if len(used) == 2:
+            wtr.write(used[1], 8)
+            return {used[0]: (1, 0), used[1]: (1, 1)}
+        return {used[0]: (0, 0)}
+    wtr.write(0, 1)  # code-length-coded form
+    seq: list = []  # (clc symbol, extra bits, extra value)
+    i, n = 0, len(lengths)
+    while i < n:
+        ln = lengths[i]
+        if ln == 0:
+            j = i
+            while j < n and lengths[j] == 0:
+                j += 1
+            run = j - i
+            while run >= 11:
+                take = min(run, 138)
+                seq.append((18, 7, take - 11))
+                run -= take
+            while run >= 3:
+                take = min(run, 10)
+                seq.append((17, 3, take - 3))
+                run -= take
+            seq += [(0, 0, 0)] * run
+            i = j
+        else:
+            seq.append((ln, 0, 0))
+            i += 1
+            j = i
+            while j < n and lengths[j] == ln:
+                j += 1
+            run = j - i
+            while run >= 3:
+                take = min(run, 6)
+                seq.append((16, 2, take - 3))
+                run -= take
+            seq += [(ln, 0, 0)] * run
+            i = j
+    clc_freq: dict = {}
+    for s, _, _ in seq:
+        clc_freq[s] = clc_freq.get(s, 0) + 1
+    clc_len = _vp8l_huff_lengths(clc_freq, 19)
+    wtr.write(15, 4)  # num_codes - 4: transmit all 19 slots
+    for s in _VP8L_CL_ORDER:
+        wtr.write(clc_len[s], 3)
+    wtr.write(0, 1)  # no explicit max_symbol
+    clc_map = _vp8l_writer_map(clc_len)
+    for s, eb, ev in seq:
+        _vp8l_write_sym(wtr, clc_map, s)
+        if eb:
+            wtr.write(ev, eb)
+    return _vp8l_writer_map(lengths)
+
+
+def _vp8l_prefix_encode(v: int):
+    """(code, extra_bits, extra_val) for an LZ77 length/distance value."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for code in range(4, 40):
+        eb = (code - 2) >> 1
+        offset = (2 + (code & 1)) << eb
+        if offset < v <= offset + (1 << eb):
+            return code, eb, v - 1 - offset
+    raise ValueError("value out of prefix range")
+
+
+def _vp8l_cache_slot(px: int, cache_bits: int) -> int:
+    return (0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+def _vp8l_tokenize(pixels: list, cache_bits: int, use_lz77: bool) -> list:
+    size = (1 << cache_bits) if cache_bits else 0
+    cache = [None] * size
+    toks: list = []
+    i, n = 0, len(pixels)
+    while i < n:
+        if use_lz77 and i >= 1:
+            run = 0
+            while (
+                i + run < n and run < 4096
+                and pixels[i + run] == pixels[i + run - 1]
+            ):
+                run += 1
+            if run >= 3:
+                toks.append(("copy", run, 1))
+                if size:
+                    for k in range(i, i + run):
+                        cache[_vp8l_cache_slot(pixels[k], cache_bits)] = (
+                            pixels[k]
+                        )
+                i += run
+                continue
+        px = pixels[i]
+        if size:
+            slot = _vp8l_cache_slot(px, cache_bits)
+            if cache[slot] == px:
+                toks.append(("cache", slot))
+                i += 1
+                continue
+            cache[slot] = px
+        toks.append(("lit", px))
+        i += 1
+    return toks
+
+
+def _vp8l_write_entropy_image(
+    wtr: "_VBitWriter", pixels: list, is_level0: bool,
+    cache_bits: int = 0, use_lz77: bool = True,
+) -> None:
+    toks = _vp8l_tokenize(pixels, cache_bits, use_lz77)
+    gf: dict = {}
+    rf: dict = {}
+    bf: dict = {}
+    af: dict = {}
+    df: dict = {}
+    for t in toks:
+        if t[0] == "lit":
+            px = t[1]
+            gf[(px >> 8) & 0xFF] = gf.get((px >> 8) & 0xFF, 0) + 1
+            rf[(px >> 16) & 0xFF] = rf.get((px >> 16) & 0xFF, 0) + 1
+            bf[px & 0xFF] = bf.get(px & 0xFF, 0) + 1
+            af[(px >> 24) & 0xFF] = af.get((px >> 24) & 0xFF, 0) + 1
+        elif t[0] == "copy":
+            lcode, _, _ = _vp8l_prefix_encode(t[1])
+            gf[256 + lcode] = gf.get(256 + lcode, 0) + 1
+            dcode, _, _ = _vp8l_prefix_encode(_VP8L_PLANE_CODE[(t[2], 0)])
+            df[dcode] = df.get(dcode, 0) + 1
+        else:
+            gf[280 + t[1]] = gf.get(280 + t[1], 0) + 1
+    if cache_bits:
+        wtr.write(1, 1)
+        wtr.write(cache_bits, 4)
+    else:
+        wtr.write(0, 1)
+    if is_level0:
+        wtr.write(0, 1)  # no meta prefix image
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    gmap = _vp8l_write_prefix_code(
+        wtr, _vp8l_huff_lengths(gf, 256 + 24 + cache_size)
+    )
+    rmap = _vp8l_write_prefix_code(wtr, _vp8l_huff_lengths(rf, 256))
+    bmap = _vp8l_write_prefix_code(wtr, _vp8l_huff_lengths(bf, 256))
+    amap = _vp8l_write_prefix_code(wtr, _vp8l_huff_lengths(af, 256))
+    dmap = _vp8l_write_prefix_code(wtr, _vp8l_huff_lengths(df, 40))
+    for t in toks:
+        if t[0] == "lit":
+            px = t[1]
+            _vp8l_write_sym(wtr, gmap, (px >> 8) & 0xFF)
+            _vp8l_write_sym(wtr, rmap, (px >> 16) & 0xFF)
+            _vp8l_write_sym(wtr, bmap, px & 0xFF)
+            _vp8l_write_sym(wtr, amap, (px >> 24) & 0xFF)
+        elif t[0] == "copy":
+            lcode, leb, lev = _vp8l_prefix_encode(t[1])
+            _vp8l_write_sym(wtr, gmap, 256 + lcode)
+            if leb:
+                wtr.write(lev, leb)
+            dcode, deb, dev = _vp8l_prefix_encode(_VP8L_PLANE_CODE[(t[2], 0)])
+            _vp8l_write_sym(wtr, dmap, dcode)
+            if deb:
+                wtr.write(dev, deb)
+        else:
+            _vp8l_write_sym(wtr, gmap, 280 + t[1])
+
+
+def _vp8l_sub_px(a: int, b: int) -> int:
+    """Per-channel modular difference (forward-transform residual)."""
+    return (
+        ((((a >> 24) - (b >> 24)) & 0xFF) << 24)
+        | ((((a >> 16) - (b >> 16)) & 0xFF) << 16)
+        | ((((a >> 8) - (b >> 8)) & 0xFF) << 8)
+        | ((a - b) & 0xFF)
+    )
+
+
+def webp_vp8l_encode(
+    rows: list, *, alpha: bool = False, predictor: int | None = None,
+    color: tuple | None = None, subtract_green: bool = False,
+    palette: bool = False, cache_bits: int = 0, use_lz77: bool = True,
+    transform_bits: int = 4,
+) -> bytes:
+    """Real VP8L bitstream fixture from rows of (r, g, b[, a]) tuples.
+    Transforms are written (and applied forward) in the order predictor,
+    color, subtract-green, palette; the decoder inverts them in reverse
+    read order. ``predictor`` is a uniform mode 0-13; ``color`` is a
+    uniform (g2r, g2b, r2b) element; ``palette`` bundles pixels when the
+    distinct-color count allows."""
+    h, w = len(rows), len(rows[0])
+    pixels = []
+    for row in rows:
+        for t in row:
+            a = t[3] if len(t) > 3 else 0xFF
+            pixels.append((a << 24) | (t[0] << 16) | (t[1] << 8) | t[2])
+    wtr = _VBitWriter()
+    wtr.write(w - 1, 14)
+    wtr.write(h - 1, 14)
+    wtr.write(1 if alpha else 0, 1)
+    wtr.write(0, 3)  # version
+    aw = w
+    if predictor is not None:
+        wtr.write(1, 1)
+        wtr.write(0, 2)
+        wtr.write(transform_bits - 2, 3)
+        res = [0] * (aw * h)
+        for y in range(h):
+            for x in range(aw):
+                i = y * aw + x
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = pixels[i - 1]
+                elif x == 0:
+                    pred = pixels[i - aw]
+                else:
+                    pred = _vp8l_predict(
+                        predictor, pixels[i - 1], pixels[i - aw],
+                        pixels[i - aw + 1], pixels[i - aw - 1],
+                    )
+                res[i] = _vp8l_sub_px(pixels[i], pred)
+        sw = _vp8l_subsample(aw, transform_bits)
+        sh = _vp8l_subsample(h, transform_bits)
+        sub = [0xFF000000 | (predictor << 8)] * (sw * sh)
+        _vp8l_write_entropy_image(wtr, sub, False, 0, False)
+        pixels = res
+    if color is not None:
+        g2r, g2b, r2b = color
+        wtr.write(1, 1)
+        wtr.write(1, 2)
+        wtr.write(transform_bits - 2, 3)
+        res = []
+        for px in pixels:
+            g = (px >> 8) & 0xFF
+            red = (px >> 16) & 0xFF
+            nr = (red - _vp8l_color_delta(g2r, g)) & 0xFF
+            nb = (
+                (px & 0xFF)
+                - _vp8l_color_delta(g2b, g)
+                - _vp8l_color_delta(r2b, red)
+            ) & 0xFF
+            res.append((px & 0xFF00FF00) | (nr << 16) | nb)
+        sw = _vp8l_subsample(aw, transform_bits)
+        sh = _vp8l_subsample(h, transform_bits)
+        cte = 0xFF000000 | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (g2r & 0xFF)
+        _vp8l_write_entropy_image(wtr, [cte] * (sw * sh), False, 0, False)
+        pixels = res
+    if subtract_green:
+        wtr.write(1, 1)
+        wtr.write(2, 2)
+        pixels = [
+            (px & 0xFF000000)
+            | ((((px >> 16) - ((px >> 8) & 0xFF)) & 0xFF) << 16)
+            | (px & 0xFF00)
+            | ((px - ((px >> 8) & 0xFF)) & 0xFF)
+            for px in pixels
+        ]
+    if palette:
+        pal: list = []
+        index = {}
+        for px in pixels:
+            if px not in index:
+                index[px] = len(pal)
+                pal.append(px)
+        if len(pal) > 256:
+            raise ValueError("palette fixture has > 256 colors")
+        wtr.write(1, 1)
+        wtr.write(3, 2)
+        wtr.write(len(pal) - 1, 8)
+        dpal = [pal[0]] + [
+            _vp8l_sub_px(pal[i], pal[i - 1]) for i in range(1, len(pal))
+        ]
+        _vp8l_write_entropy_image(wtr, dpal, False, 0, False)
+        if len(pal) <= 2:
+            wb = 3
+        elif len(pal) <= 4:
+            wb = 2
+        elif len(pal) <= 16:
+            wb = 1
+        else:
+            wb = 0
+        if wb:
+            bpp = 8 >> wb
+            xmask = (1 << wb) - 1
+            pw = _vp8l_subsample(aw, wb)
+            packed = [0] * (pw * h)
+            for y in range(h):
+                for x in range(aw):
+                    g = index[pixels[y * aw + x]] << ((x & xmask) * bpp)
+                    packed[y * pw + (x >> wb)] |= g << 8
+            pixels = [0xFF000000 | px for px in packed]
+            aw = pw
+        else:
+            pixels = [
+                0xFF000000 | (index[px] << 8) for px in pixels
+            ]
+    wtr.write(0, 1)  # end of transforms
+    _vp8l_write_entropy_image(wtr, pixels, True, cache_bits, use_lz77)
+    payload = b"\x2f" + wtr.getvalue()
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
 def _parse_avi_meta(data: bytes) -> dict[str, str]:
     """AVI (RIFF) envelope walk: avih main header -> frame count /
     frame interval / dimensions, first strh/strf fourcc — the last

@@ -2174,6 +2174,85 @@ FROM documents
 """
 
 
+def _vp8l_png_batch(doc_id: pd.Series) -> pd.Series:
+    """Round 8 (VERDICT r7 #3): the SAME closed-form gradient as
+    image_features, but VP8L-encoded with doc_id-rotated bitstream
+    features — plain stream, subtract-green, color cache (1-8 bits),
+    every predictor mode 0-13 at varying block sizes, the color
+    transform, and the palette transform — so ONE oracle pins every
+    decode path while the expected pixel statistics stay identical
+    (the encode is lossless whatever the options)."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        rows = [
+            [(did % _GRAD_MOD, x * 17, y * 17) for x in range(IMG_SIDE)]
+            for y in range(IMG_SIDE)
+        ]
+        k = did % 6
+        if k == 0:
+            blob = pure.webp_vp8l_encode(rows)
+        elif k == 1:
+            blob = pure.webp_vp8l_encode(rows, subtract_green=True)
+        elif k == 2:
+            blob = pure.webp_vp8l_encode(rows, cache_bits=1 + did % 8)
+        elif k == 3:
+            blob = pure.webp_vp8l_encode(
+                rows, predictor=did % 14, transform_bits=2 + did % 4
+            )
+        elif k == 4:
+            blob = pure.webp_vp8l_encode(
+                rows,
+                color=(did % 256, (did * 7) % 256, (did * 13) % 256),
+                transform_bits=3,
+            )
+        else:
+            blob = pure.webp_vp8l_encode(rows, palette=True)
+        out.append(blob)
+    return pd.Series(out)
+
+
+vp8l_gradient_udf = F.pandas_udf(_vp8l_png_batch, BinaryType())
+
+
+def q_webp_lossless(spark, sf_dir):
+    """REAL WebP-lossless decode round trip (reference M1/M7 media
+    surface, /root/reference/src/core/analyzer.py:140-313): synthesize a
+    VP8L gradient per document with rotated bitstream features, push it
+    through the multimodal decode stage (pure.decode_webp_lossless), and
+    value-check the decoded statistics against the same closed forms as
+    image_features."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        vp8l_gradient_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        (F.col("media_id").cast("long") % 6).cast("int").alias("variant"),
+        "width",
+        "height",
+        "decode_status",
+        _feat_d(1).alias("mean_r"),
+        _feat_d(2).alias("mean_g"),
+        _feat_d(3).alias("mean_b"),
+    )
+
+
+SQL_WEBP_LOSSLESS = f"""
+SELECT doc_id, CAST(doc_id % 6 AS INT) AS variant,
+       {IMG_SIDE} AS width, {IMG_SIDE} AS height,
+       'decoded' AS decode_status,
+       CAST(doc_id % {_GRAD_MOD} AS DOUBLE) AS mean_r,
+       CAST(127.5 AS DOUBLE) AS mean_g,
+       CAST(127.5 AS DOUBLE) AS mean_b
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # real JPEG decode (round 3): encode -> decode -> feature round trip through
 # the pure-Python baseline JPEG codec. The fixture is a grayscale 16x16
@@ -5676,6 +5755,7 @@ REGISTRY: dict[str, tuple] = {
     # in the full per-round DuckDB oracle sweep (tests/test_oracle.py).
     #
     # -- window (first 50): r08 --
+    "webp_lossless": (q_webp_lossless, SQL_WEBP_LOSSLESS),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD),
     "duplicate_passages": (q_duplicate_passages, SQL_DUPLICATE_PASSAGES),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
@@ -5725,10 +5805,11 @@ REGISTRY: dict[str, tuple] = {
     "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
     "doc_lang": (q_doc_lang, _lang_sql()),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
-    "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
     # -- tail: not in the official window this round --
-    # r09 MUST lead with part_type_stats (r06-official, else
-    # 3-rounds-stale at r09), then the r07-official rows below.
+    # r09 MUST lead with shipping_priority and part_type_stats
+    # (r06-official, else 3-rounds-stale at r09), then the
+    # r07-official rows below.
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
     "part_type_stats": (q_part_type_stats, SQL_PART_TYPE_STATS),
     "mp3_huff_features": (q_mp3_huff_features, SQL_MP3_HUFF_FEATURES),
     "mp3_short_features": (q_mp3_short_features, SQL_MP3_SHORT_FEATURES),

@@ -281,6 +281,21 @@ def media_features_fn(mode: str = "describe"):
                     # gate.
                     status = "decoded"
                     feature = _real_wav_features(aud)
+                elif ct == "webp" and meta.get("webp:format") == "lossless":
+                    # round 8: real VP8L decode (canonical prefix codes,
+                    # all four transforms, color cache, LZ77 —
+                    # pure.decode_webp_lossless); webp leaves the stub
+                    # tier for lossless payloads. VP8-lossy and VP8X
+                    # payloads stay in the stub branch below, the
+                    # AVC/VP9 envelope tier.
+                    img = pure.decode_webp_lossless(b)
+                    if img is not None:
+                        status = "decoded"
+                        width, height = img["width"], img["height"]
+                        feature, ahash = _real_raster_features(img)
+                    else:
+                        status = "decode_error"
+                        feature = _fake_decode(b, target)
                 elif ct == "ogg" and meta.get("ogg:codec") == "vorbis":
                     # round 5: real Vorbis decode (floor1 + residue +
                     # IMDCT, pure.decode_vorbis) — ogg leaves the stub
