@@ -523,6 +523,57 @@ def media_mix_census(cores: int = 8, per_family: int = 24) -> list[dict]:
         spark.stop()
 
 
+# Approximate web-frequency weights for a Common-Crawl-style media mix
+# (VERDICT r7 #7): relative share of each fixture family among media
+# payloads a crawl actually serves — images dominate (jpeg/png/webp/gif
+# per the public Web Almanac media chapters), mp4/AAC lead video/audio,
+# legacy MPEG-1 audio layers and uncompressed containers are tail. The
+# uniform census measures per-family fractions; these weights turn it
+# into "what fraction of a real crawl's media rows decode for real".
+_WEB_WEIGHTS = {
+    "jpeg": 40.0, "png": 18.0, "webp-env": 10.0, "webp-vp8l": 5.0,
+    "gif": 8.0,
+    "mp4-avc-env": 5.0, "webm-vp9-env": 1.5, "avi-mjpeg": 0.1,
+    "mpeg1-i": 0.05, "mpeg1-ip-fcode2": 0.05, "mpeg1-ipb": 0.05,
+    "aac-adts": 3.0, "mp3-long": 3.0, "mp3-bigtable-ct1a": 1.0,
+    "mp3-ms-stereo": 1.0, "mp3-short": 0.5, "mp3-intensity": 0.25,
+    "mp3-mixed": 0.25, "mp2": 0.2, "mp2-stereo": 0.2,
+    "mp1": 0.05, "mp1-stereo": 0.05,
+    "ogg-opus": 1.0, "ogg-vorbis": 0.5, "flac": 0.3,
+    "wav-pcm": 0.5, "wav-ima-adpcm": 0.05, "wav-g711": 0.05,
+}
+
+
+def weighted_census(rows: list[dict]) -> dict:
+    """Fold the uniform census into the web-weighted real-decode
+    fraction plus the largest stub-mass contributors. Per-family
+    fractions are deterministic, so the weighted aggregate is exact
+    arithmetic over the same run — no second Spark job."""
+    total = sum(_WEB_WEIGHTS.get(r["family"], 0.0) for r in rows)
+    real = sum(
+        _WEB_WEIGHTS.get(r["family"], 0.0) * r["real_fraction"]
+        for r in rows
+    )
+    stub_mass = sorted(
+        (
+            (
+                r["family"],
+                _WEB_WEIGHTS.get(r["family"], 0.0)
+                * (1 - r["real_fraction"]) / total,
+            )
+            for r in rows
+        ),
+        key=lambda t: -t[1],
+    )
+    return {
+        "weighted_real_fraction": round(real / total, 4),
+        "top_stub_contributors": [
+            {"family": f, "share_of_crawl": round(s, 4)}
+            for f, s in stub_mass[:6] if s > 0
+        ],
+    }
+
+
 def write_media_mix_md(rows: list[dict]) -> None:
     """Replace (or append) the marker-delimited media-mix section in
     BENCH/BASELINE.md with this round's census."""
@@ -546,6 +597,24 @@ def write_media_mix_md(rows: list[dict]) -> None:
             f"| {r['family']} | {r['content_type']} | {r['rows']} "
             f"| {r['decoded']} | {r['stubbed']} | {r['real_fraction']} |"
         )
+    wc = weighted_census(rows)
+    table += [
+        "",
+        "### Web-weighted mix (round 8, VERDICT r7 #7)",
+        "",
+        "Same per-family fractions folded through approximate",
+        "Common-Crawl-frequency weights (`bench._WEB_WEIGHTS`: images",
+        "dominate, mp4/AAC lead video/audio, legacy layers are tail) —",
+        "the real-decode fraction a crawl-shaped corpus would see:",
+        "",
+        f"**weighted real-decode fraction: "
+        f"{wc['weighted_real_fraction']}**",
+        "",
+        "largest stub contributors (share of weighted crawl mass):",
+        "",
+    ]
+    for c in wc["top_stub_contributors"]:
+        table.append(f"- {c['family']}: {c['share_of_crawl']}")
     table += [MEDIA_MIX_END, ""]
     block = "\n".join(table)
     path = "BENCH/BASELINE.md"

@@ -8150,6 +8150,10 @@ def _vp8l_decode_image(r: "_VBitReader", w: int, h: int, is_level0: bool):
         mimg, _, _ = _vp8l_decode_image(r, mw, mh, False)
         meta = (mimg, mw, mbits)
         ngroups = max(((px >> 8) & 0xFFFF) for px in mimg) + 1
+        # hostile-input bound: a tiny crafted meta image can otherwise
+        # demand 64Ki x 5 tree builds; real encoders use a few dozen
+        if ngroups > 4096:
+            raise ValueError("meta prefix group budget")
     cache_size = (1 << cache_bits) if cache_bits else 0
     groups = []
     for _ in range(ngroups):
@@ -8628,60 +8632,105 @@ def _vp8l_tokenize(pixels: list, cache_bits: int, use_lz77: bool) -> list:
 def _vp8l_write_entropy_image(
     wtr: "_VBitWriter", pixels: list, is_level0: bool,
     cache_bits: int = 0, use_lz77: bool = True,
+    w: int = 0, meta_bits: int | None = None,
 ) -> None:
+    """Emit one entropy-coded image. With ``meta_bits`` (level 0 only) a
+    real meta prefix image splits the canvas into two vertical tile
+    halves with independent prefix-code groups — the spatially-varying-
+    codes decode path; LZ77/cache are disabled there so every symbol's
+    group is its own pixel's tile."""
+    ngroups = 1
+    group_of: list | None = None
+    if meta_bits is not None:
+        use_lz77, cache_bits = False, 0
+        h = len(pixels) // w
+        mw = _vp8l_subsample(w, meta_bits)
+        mh = _vp8l_subsample(h, meta_bits)
+        ngroups = 2 if mw >= 2 else 1
+        meta_img = [
+            0xFF000000 | ((1 if (tx >= (mw + 1) // 2 and ngroups == 2)
+                           else 0) << 8)
+            for _ty in range(mh) for tx in range(mw)
+        ]
+        group_of = [
+            (meta_img[(i // w >> meta_bits) * mw + ((i % w) >> meta_bits)]
+             >> 8) & 0xFF
+            for i in range(len(pixels))
+        ]
     toks = _vp8l_tokenize(pixels, cache_bits, use_lz77)
-    gf: dict = {}
-    rf: dict = {}
-    bf: dict = {}
-    af: dict = {}
-    df: dict = {}
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    freqs = [
+        [{} for _ in range(5)] for _ in range(ngroups)
+    ]  # per group: green+len+cache, red, blue, alpha, dist
+
+    def bump(g: int, tree: int, sym: int) -> None:
+        d = freqs[g][tree]
+        d[sym] = d.get(sym, 0) + 1
+
+    pos = 0
     for t in toks:
+        g = group_of[pos] if group_of is not None else 0
         if t[0] == "lit":
             px = t[1]
-            gf[(px >> 8) & 0xFF] = gf.get((px >> 8) & 0xFF, 0) + 1
-            rf[(px >> 16) & 0xFF] = rf.get((px >> 16) & 0xFF, 0) + 1
-            bf[px & 0xFF] = bf.get(px & 0xFF, 0) + 1
-            af[(px >> 24) & 0xFF] = af.get((px >> 24) & 0xFF, 0) + 1
+            bump(g, 0, (px >> 8) & 0xFF)
+            bump(g, 1, (px >> 16) & 0xFF)
+            bump(g, 2, px & 0xFF)
+            bump(g, 3, (px >> 24) & 0xFF)
+            pos += 1
         elif t[0] == "copy":
             lcode, _, _ = _vp8l_prefix_encode(t[1])
-            gf[256 + lcode] = gf.get(256 + lcode, 0) + 1
+            bump(g, 0, 256 + lcode)
             dcode, _, _ = _vp8l_prefix_encode(_VP8L_PLANE_CODE[(t[2], 0)])
-            df[dcode] = df.get(dcode, 0) + 1
+            bump(g, 4, dcode)
+            pos += t[1]
         else:
-            gf[280 + t[1]] = gf.get(280 + t[1], 0) + 1
+            bump(g, 0, 280 + t[1])
+            pos += 1
     if cache_bits:
         wtr.write(1, 1)
         wtr.write(cache_bits, 4)
     else:
         wtr.write(0, 1)
     if is_level0:
-        wtr.write(0, 1)  # no meta prefix image
-    cache_size = (1 << cache_bits) if cache_bits else 0
-    gmap = _vp8l_write_prefix_code(
-        wtr, _vp8l_huff_lengths(gf, 256 + 24 + cache_size)
-    )
-    rmap = _vp8l_write_prefix_code(wtr, _vp8l_huff_lengths(rf, 256))
-    bmap = _vp8l_write_prefix_code(wtr, _vp8l_huff_lengths(bf, 256))
-    amap = _vp8l_write_prefix_code(wtr, _vp8l_huff_lengths(af, 256))
-    dmap = _vp8l_write_prefix_code(wtr, _vp8l_huff_lengths(df, 40))
+        if meta_bits is not None:
+            wtr.write(1, 1)
+            wtr.write(meta_bits - 2, 3)
+            _vp8l_write_entropy_image(wtr, meta_img, False, 0, False)
+        else:
+            wtr.write(0, 1)  # no meta prefix image
+    alphabets = (256 + 24 + cache_size, 256, 256, 256, 40)
+    maps = [
+        [
+            _vp8l_write_prefix_code(
+                wtr, _vp8l_huff_lengths(freqs[g][tr], alphabets[tr])
+            )
+            for tr in range(5)
+        ]
+        for g in range(ngroups)
+    ]
+    pos = 0
     for t in toks:
+        gm = maps[group_of[pos] if group_of is not None else 0]
         if t[0] == "lit":
             px = t[1]
-            _vp8l_write_sym(wtr, gmap, (px >> 8) & 0xFF)
-            _vp8l_write_sym(wtr, rmap, (px >> 16) & 0xFF)
-            _vp8l_write_sym(wtr, bmap, px & 0xFF)
-            _vp8l_write_sym(wtr, amap, (px >> 24) & 0xFF)
+            _vp8l_write_sym(wtr, gm[0], (px >> 8) & 0xFF)
+            _vp8l_write_sym(wtr, gm[1], (px >> 16) & 0xFF)
+            _vp8l_write_sym(wtr, gm[2], px & 0xFF)
+            _vp8l_write_sym(wtr, gm[3], (px >> 24) & 0xFF)
+            pos += 1
         elif t[0] == "copy":
             lcode, leb, lev = _vp8l_prefix_encode(t[1])
-            _vp8l_write_sym(wtr, gmap, 256 + lcode)
+            _vp8l_write_sym(wtr, gm[0], 256 + lcode)
             if leb:
                 wtr.write(lev, leb)
             dcode, deb, dev = _vp8l_prefix_encode(_VP8L_PLANE_CODE[(t[2], 0)])
-            _vp8l_write_sym(wtr, dmap, dcode)
+            _vp8l_write_sym(wtr, gm[4], dcode)
             if deb:
                 wtr.write(dev, deb)
+            pos += t[1]
         else:
-            _vp8l_write_sym(wtr, gmap, 280 + t[1])
+            _vp8l_write_sym(wtr, gm[0], 280 + t[1])
+            pos += 1
 
 
 def _vp8l_sub_px(a: int, b: int) -> int:
@@ -8698,7 +8747,7 @@ def webp_vp8l_encode(
     rows: list, *, alpha: bool = False, predictor: int | None = None,
     color: tuple | None = None, subtract_green: bool = False,
     palette: bool = False, cache_bits: int = 0, use_lz77: bool = True,
-    transform_bits: int = 4,
+    transform_bits: int = 4, meta_bits: int | None = None,
 ) -> bytes:
     """Real VP8L bitstream fixture from rows of (r, g, b[, a]) tuples.
     Transforms are written (and applied forward) in the order predictor,
@@ -8814,7 +8863,9 @@ def webp_vp8l_encode(
                 0xFF000000 | (index[px] << 8) for px in pixels
             ]
     wtr.write(0, 1)  # end of transforms
-    _vp8l_write_entropy_image(wtr, pixels, True, cache_bits, use_lz77)
+    _vp8l_write_entropy_image(
+        wtr, pixels, True, cache_bits, use_lz77, w=aw, meta_bits=meta_bits
+    )
     payload = b"\x2f" + wtr.getvalue()
     chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
     if len(payload) & 1:

@@ -2179,7 +2179,7 @@ def _vp8l_png_batch(doc_id: pd.Series) -> pd.Series:
     image_features, but VP8L-encoded with doc_id-rotated bitstream
     features — plain stream, subtract-green, color cache (1-8 bits),
     every predictor mode 0-13 at varying block sizes, the color
-    transform, and the palette transform — so ONE oracle pins every
+    transform, the palette transform, and a two-group meta prefix image — so ONE oracle pins every
     decode path while the expected pixel statistics stay identical
     (the encode is lossless whatever the options)."""
     out = []
@@ -2189,7 +2189,7 @@ def _vp8l_png_batch(doc_id: pd.Series) -> pd.Series:
             [(did % _GRAD_MOD, x * 17, y * 17) for x in range(IMG_SIDE)]
             for y in range(IMG_SIDE)
         ]
-        k = did % 6
+        k = did % 7
         if k == 0:
             blob = pure.webp_vp8l_encode(rows)
         elif k == 1:
@@ -2206,8 +2206,10 @@ def _vp8l_png_batch(doc_id: pd.Series) -> pd.Series:
                 color=(did % 256, (did * 7) % 256, (did * 13) % 256),
                 transform_bits=3,
             )
-        else:
+        elif k == 5:
             blob = pure.webp_vp8l_encode(rows, palette=True)
+        else:
+            blob = pure.webp_vp8l_encode(rows, meta_bits=2 + did % 4)
         out.append(blob)
     return pd.Series(out)
 
@@ -2232,7 +2234,7 @@ def q_webp_lossless(spark, sf_dir):
     feats = extract_media_features(media, mode="describe")
     return feats.select(
         F.col("media_id").cast("long").alias("doc_id"),
-        (F.col("media_id").cast("long") % 6).cast("int").alias("variant"),
+        (F.col("media_id").cast("long") % 7).cast("int").alias("variant"),
         "width",
         "height",
         "decode_status",
@@ -2243,7 +2245,7 @@ def q_webp_lossless(spark, sf_dir):
 
 
 SQL_WEBP_LOSSLESS = f"""
-SELECT doc_id, CAST(doc_id % 6 AS INT) AS variant,
+SELECT doc_id, CAST(doc_id % 7 AS INT) AS variant,
        {IMG_SIDE} AS width, {IMG_SIDE} AS height,
        'decoded' AS decode_status,
        CAST(doc_id % {_GRAD_MOD} AS DOUBLE) AS mean_r,

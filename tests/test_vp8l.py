@@ -91,6 +91,23 @@ def test_vp8l_roundtrip_color_palette_alpha_and_stacking():
                                        palette=True), tag="sg+pal")
 
 
+def test_vp8l_meta_prefix_image():
+    """Spatially-varying prefix codes: a real meta prefix image with two
+    tile groups decodes through the group-selection path."""
+    rows = _grad(16, 16)
+    for mb in (2, 3, 4, 5):
+        _check(rows, pure.webp_vp8l_encode(rows, meta_bits=mb),
+               tag=f"meta{mb}")
+    wide = _grad(20, 12)
+    _check(wide, pure.webp_vp8l_encode(wide, subtract_green=True,
+                                       meta_bits=2), tag="meta+sg")
+    _check(wide, pure.webp_vp8l_encode(wide, predictor=7, meta_bits=3),
+           tag="meta+pred")
+    narrow = _grad(3, 9)  # single-tile-wide canvas: one group, path taken
+    _check(narrow, pure.webp_vp8l_encode(narrow, meta_bits=2),
+           tag="meta-narrow")
+
+
 def test_vp8l_roundtrip_fuzz():
     rng = random.Random(42)
     for trial in range(25):
