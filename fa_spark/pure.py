@@ -6502,15 +6502,16 @@ class _VBitReader:
         self.pos = 0
 
     def read(self, bits: int) -> int:
-        v = 0
         p = self.pos
         d = self.data
         if p + bits > len(d) * 8:
             raise EOFError
-        for i in range(bits):
-            v |= ((d[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        byte0 = p >> 3
+        off = p & 7
+        chunk = int.from_bytes(d[byte0 : byte0 + ((off + bits + 7) >> 3)],
+                               "little")
         self.pos = p + bits
-        return v
+        return (chunk >> off) & ((1 << bits) - 1)
 
     def read1(self) -> int:
         p = self.pos
@@ -7959,7 +7960,15 @@ def webp_encode_envelope(
 # payloads stay a documented envelope tier beside AVC/VP9.
 # ---------------------------------------------------------------------------
 
-VP8L_MAX_PIXELS = PNG_MAX_PIXELS
+# Largest accepted VP8L image from UNTRUSTED input (round-8 review,
+# same reasoning as VORBIS_MAX_BLOCK): entropy decode is inherently
+# sequential Python at ~2-5 us/pixel even with the root-table reader,
+# so the 1M-pixel raster budget would hand hostile input ~5 s of CPU
+# per document. 512x512 covers web thumbnails/previews at a ~1.3 s
+# worst case; larger lossless streams return None (documented subset,
+# they stay in the envelope tier with their dimensions still reported
+# by _parse_webp_meta).
+VP8L_MAX_PIXELS = 1 << 18
 
 # code-length-code symbol transmission order [spec 3.7.2.2]
 _VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
@@ -7986,16 +7995,23 @@ def _vp8l_subsample(size: int, bits: int) -> int:
 
 
 def _vp8l_canonical(lengths: list):
-    """Canonical prefix map {(len, code): symbol} from code lengths
-    (deflate/VP8L convention: codes assigned in symbol order within
-    increasing length). A single used symbol yields the 0-bit tree
-    {(0, 0): sym} (libwebp's single-leaf root). Raises ValueError for
-    an incomplete or oversubscribed code."""
+    """Canonical prefix decoder from code lengths (deflate/VP8L
+    convention: codes assigned in symbol order within increasing
+    length). Returns (kind, payload, maxlen):
+      kind 0 — single used symbol, payload = that symbol (0-bit tree,
+               libwebp's single-leaf root);
+      kind 1 — complete code, payload = (root, m): a 256-entry root
+               table indexed by the next 8 stream bits (LSB-first
+               peek) resolving codes up to 8 bits in one lookup, plus
+               the (len, code) map for the rare longer codewords.
+    Raises ValueError for an incomplete or oversubscribed code. Build
+    cost is O(alphabet + 256) per tree, so hostile inputs can't buy
+    large table fills with small declarations."""
     used = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
     if not used:
         raise ValueError("empty code")
     if len(used) == 1:
-        return {(0, 0): used[0][1]}, 0
+        return 0, used[0][1], 0
     maxlen = max(ln for ln, _ in used)
     if maxlen > 15:
         raise ValueError("code length > 15")
@@ -8008,21 +8024,45 @@ def _vp8l_canonical(lengths: list):
         code = (code + bl_count[ln - 1]) << 1
         next_code[ln] = code
     m: dict = {}
+    root: list = [None] * 256
     kraft = 0
     for s, ln in enumerate(lengths):
         if ln > 0:
-            m[(ln, next_code[ln])] = s
+            c = next_code[ln]
+            m[(ln, c)] = s
             next_code[ln] += 1
             kraft += 1 << (maxlen - ln)
+            if ln <= 8:
+                # LSB-first stream peek: the codeword's MSB arrives
+                # first, so index by the bit-reversed code + any fill
+                rev = int(format(c, f"0{ln}b")[::-1], 2)
+                for idx in range(rev, 256, 1 << ln):
+                    root[idx] = (s, ln)
     if kraft != 1 << maxlen:
         raise ValueError("incomplete prefix code")
-    return m, maxlen
+    return 1, (root, m), maxlen
 
 
 def _vp8l_read_sym(r: "_VBitReader", tree) -> int:
-    m, maxlen = tree
-    if maxlen == 0:
-        return m[(0, 0)]
+    kind, payload, maxlen = tree
+    if kind == 0:
+        return payload
+    root, m = payload
+    d, p = r.data, r.pos
+    avail = len(d) * 8 - p
+    if avail <= 0:
+        raise EOFError
+    n = 8 if avail >= 8 else avail
+    byte0 = p >> 3
+    chunk = int.from_bytes(d[byte0 : byte0 + ((p & 7) + n + 7 >> 3)], "little")
+    v = (chunk >> (p & 7)) & ((1 << n) - 1)
+    e = root[v]
+    if e is not None:
+        if e[1] > avail:
+            raise EOFError
+        r.pos = p + e[1]
+        return e[0]
+    # rare long codeword: bit-by-bit map walk
     code = 0
     for ln in range(1, maxlen + 1):
         code = (code << 1) | r.read1()
@@ -8041,11 +8081,12 @@ def _vp8l_read_code(r: "_VBitReader", alphabet: int):
         if nsym == 1:
             if s0 >= alphabet:
                 raise ValueError("simple symbol out of range")
-            return {(0, 0): s0}, 0
+            return 0, s0, 0
         s1 = r.read(8)
         if s0 >= alphabet or s1 >= alphabet or s0 == s1:
             raise ValueError("bad simple pair")
-        return {(1, 0): s0, (1, 1): s1}, 1
+        root = [(s0, 1), (s1, 1)] * 128  # 1-bit code over the peek index
+        return 1, (root, {(1, 0): s0, (1, 1): s1}), 1
     num_codes = r.read(4) + 4
     if num_codes > 19:
         raise ValueError("bad code-length-code count")

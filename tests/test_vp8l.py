@@ -146,12 +146,23 @@ def test_vp8l_plane_map_structure():
 
 
 def test_vp8l_canonical_code_edges():
-    # complete 2-level code
-    m, ml = pure._vp8l_canonical([1, 2, 2])
-    assert ml == 2 and m == {(1, 0): 0, (2, 2): 1, (2, 3): 2}
+    # complete 2-level code: canonical map is {0:(1,0), 1:(2,2), 2:(2,3)}
+    kind, (root, m), ml = pure._vp8l_canonical([1, 2, 2])
+    assert kind == 1 and ml == 2
+    assert m == {(1, 0): 0, (2, 2): 1, (2, 3): 2}
+    # root table resolves by LSB-first peek: bit0=0 -> sym 0; bits
+    # (1,0) -> code 10 -> sym 1; bits (1,1) -> code 11 -> sym 2
+    assert root[0b0] == (0, 1) and root[0b10] == (0, 1)
+    assert root[0b01] == (1, 2) and root[0b11] == (2, 2)
+    # decoding agrees with the map for every 8-bit prefix
+    for v in range(256):
+        r = pure._VBitReader(bytes([v]))
+        s = pure._vp8l_read_sym(r, (kind, (root, m), ml))
+        exp = 0 if v & 1 == 0 else (1 if (v >> 1) & 1 == 0 else 2)
+        assert s == exp, v
     # single used symbol -> 0-bit tree
-    m, ml = pure._vp8l_canonical([0, 0, 5, 0])
-    assert ml == 0 and m == {(0, 0): 2}
+    kind, payload, ml = pure._vp8l_canonical([0, 0, 5, 0])
+    assert (kind, payload, ml) == (0, 2, 0)
     # incomplete and oversubscribed codes rejected
     with pytest.raises(ValueError):
         pure._vp8l_canonical([2, 2, 2])
@@ -179,6 +190,9 @@ def test_vp8l_hostile_input_total():
         pure.webp_encode_envelope("extended", 64, 48)) is None
     assert pure.decode_webp_lossless(b"") is None
     assert pure.decode_webp_lossless(None) is None
+    # oversized dims rejected up front (CPU budget): a 1024x1024 header
+    big = pure.webp_encode_envelope("lossless", 1024, 1024)
+    assert pure.decode_webp_lossless(big) is None
 
 
 def test_vp8l_envelope_meta_agrees_with_decode():
