@@ -285,8 +285,14 @@ def commit_lineage(
     # webp is non-stub for lossless (VP8L) payloads — real decode as of
     # round 8 (pure.decode_webp_lossless); lossy/extended stay stubbed
     non_stub_webp = (ct == "webp") & (
-        F.coalesce(F.col("meta").getItem("webp:format"), F.lit(""))
-        == "lossless"
+        (
+            F.coalesce(F.col("meta").getItem("webp:format"), F.lit(""))
+            == "lossless"
+        )
+        | (
+            F.coalesce(F.col("meta").getItem("webp:has_vp8l"), F.lit(""))
+            == "1"
+        )
     )
     stub_ct = F.when(
         ct.isin(*STUB_CONTAINER_TYPES)

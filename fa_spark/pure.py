@@ -7903,6 +7903,37 @@ def _parse_webp_meta(data: bytes) -> dict[str, str]:
             "webp:alpha": str((flags >> 4) & 1),
             "webp:animation": str((flags >> 1) & 1),
         })
+        # round 8: walk the extended container's chunk list — a VP8X
+        # wrapping a VP8L still image is decodable (webp:has_vp8l gates
+        # the stage dispatch), and ANIM/ANMF chunks yield the exiftool
+        # animation surface (frame count, loop count, exact duration).
+        q = 20 + size + (size & 1)
+        n_frames = 0
+        dur_ms = 0
+        for _ in range(256):  # bounded chunk walk
+            if q + 8 > len(data):
+                break
+            cid = data[q : q + 4]
+            csz = int.from_bytes(data[q + 4 : q + 8], "little")
+            if csz > len(data) - q - 8:
+                break
+            body = q + 8
+            if cid == b"VP8L" and csz >= 5 and data[body] == 0x2F:
+                out["webp:has_vp8l"] = "1"
+            elif cid == b"ANIM" and csz >= 6:
+                out["webp:loop_count"] = str(
+                    int.from_bytes(data[body + 4 : body + 6], "little")
+                )
+            elif cid == b"ANMF" and csz >= 16:
+                n_frames += 1
+                dur_ms += (
+                    int.from_bytes(data[body + 12 : body + 15], "little")
+                    & 0xFFFFFF
+                )
+            q = body + csz + (csz & 1)
+        if n_frames:
+            out["webp:n_frames"] = str(n_frames)
+            out["webp:anim_duration_s"] = f"{dur_ms / 1000:.3f}"
     else:
         return out
     out["webp:chunk_bytes"] = str(size)
@@ -8912,6 +8943,44 @@ def webp_vp8l_encode(
     if len(payload) & 1:
         chunk += b"\x00"
     riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def webp_vp8x_encode(
+    width: int, height: int, *, vp8l: bytes | None = None,
+    frames: list | None = None, loop_count: int = 0, alpha: int = 0,
+) -> bytes:
+    """VP8X extended-layout fixture (round 8): optionally embeds the
+    VP8L chunk lifted from a standalone webp_vp8l_encode file (a real
+    decodable still inside the extended container) and/or ANIM/ANMF
+    animation chunks with exact millisecond frame durations (frame
+    payloads empty — the animation surface is envelope-level, like
+    mp4's sample tables)."""
+    flags = ((alpha & 1) << 4) | ((1 if frames else 0) << 1)
+    vp8x = (
+        bytes([flags]) + b"\x00\x00\x00"
+        + (width - 1).to_bytes(3, "little")
+        + (height - 1).to_bytes(3, "little")
+    )
+    chunks = b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+    if frames:
+        anim = bytes(4) + (loop_count & 0xFFFF).to_bytes(2, "little")
+        chunks += b"ANIM" + len(anim).to_bytes(4, "little") + anim
+        for dur in frames:
+            body = (
+                bytes(6)
+                + (width - 1).to_bytes(3, "little")
+                + (height - 1).to_bytes(3, "little")
+                + int(dur).to_bytes(3, "little") + b"\x00"
+            )
+            chunks += b"ANMF" + len(body).to_bytes(4, "little") + body
+    if vp8l is not None:
+        i = vp8l.index(b"VP8L")
+        csz = int.from_bytes(vp8l[i + 4 : i + 8], "little")
+        chunks += vp8l[i : i + 8 + csz]
+        if csz & 1:
+            chunks += b"\x00"
+    riff = b"WEBP" + chunks
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
 
 

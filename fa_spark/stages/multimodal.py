@@ -281,7 +281,10 @@ def media_features_fn(mode: str = "describe"):
                     # gate.
                     status = "decoded"
                     feature = _real_wav_features(aud)
-                elif ct == "webp" and meta.get("webp:format") == "lossless":
+                elif ct == "webp" and (
+                    meta.get("webp:format") == "lossless"
+                    or meta.get("webp:has_vp8l") == "1"
+                ):
                     # round 8: real VP8L decode (canonical prefix codes,
                     # all four transforms, color cache, LZ77 —
                     # pure.decode_webp_lossless); webp leaves the stub

@@ -204,6 +204,43 @@ def test_vp8l_envelope_meta_agrees_with_decode():
     assert pure.sniff_bytes(blob)["content_type"] == "webp"
 
 
+def test_vp8x_container_walk_and_embedded_vp8l():
+    rows = _grad(10, 6, did=4)
+    still = pure.webp_vp8l_encode(rows, subtract_green=True)
+    # VP8X wrapping a real VP8L still: meta flags it, decoder decodes it
+    wrapped = pure.webp_vp8x_encode(10, 6, vp8l=still)
+    m = pure.extract_metadata(wrapped)
+    assert m["webp:format"] == "extended" and m["webp:has_vp8l"] == "1"
+    img = pure.decode_webp_lossless(wrapped)
+    assert img is not None and (img["width"], img["height"]) == (10, 6)
+    assert img["pixels"] == pure.decode_webp_lossless(still)["pixels"]
+    # animation: exact frame count, loop count, summed duration
+    anim = pure.webp_vp8x_encode(32, 24, frames=[40, 40, 120], loop_count=3)
+    ma = pure.extract_metadata(anim)
+    assert ma["webp:animation"] == "1" and ma["webp:n_frames"] == "3"
+    assert ma["webp:loop_count"] == "3"
+    assert ma["webp:anim_duration_s"] == "0.200"
+    assert pure.decode_webp_lossless(anim) is None  # no still to decode
+    # truncation never raises
+    for cut in range(0, len(wrapped), 7):
+        pure.extract_metadata(wrapped[:cut])
+        pure.decode_webp_lossless(wrapped[:cut])
+
+
+def test_vp8x_embedded_still_decodes_through_stage(spark):
+    from fa_spark.stages.multimodal import extract_media_features
+
+    rows = _grad(16, 16, did=11)
+    wrapped = pure.webp_vp8x_encode(
+        16, 16, vp8l=pure.webp_vp8l_encode(rows)
+    )
+    df = spark.createDataFrame([("x1", wrapped)],
+                               "media_id string, content binary")
+    out = extract_media_features(df, mode="describe").collect()[0]
+    assert out["decode_status"] == "decoded"
+    assert out["width"] == 16 and out["feature"][0] == float(11 % 251)
+
+
 def test_vp8l_decodes_lossy_stays_stubbed(spark):
     """Round 8: webp leaves the stub tier for VP8L payloads through the
     feature stage; VP8-lossy keeps decode_status stubbed; a corrupted
