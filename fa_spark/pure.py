@@ -7860,9 +7860,11 @@ def _parse_webp_meta(data: bytes) -> dict[str, str]:
     container beside jpeg/png): RIFF form 'WEBP' with one of three
     layouts — 'VP8 ' lossy (keyframe start code + 14-bit dims), 'VP8L'
     lossless (0x2F signature + packed 14-bit dims + alpha bit), 'VP8X'
-    extended (feature flags + 24-bit canvas dims). Payload decode is a
-    full VP8 codec and stays honestly envelope-only, the AVC/VP9
-    tier."""
+    extended (feature flags + 24-bit canvas dims, chunk walk for an
+    embedded VP8L still and ANIM/ANMF animation metadata). Round 8:
+    VP8L payloads decode for REAL (decode_webp_lossless); VP8-lossy
+    payload decode is a full VP8 codec and stays honestly
+    envelope-only, the AVC/VP9 tier."""
     if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         return {}
     four = data[12:16]

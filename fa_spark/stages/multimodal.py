@@ -53,10 +53,12 @@ MODE_RESOLUTION = {"describe": 512, "detect": 384, "document": 768}
 
 # container families the feature stage recognizes but has no pure-Python
 # DSP codec for (their ENVELOPES still parse for real); riff is stubbed
-# only for non-WAVE forms — WAVE decodes via pure.decode_wav — and ogg
-# only for non-Vorbis codecs (opus etc.) — Vorbis decodes for real as of
-# round 5 via pure.decode_vorbis. Shared with lineage stub accounting
-# (lineage.commit_lineage) so the two stay in sync.
+# only for non-WAVE forms — WAVE decodes via pure.decode_wav — ogg only
+# for non-Vorbis codecs (opus etc.) — Vorbis decodes for real as of
+# round 5 via pure.decode_vorbis — and webp only for lossy/extended
+# payloads without an embedded VP8L still — lossless decodes for real
+# as of round 8 via pure.decode_webp_lossless. Shared with lineage stub
+# accounting (lineage.commit_lineage) so the two stay in sync.
 STUB_CONTAINER_TYPES = ("ogg", "riff", "mp3", "mp4", "webm", "mpeg", "webp", "aac")
 
 MEDIA_FEATURES = T.StructType(
