@@ -120,6 +120,20 @@ def sniff_bytes(data: bytes | None) -> dict:
     if content_type is None and len(data) >= 12 and data[4:8] == b"ftyp":
         content_type = "mp4"
     if (
+        content_type is None and len(data) >= 22
+        and data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
+        # ICO/CUR magic is weak (mostly zeros), so demand structure the
+        # way the bare-mp3 rule does: sane directory count, a reserved
+        # byte of 0 in the first entry, and a first-image offset that
+        # lands after the directory inside the file (round 8)
+        and 1 <= int.from_bytes(data[4:6], "little") <= 64
+        and len(data) >= 6 + 16 * int.from_bytes(data[4:6], "little")
+        and data[9] == 0
+        and 6 + 16 * int.from_bytes(data[4:6], "little")
+        <= int.from_bytes(data[18:22], "little") <= len(data)
+    ):
+        content_type = "ico"
+    if (
         content_type is None and data[:3] == b"ID3" and len(data) >= 10
         # structurally valid ID3v2 header: known major version (2/3/4 —
         # never printable ASCII, so prose starting "ID3 ..." fails here),
@@ -977,6 +991,7 @@ def extract_metadata(data: bytes | None) -> dict[str, str]:
     out.update(_parse_webm_meta(data))
     out.update(_parse_mpeg_meta(data))
     out.update(_parse_webp_meta(data))
+    out.update(_parse_ico_meta(data))
     out.update(_parse_avi_meta(data))
     out.update(_parse_zip_meta(data))
     out.update(_parse_gzip_meta(data))
@@ -8984,6 +8999,145 @@ def webp_vp8x_encode(
             chunks += b"\x00"
     riff = b"WEBP" + chunks
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+# ---------------------------------------------------------------------------
+# ICO/CUR favicons (round 8) — the highest-frequency image container a
+# crawl serves that had no handling at all. The directory walk is the
+# exiftool surface; decode is REAL for both payload forms: PNG-in-ICO
+# through decode_png and BMP-in-ICO through decode_bmp after
+# synthesizing the BITMAPFILEHEADER the ICO form strips (the stored
+# info header carries XOR+AND double height, halved back here). The
+# 1/4-bpp legacy forms and the AND-mask compositing are a documented
+# subset bound (decode_bmp's 8/24/32-bpp scope; alpha drops like the
+# other raster decoders).
+# ---------------------------------------------------------------------------
+
+def _ico_entries(data: bytes) -> list:
+    """[(w, h, bpp, size, offset)] bounded directory walk; 0 -> 256."""
+    if len(data) < 6 or data[:4] not in (b"\x00\x00\x01\x00",
+                                         b"\x00\x00\x02\x00"):
+        return []
+    n = int.from_bytes(data[4:6], "little")
+    if not 1 <= n <= 64 or len(data) < 6 + 16 * n:
+        return []
+    out = []
+    for i in range(n):
+        e = data[6 + 16 * i : 22 + 16 * i]
+        w = e[0] or 256
+        h = e[1] or 256
+        bpp = int.from_bytes(e[6:8], "little")
+        size = int.from_bytes(e[8:12], "little")
+        off = int.from_bytes(e[12:16], "little")
+        if off + size > len(data) or size < 8:
+            continue
+        out.append((w, h, bpp, size, off))
+    return out
+
+
+def _parse_ico_meta(data: bytes) -> dict[str, str]:
+    entries = _ico_entries(data)
+    if not entries:
+        return {}
+    kinds = set()
+    for _w, _h, _bpp, size, off in entries:
+        kinds.add("png" if data[off : off + 8] == _PNG_SIG else "bmp")
+    w, h, bpp, _size, _off = max(entries, key=lambda e: e[0] * e[1])
+    return {
+        "ico:kind": "cursor" if data[2] == 2 else "icon",
+        "ico:n_images": str(len(entries)),
+        "ico:width": str(w),
+        "ico:height": str(h),
+        "ico:bpp": str(bpp),
+        "ico:formats": ",".join(sorted(kinds)),
+    }
+
+
+def decode_ico(data: bytes | None) -> dict | None:
+    """Real favicon decode: the largest directory image, PNG payloads
+    via decode_png, BMP payloads via decode_bmp. Returns the shared
+    raster contract or None (malformed / out-of-subset bpp)."""
+    if not data:
+        return None
+    entries = _ico_entries(data)
+    if not entries:
+        return None
+    _w, _h, _bpp, size, off = max(entries, key=lambda e: e[0] * e[1])
+    payload = data[off : off + size]
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if len(payload) < 40:
+        return None
+    hdr_size = int.from_bytes(payload[0:4], "little")
+    if hdr_size != 40:
+        return None
+    dbl_h = int.from_bytes(payload[8:12], "little", signed=True)
+    if dbl_h <= 0 or dbl_h % 2:
+        return None  # XOR+AND double height must be a positive even value
+    bpp = int.from_bytes(payload[14:16], "little")
+    n_colors = int.from_bytes(payload[32:36], "little")
+    if not n_colors and bpp <= 8:
+        n_colors = 1 << bpp
+    patched = bytearray(payload)
+    patched[8:12] = (dbl_h // 2).to_bytes(4, "little", signed=True)
+    pix_off = 14 + hdr_size + n_colors * 4
+    bmp = (
+        b"BM" + (14 + len(patched)).to_bytes(4, "little")
+        + bytes(4) + pix_off.to_bytes(4, "little") + bytes(patched)
+    )
+    # the AND mask trails the XOR rows; decode_bmp reads exactly h rows,
+    # so the mask bytes are inert (transparency is not composited —
+    # the raster contract drops alpha for every decoder)
+    return decode_bmp(bmp)
+
+
+def ico_encode(images: list) -> bytes:
+    """Favicon fixture: ``images`` is a list of ("png", rows) or
+    ("bmp", rows) tuples (rows of (r, g, b)); BMP payloads are written
+    the ICO way — headerless, doubled height, zeroed AND mask."""
+    dir_entries = bytearray()
+    payloads = []
+    off = 6 + 16 * len(images)
+    for kind, rows in images:
+        h, w = len(rows), len(rows[0])
+        if kind == "png":
+            body = png_encode(rows)
+            bpp = 32
+        else:
+            stride = (w * 3 + 3) & ~3
+            mask_stride = ((w + 31) // 32) * 4
+            px = bytearray()
+            for row in reversed(rows):  # bottom-up
+                line = bytearray()
+                for r, g, b in row:
+                    line += bytes((b, g, r))
+                line += bytes(stride - len(line))
+                px += line
+            body = (
+                (40).to_bytes(4, "little")
+                + w.to_bytes(4, "little", signed=True)
+                + (2 * h).to_bytes(4, "little", signed=True)
+                + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+                + bytes(4)  # BI_RGB
+                + (stride * h).to_bytes(4, "little")
+                + bytes(16)
+                + bytes(px)
+                + bytes(mask_stride * h)  # opaque AND mask
+            )
+            bpp = 24
+        dir_entries += bytes((
+            w if w < 256 else 0, h if h < 256 else 0, 0, 0,
+        ))
+        dir_entries += (1).to_bytes(2, "little")
+        dir_entries += bpp.to_bytes(2, "little")
+        dir_entries += len(body).to_bytes(4, "little")
+        dir_entries += off.to_bytes(4, "little")
+        payloads.append(body)
+        off += len(body)
+    return (
+        b"\x00\x00\x01\x00" + len(images).to_bytes(2, "little")
+        + bytes(dir_entries) + b"".join(payloads)
+    )
 
 
 def _parse_avi_meta(data: bytes) -> dict[str, str]:

@@ -2255,6 +2255,72 @@ FROM documents
 """
 
 
+def _ico_batch(doc_id: pd.Series) -> pd.Series:
+    """Round 8: favicon fixtures — the image_features gradient packed
+    as PNG-in-ICO, BMP-in-ICO (headerless double-height payload), or a
+    three-image directory whose largest entry is the gradient (the
+    decoder must elect it), rotating on doc_id."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        rows = [
+            [(did % _GRAD_MOD, x * 17, y * 17) for x in range(IMG_SIDE)]
+            for y in range(IMG_SIDE)
+        ]
+        k = did % 3
+        if k == 0:
+            out.append(pure.ico_encode([("png", rows)]))
+        elif k == 1:
+            out.append(pure.ico_encode([("bmp", rows)]))
+        else:
+            junk = [[(did % 256, 0, 255)] * 8 for _ in range(8)]
+            out.append(pure.ico_encode(
+                [("bmp", junk), ("png", rows), ("bmp", [[(1, 2, 3)] * 4] * 4)]
+            ))
+    return pd.Series(out)
+
+
+ico_udf = F.pandas_udf(_ico_batch, BinaryType())
+
+
+def q_ico_features(spark, sf_dir):
+    """REAL favicon decode round trip (reference M1/M5 surface — the
+    highest-frequency image container a crawl serves): PNG-in-ICO and
+    BMP-in-ICO payloads through pure.decode_ico via the multimodal
+    stage, value-checked against the image_features closed forms."""
+    from fa_spark.stages.multimodal import extract_media_features
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        ico_udf("doc_id").alias("content"),
+    )
+    feats = extract_media_features(media, mode="describe")
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        (F.col("media_id").cast("long") % 3).cast("int").alias("variant"),
+        "content_type",
+        "width",
+        "height",
+        "decode_status",
+        _feat_d(1).alias("mean_r"),
+        _feat_d(2).alias("mean_g"),
+        _feat_d(3).alias("mean_b"),
+    )
+
+
+SQL_ICO_FEATURES = f"""
+SELECT doc_id, CAST(doc_id % 3 AS INT) AS variant,
+       'ico' AS content_type,
+       {IMG_SIDE} AS width, {IMG_SIDE} AS height,
+       'decoded' AS decode_status,
+       CAST(doc_id % {_GRAD_MOD} AS DOUBLE) AS mean_r,
+       CAST(127.5 AS DOUBLE) AS mean_g,
+       CAST(127.5 AS DOUBLE) AS mean_b
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # real JPEG decode (round 3): encode -> decode -> feature round trip through
 # the pure-Python baseline JPEG codec. The fixture is a grayscale 16x16
@@ -5748,15 +5814,15 @@ REGISTRY: dict[str, tuple] = {
     # queries whose kernels changed AFTER the r07 snapshot (surt_keys:
     # greedy userinfo strip; zstd_roundtrip: leading skippable frames;
     # warc_roundtrip: gzip-walk total budget; media_plumbing/audio_meta:
-    # l3-subset verdict gates + envelope walks), then 38 of the 39
-    # r06-official rows. part_type_stats (r06, kernel untouched since
-    # r04) carries the one-row slack and MUST lead the r09 window. New
-    # r08 queries are inserted at the very front as they land, pushing
-    # the bottom of the r06 backfill into the r09-lead group — keep this
-    # comment's arithmetic current when doing so. Every entry still runs
+    # l3-subset verdict gates + envelope walks), then 36 of the 39
+    # r06-official rows (the two new r08 queries ico_features and
+    # webp_lossless lead the window, displacing pricing_summary,
+    # shipping_priority and part_type_stats into the tail's r09-lead
+    # group — those three r06 rows MUST lead the r09 window). Every entry still runs
     # in the full per-round DuckDB oracle sweep (tests/test_oracle.py).
     #
     # -- window (first 50): r08 --
+    "ico_features": (q_ico_features, SQL_ICO_FEATURES),
     "webp_lossless": (q_webp_lossless, SQL_WEBP_LOSSLESS),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD),
     "duplicate_passages": (q_duplicate_passages, SQL_DUPLICATE_PASSAGES),
@@ -5806,11 +5872,11 @@ REGISTRY: dict[str, tuple] = {
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
     "doc_lang": (q_doc_lang, _lang_sql()),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING),
     # -- tail: not in the official window this round --
-    # r09 MUST lead with shipping_priority and part_type_stats
-    # (r06-official, else 3-rounds-stale at r09), then the
-    # r07-official rows below.
+    # r09 MUST lead with pricing_summary, shipping_priority and
+    # part_type_stats (r06-official, else 3-rounds-stale at r09), then
+    # the r07-official rows below.
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
     "part_type_stats": (q_part_type_stats, SQL_PART_TYPE_STATS),
     "mp3_huff_features": (q_mp3_huff_features, SQL_MP3_HUFF_FEATURES),

@@ -86,6 +86,9 @@ _RASTER_DECODERS = {
     "bmp": pure.decode_bmp,
     "gif": pure.decode_gif,
     "tiff": pure.decode_tiff,
+    # round 8: favicons — PNG-in-ICO via decode_png, BMP-in-ICO via
+    # decode_bmp with the synthesized file header (pure.decode_ico)
+    "ico": pure.decode_ico,
 }
 
 

@@ -267,3 +267,77 @@ def test_vp8l_decodes_lossy_stays_stubbed(spark):
     assert out["w1"]["feature"][1] == 127.5           # mean_g
     assert out["w2"]["decode_status"] == "decode_error"
     assert out["w3"]["decode_status"] == "stubbed"
+
+
+# --- ICO favicons (round 8; lives here with the other round-8 raster work) --
+
+
+def test_ico_roundtrip_and_directory_walk():
+    rows = _grad(16, 16)
+    png_ico = pure.ico_encode([("png", rows)])
+    assert pure.sniff_bytes(png_ico)["content_type"] == "ico"
+    m = pure.extract_metadata(png_ico)
+    assert m["ico:kind"] == "icon" and m["ico:formats"] == "png"
+    img = pure.decode_ico(png_ico)
+    assert img["pixels"] == pure.decode_png(pure.png_encode(rows))["pixels"]
+    bmp_ico = pure.ico_encode([("bmp", rows)])
+    m2 = pure.extract_metadata(bmp_ico)
+    assert m2["ico:formats"] == "bmp" and m2["ico:bpp"] == "24"
+    img2 = pure.decode_ico(bmp_ico)
+    assert (img2["width"], img2["height"], img2["channels"]) == (16, 16, 3)
+    for y in range(16):
+        for x in range(16):
+            o = (y * 16 + x) * 3
+            assert tuple(img2["pixels"][o : o + 3]) == rows[y][x]
+    # multi-image directory: the largest entry is elected
+    multi = pure.ico_encode([
+        ("bmp", _grad(8, 8, did=100)), ("png", rows),
+        ("bmp", [[(1, 2, 3)] * 4] * 4),
+    ])
+    m3 = pure.extract_metadata(multi)
+    assert m3["ico:n_images"] == "3" and m3["ico:width"] == "16"
+    assert m3["ico:formats"] == "bmp,png"
+    assert pure.decode_ico(multi)["pixels"] == img["pixels"]
+
+
+def test_ico_hostile_and_sniff_strictness():
+    blob = pure.ico_encode([("bmp", _grad(12, 10)), ("png", _grad(6, 6))])
+    for cut in range(0, len(blob), 7):
+        pure.decode_ico(blob[:cut])
+        pure.extract_metadata(blob[:cut])
+    import random
+    rng = random.Random(3)
+    for _ in range(800):
+        ba = bytearray(blob)
+        for _ in range(rng.randint(1, 5)):
+            ba[rng.randrange(len(ba))] ^= 1 << rng.randrange(8)
+        pure.decode_ico(bytes(ba))
+    # near-magic prose must not sniff as ico (weak zero-heavy magic)
+    assert pure.sniff_bytes(b"\x00\x00\x01\x00" + b"x" * 40)[
+        "content_type"] != "ico"
+    assert pure.decode_ico(b"") is None and pure.decode_ico(None) is None
+    # odd double-height or non-40 info header rejected
+    bad = bytearray(pure.ico_encode([("bmp", _grad(5, 5))]))
+    off = int.from_bytes(bad[18:22], "little")
+    bad[off + 8 : off + 12] = (11).to_bytes(4, "little")  # odd XOR+AND h
+    assert pure.decode_ico(bytes(bad)) is None
+
+
+def test_ico_decodes_through_stage(spark):
+    from fa_spark.stages.multimodal import extract_media_features
+
+    rows = _grad(16, 16, did=77)
+    df = spark.createDataFrame(
+        [("i1", pure.ico_encode([("png", rows)])),
+         ("i2", pure.ico_encode([("bmp", rows)]))],
+        "media_id string, content binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in extract_media_features(df, mode="describe").collect()
+    }
+    for k in ("i1", "i2"):
+        assert out[k]["content_type"] == "ico"
+        assert out[k]["decode_status"] == "decoded"
+        assert out[k]["feature"][0] == float(77 % 251)
+        assert out[k]["feature"][1] == 127.5
