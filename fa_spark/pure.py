@@ -1002,6 +1002,7 @@ def extract_metadata(data: bytes | None) -> dict[str, str]:
         # stubbed non-WAVE RIFF family without re-reading the bytes
         out["riff:format"] = data[8:12].decode("latin-1").strip("\x00 ")
     if sn["content_type"] in ("html", "text", "xml"):
+        out.update(_parse_svg_meta(data))
         html_str, cs = decode_bytes(data)
         out["charset"] = cs
         _blocks, parser = extract_blocks(html_str)
@@ -9002,6 +9003,75 @@ def webp_vp8x_encode(
 
 
 # ---------------------------------------------------------------------------
+# SVG metadata (round 8) — the web's vector image format is TEXT, so it
+# rides the html/xml sniff types through the extraction pipeline
+# unchanged; this walk adds the exiftool surface (dimensions, viewBox,
+# element census) plus a script-content flag the signature-scanning
+# stage cares about (SVG is a live XSS vector). Parsed from BYTES with
+# a bounded scan so the plain and fused metadata paths call it
+# identically without a second charset decode.
+# ---------------------------------------------------------------------------
+
+SVG_SCAN_BYTES = 1 << 18
+
+_SVG_ROOT_RE = re.compile(
+    rb"^\s*(?:<\?xml[^>]*\?>\s*)?(?:<!--.*?-->\s*)*(?:<!DOCTYPE[^>]*>\s*)?"
+    rb"(?:<!--.*?-->\s*)*<svg([\s>])",
+    re.DOTALL,
+)
+_SVG_ATTR_RE = re.compile(
+    rb"(width|height|viewBox)\s*=\s*[\"']([^\"']{0,64})[\"']"
+)
+_SVG_TAG_RE = re.compile(rb"<([a-zA-Z][\w:-]{0,32})[\s/>]")
+_SVG_SCRIPT_RE = re.compile(
+    rb"<script[\s>]|\son[a-zA-Z]+\s*=|javascript:", re.IGNORECASE
+)
+_SVG_SHAPES = frozenset(
+    (b"rect", b"circle", b"ellipse", b"line", b"polyline", b"polygon")
+)
+
+
+def _parse_svg_meta(data: bytes) -> dict[str, str]:
+    head = data[:2048]
+    if head[:3] == b"\xef\xbb\xbf":
+        head = head[3:]
+        data = data[3:]
+    m = _SVG_ROOT_RE.match(head)
+    if not m:
+        return {}
+    body = data[:SVG_SCAN_BYTES]
+    out: dict[str, str] = {}
+    # root-tag attributes only (scan ends at the first '>')
+    root_end = body.find(b">", m.start(1))
+    root = body[: root_end if root_end > 0 else 2048]
+    for k, v in _SVG_ATTR_RE.findall(root):
+        key = {b"width": "svg:width", b"height": "svg:height",
+               b"viewBox": "svg:view_box"}[k]
+        out.setdefault(key, v.decode("latin-1"))
+    n_total = n_paths = n_shapes = n_text = n_images = 0
+    for t in _SVG_TAG_RE.finditer(body):
+        n_total += 1
+        if n_total >= 1 << 16:
+            break
+        tag = t.group(1).lower()
+        if tag == b"path":
+            n_paths += 1
+        elif tag in _SVG_SHAPES:
+            n_shapes += 1
+        elif tag == b"text":
+            n_text += 1
+        elif tag == b"image":
+            n_images += 1
+    out["svg:n_elements"] = str(n_total)
+    out["svg:n_paths"] = str(n_paths)
+    out["svg:n_shapes"] = str(n_shapes)
+    out["svg:n_text"] = str(n_text)
+    out["svg:n_images"] = str(n_images)
+    out["svg:has_script"] = "1" if _SVG_SCRIPT_RE.search(body) else "0"
+    return out
+
+
+# ---------------------------------------------------------------------------
 # ICO/CUR favicons (round 8) — the highest-frequency image container a
 # crawl serves that had no handling at all. The directory walk is the
 # exiftool surface; decode is REAL for both payload forms: PNG-in-ICO
@@ -11497,6 +11567,7 @@ def _metadata_from_parse(
     out.update(_parse_jpeg_meta(data))
     out.update(_parse_pdf_meta(data))
     if ct in ("html", "text", "xml"):
+        out.update(_parse_svg_meta(data))
         out["charset"] = charset or ""
         for k, v in sorted(parser.meta.items()):
             out[f"meta:{k}"] = v

@@ -2321,6 +2321,94 @@ FROM documents
 """
 
 
+def _svg_batch(doc_id: pd.Series) -> pd.Series:
+    """Deterministic SVG per doc (round 8): closed-form element census
+    and root dimensions; every fourth doc carries an inline script (the
+    live-XSS surface svg:has_script flags)."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        w, h = 100 + did % 50, 50 + did % 25
+        parts = [
+            '<?xml version="1.0"?>'
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" '
+            f'height="{h}" viewBox="0 0 {w} {h}">'
+        ]
+        parts += [f'<rect x="{i}" width="4" height="4"/>'
+                  for i in range(1 + did % 5)]
+        parts += [f'<path d="M0 {i}L9 9"/>' for i in range(did % 3)]
+        parts += ["<text>t</text>"] * (did % 2)
+        if did % 4 == 0:
+            parts.append("<script>void(0)</script>")
+        parts.append("</svg>")
+        out.append("".join(parts).encode())
+    return pd.Series(out)
+
+
+svg_udf = F.pandas_udf(_svg_batch, BinaryType())
+
+
+def q_svg_meta(spark, sf_dir):
+    """SVG metadata surface (reference M1 — exiftool reports SVG
+    dimensions/element counts; the script flag feeds the signature-scan
+    stage's interest in live content). The whole walk is closed-form
+    from doc_id, so it sits under the value-hash gate."""
+    from collections.abc import Iterator
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    blobs = docs.select("doc_id", svg_udf("doc_id").alias("content"))
+    schema = (
+        "doc_id long, width string, height string, view_box string, "
+        "n_elements int, n_paths int, n_shapes int, n_text int, "
+        "has_script int"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                m = pure.extract_metadata(bytes(blob))
+                rows.append({
+                    "doc_id": int(did),
+                    "width": m.get("svg:width"),
+                    "height": m.get("svg:height"),
+                    "view_box": m.get("svg:view_box"),
+                    "n_elements": int(m["svg:n_elements"]),
+                    "n_paths": int(m["svg:n_paths"]),
+                    "n_shapes": int(m["svg:n_shapes"]),
+                    "n_text": int(m["svg:n_text"]),
+                    "has_script": int(m["svg:has_script"]),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "view_box",
+                         "n_elements", "n_paths", "n_shapes", "n_text",
+                         "has_script"],
+            )
+
+    return blobs.mapInPandas(fn, schema)
+
+
+SQL_SVG_META = """
+WITH d AS (
+  SELECT doc_id, 100 + doc_id % 50 AS w, 50 + doc_id % 25 AS h,
+         1 + doc_id % 5 AS nr, doc_id % 3 AS np, doc_id % 2 AS nt,
+         CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS sc
+  FROM documents)
+SELECT doc_id,
+       CAST(w AS VARCHAR) AS width,
+       CAST(h AS VARCHAR) AS height,
+       '0 0 ' || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+         AS view_box,
+       CAST(1 + nr + np + nt + sc AS INT) AS n_elements,
+       CAST(np AS INT) AS n_paths,
+       CAST(nr AS INT) AS n_shapes,
+       CAST(nt AS INT) AS n_text,
+       CAST(sc AS INT) AS has_script
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # real JPEG decode (round 3): encode -> decode -> feature round trip through
 # the pure-Python baseline JPEG codec. The fixture is a grayscale 16x16
@@ -5814,14 +5902,16 @@ REGISTRY: dict[str, tuple] = {
     # queries whose kernels changed AFTER the r07 snapshot (surt_keys:
     # greedy userinfo strip; zstd_roundtrip: leading skippable frames;
     # warc_roundtrip: gzip-walk total budget; media_plumbing/audio_meta:
-    # l3-subset verdict gates + envelope walks), then 36 of the 39
-    # r06-official rows (the two new r08 queries ico_features and
-    # webp_lossless lead the window, displacing pricing_summary,
-    # shipping_priority and part_type_stats into the tail's r09-lead
-    # group — those three r06 rows MUST lead the r09 window). Every entry still runs
+    # l3-subset verdict gates + envelope walks), then 35 of the 39
+    # r06-official rows (the three new r08 queries svg_meta,
+    # ico_features and webp_lossless lead the window, displacing
+    # doc_lang, pricing_summary, shipping_priority and part_type_stats
+    # into the tail's r09-lead group — those four r06 rows MUST lead
+    # the r09 window). Every entry still runs
     # in the full per-round DuckDB oracle sweep (tests/test_oracle.py).
     #
     # -- window (first 50): r08 --
+    "svg_meta": (q_svg_meta, SQL_SVG_META),
     "ico_features": (q_ico_features, SQL_ICO_FEATURES),
     "webp_lossless": (q_webp_lossless, SQL_WEBP_LOSSLESS),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, SQL_DOC_JACCARD),
@@ -5871,11 +5961,11 @@ REGISTRY: dict[str, tuple] = {
     "doc_prefix_dedup": (q_doc_prefix_dedup, SQL_DOC_PREFIX_DEDUP),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
-    "doc_lang": (q_doc_lang, _lang_sql()),
     # -- tail: not in the official window this round --
-    # r09 MUST lead with pricing_summary, shipping_priority and
-    # part_type_stats (r06-official, else 3-rounds-stale at r09), then
-    # the r07-official rows below.
+    # r09 MUST lead with doc_lang, pricing_summary, shipping_priority
+    # and part_type_stats (r06-official, else 3-rounds-stale at r09),
+    # then the r07-official rows below.
+    "doc_lang": (q_doc_lang, _lang_sql()),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
     "part_type_stats": (q_part_type_stats, SQL_PART_TYPE_STATS),

@@ -655,6 +655,35 @@ def test_opus_toc_rejects_malformed_packets():
         pure.extract_metadata(blob[:cut])
 
 
+def test_svg_meta_surface():
+    svg = (b'<?xml version="1.0"?><!-- c --><svg xmlns="x" width="120px" '
+           b'height="80" viewBox="0 0 120 80"><rect/><rect/><path d="M0 0"/>'
+           b'<circle r="5"/><text>hey</text><script>x()</script></svg>')
+    m = pure.extract_metadata(svg)
+    assert m["svg:width"] == "120px" and m["svg:height"] == "80"
+    assert m["svg:view_box"] == "0 0 120 80"
+    assert m["svg:n_elements"] == "7" and m["svg:n_paths"] == "1"
+    assert m["svg:n_shapes"] == "3" and m["svg:n_text"] == "1"
+    assert m["svg:has_script"] == "1"
+    # event-handler attributes and javascript: hrefs also flag script
+    ev = b'<svg width="9"><rect onclick="go()"/></svg>'
+    assert pure.extract_metadata(ev)["svg:has_script"] == "1"
+    clean = b'<svg height="4"><polygon points="1,2"/></svg>'
+    mc = pure.extract_metadata(clean)
+    assert mc["svg:has_script"] == "0" and mc["svg:n_shapes"] == "1"
+    assert "svg:width" not in mc  # only attrs actually present emit
+    # an svg EMBEDDED in html is not svg-rooted: no svg keys
+    html = b"<html><body><svg width=\"5\"></svg></body></html>"
+    assert not any(k.startswith("svg:") for k in pure.extract_metadata(html))
+    # fused analyzer emits the identical surface
+    fused = {k: v for k, v in pure.analyze_document(svg)["meta"].items()
+             if k.startswith("svg:")}
+    assert fused == {k: v for k, v in m.items() if k.startswith("svg:")}
+    # hostile: truncations never raise
+    for cut in range(0, len(svg), 5):
+        pure.extract_metadata(svg[:cut])
+
+
 def test_flac_tags_and_streaminfo_meta():
     base = bytearray(pure.flac_encode([9] * 1600, 16000))
     base[4] &= 0x7F  # STREAMINFO no longer the last metadata block
