@@ -118,7 +118,13 @@ def sniff_bytes(data: bytes | None) -> dict:
         content_type = "webp"  # round 7: the web's own RIFF form
     head = data[:2048]
     if content_type is None and len(data) >= 12 and data[4:8] == b"ftyp":
-        content_type = "mp4"
+        brand = data[8:12]
+        if brand in (b"avif", b"avis"):
+            content_type = "avif"  # round 8: AV1 image file (rising web)
+        elif brand in (b"heic", b"heix", b"mif1"):
+            content_type = "heic"
+        else:
+            content_type = "mp4"
     if (
         content_type is None and len(data) >= 22
         and data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
@@ -7505,8 +7511,15 @@ def flac_vorbis_comment_block(tags: dict[str, str], last: bool = False) -> bytes
 # for real; the codec payloads (h264/vp9 DSP) stay stubbed, documented).
 # ---------------------------------------------------------------------------
 
-_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl",
+                   b"iprp", b"ipco"}
 MP4_MAX_BOXES = 4096
+# image-sequence ftyp brands -> the meta key prefix their item
+# properties (ispe/pixi/av1C/hvcC) publish under (round 8)
+_BMFF_IMAGE_BRANDS = {
+    b"avif": "avif", b"avis": "avif",
+    b"heic": "heic", b"heix": "heic", b"mif1": "heic",
+}
 
 
 def _parse_mp4_meta(data: bytes) -> dict[str, str]:
@@ -7515,6 +7528,7 @@ def _parse_mp4_meta(data: bytes) -> dict[str, str]:
     if len(data) < 12 or data[4:8] != b"ftyp":
         return {}
     out: dict[str, str] = {"mp4:brand": data[8:12].decode("latin-1").strip()}
+    img_prefix = _BMFF_IMAGE_BRANDS.get(data[8:12])
     budget = [MP4_MAX_BOXES]
 
     def walk(lo: int, hi: int) -> None:
@@ -7535,6 +7549,25 @@ def _parse_mp4_meta(data: bytes) -> dict[str, str]:
                 return
             if btype in _MP4_CONTAINERS:
                 walk(body, p + size)
+            elif btype == b"meta" and size >= 12:
+                walk(body + 4, p + size)  # full box: version/flags first
+            elif img_prefix and btype == b"ispe" and size >= 20:
+                out[f"{img_prefix}:width"] = str(
+                    int.from_bytes(data[body + 4 : body + 8], "big")
+                )
+                out[f"{img_prefix}:height"] = str(
+                    int.from_bytes(data[body + 8 : body + 12], "big")
+                )
+            elif img_prefix and btype == b"pixi" and size >= 14:
+                n_ch = data[body + 4]
+                if n_ch and body + 5 + n_ch <= p + size:
+                    out[f"{img_prefix}:bpp"] = str(data[body + 5])
+                    out[f"{img_prefix}:channels"] = str(n_ch)
+            elif img_prefix and btype in (b"av1C", b"hvcC"):
+                out.setdefault(
+                    f"{img_prefix}:codec",
+                    "av1" if btype == b"av1C" else "hevc",
+                )
             elif btype == b"mvhd" and body + 4 <= hi:
                 ver = data[body]
                 if ver == 1 and body + 32 <= p + size:
@@ -9000,6 +9033,29 @@ def webp_vp8x_encode(
             chunks += b"\x00"
     riff = b"WEBP" + chunks
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def avif_envelope_encode(
+    width: int, height: int, bpp: int = 8, channels: int = 3,
+    codec: bytes = b"av1C", brand: bytes = b"avif",
+) -> bytes:
+    """AVIF/HEIF envelope fixture (round 8): ftyp + meta(hdlr + iprp(
+    ipco(ispe + pixi + codec config))) — the item-property surface the
+    walker reads. Payload decode is a full AV1/HEVC codec and stays
+    honestly envelope-only, the same tier as VP9."""
+    def box(btype: bytes, bod: bytes) -> bytes:
+        return (len(bod) + 8).to_bytes(4, "big") + btype + bod
+
+    ispe = box(b"ispe", bytes(4) + width.to_bytes(4, "big")
+               + height.to_bytes(4, "big"))
+    pixi = box(b"pixi", bytes(4) + bytes([channels]) + bytes([bpp]) * channels)
+    cfg = box(codec, b"\x81\x00\x00\x00")  # opaque config payload
+    ipco = box(b"ipco", ispe + pixi + cfg)
+    iprp = box(b"iprp", ipco)
+    hdlr = box(b"hdlr", bytes(8) + b"pict" + bytes(12))
+    meta = box(b"meta", bytes(4) + hdlr + iprp)
+    ftyp = box(b"ftyp", brand + bytes(4) + brand + b"mif1")
+    return ftyp + meta
 
 
 # ---------------------------------------------------------------------------

@@ -59,7 +59,13 @@ MODE_RESOLUTION = {"describe": 512, "detect": 384, "document": 768}
 # payloads without an embedded VP8L still — lossless decodes for real
 # as of round 8 via pure.decode_webp_lossless. Shared with lineage stub
 # accounting (lineage.commit_lineage) so the two stay in sync.
-STUB_CONTAINER_TYPES = ("ogg", "riff", "mp3", "mp4", "webm", "mpeg", "webp", "aac")
+STUB_CONTAINER_TYPES = (
+    "ogg", "riff", "mp3", "mp4", "webm", "mpeg", "webp", "aac",
+    # round 8: AVIF/HEIF image envelopes parse (ispe dims, pixi bit
+    # depth, codec config fourcc); AV1/HEVC payload decode stays the
+    # documented stub tier beside VP9
+    "avif", "heic",
+)
 
 MEDIA_FEATURES = T.StructType(
     [
@@ -178,7 +184,8 @@ def media_features_fn(mode: str = "describe"):
                 sn = pure.sniff_bytes(b)
                 meta = pure.extract_metadata(b)
                 width = height = None
-                for fam in ("png", "jpeg", "gif", "bmp", "tiff"):
+                for fam in ("png", "jpeg", "gif", "bmp", "tiff", "avif",
+                            "heic"):
                     if meta.get(f"{fam}:width"):
                         width = meta.get(f"{fam}:width")
                         height = meta.get(f"{fam}:height")

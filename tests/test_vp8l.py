@@ -341,3 +341,39 @@ def test_ico_decodes_through_stage(spark):
         assert out[k]["decode_status"] == "decoded"
         assert out[k]["feature"][0] == float(77 % 251)
         assert out[k]["feature"][1] == 127.5
+
+
+# --- AVIF/HEIF envelopes (round 8) ------------------------------------------
+
+
+def test_avif_envelope_walk():
+    blob = pure.avif_envelope_encode(640, 480, bpp=10, channels=3)
+    assert pure.sniff_bytes(blob)["content_type"] == "avif"
+    m = pure.extract_metadata(blob)
+    assert m["avif:width"] == "640" and m["avif:height"] == "480"
+    assert m["avif:bpp"] == "10" and m["avif:channels"] == "3"
+    assert m["avif:codec"] == "av1" and m["mp4:brand"] == "avif"
+    h = pure.avif_envelope_encode(320, 240, codec=b"hvcC", brand=b"heic")
+    mh = pure.extract_metadata(h)
+    assert pure.sniff_bytes(h)["content_type"] == "heic"
+    assert mh["heic:width"] == "320" and mh["heic:codec"] == "hevc"
+    # plain video mp4 keeps its type and gains no image-item keys
+    v = pure.mp4_envelope_encode(2.0)
+    assert pure.sniff_bytes(v)["content_type"] == "mp4"
+    assert not any(k.startswith(("avif", "heic"))
+                   for k in pure.extract_metadata(v))
+    for cut in range(0, len(blob), 7):
+        pure.extract_metadata(blob[:cut])
+
+
+def test_avif_stays_stubbed_with_dims(spark):
+    from fa_spark.stages.multimodal import extract_media_features
+
+    df = spark.createDataFrame(
+        [("a1", pure.avif_envelope_encode(200, 100))],
+        "media_id string, content binary",
+    )
+    out = extract_media_features(df, mode="describe").collect()[0]
+    assert out["content_type"] == "avif"
+    assert out["decode_status"] == "stubbed"  # honest AV1 envelope tier
+    assert out["width"] == 200 and out["height"] == 100
