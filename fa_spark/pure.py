@@ -868,6 +868,15 @@ def _parse_png_meta(data: bytes) -> dict[str, str]:
             if b"\x00" in body:
                 k, _, v = body.partition(b"\x00")
                 out[f"png:{k.decode('latin-1')}"] = v.decode("latin-1")
+        elif ctype == b"acTL" and len(body) >= 8:
+            out["png:n_frames"] = str(_struct.unpack(">I", body[:4])[0])
+            out["png:n_plays"] = str(_struct.unpack(">I", body[4:8])[0])
+        elif ctype == b"fcTL" and len(body) >= 26:
+            num, den = _struct.unpack(">HH", body[20:24])
+            prev = float(out.get("png:anim_duration_s", "0"))
+            out["png:anim_duration_s"] = (
+                f"{prev + num / (den or 100):.3f}"
+            )
         elif ctype == b"IEND":
             break
         pos += 12 + length  # len + type + crc
@@ -1872,6 +1881,158 @@ def png_encode(
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+APNG_MAX_FRAMES = 64
+
+
+def apng_encode(
+    frames: list, delays: list | None = None, num_plays: int = 0,
+    default_image: bool = False,
+) -> bytes:
+    """Animated-PNG fixture (round 8): ``frames`` is a list of RGB
+    row-lists sharing one canvas size; ``delays`` is per-frame
+    (num, den) tuples (default (4, 100)). With ``default_image`` the
+    FIRST entry becomes a non-animated IDAT default image and the rest
+    are the animation (all fdAT); otherwise frame 0 rides IDAT with a
+    preceding fcTL. Real CRCs, shared fcTL/fdAT sequence counter."""
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(body)) + typ + body
+            + _struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    def filtered(rows: list) -> bytes:
+        return b"".join(
+            b"\x00" + bytes(c for px in row for c in px) for row in rows
+        )
+
+    anim = frames[1:] if default_image else frames
+    if delays is None:
+        delays = [(4, 100)] * len(anim)
+    h, w = len(frames[0]), len(frames[0][0])
+    out = bytearray(_PNG_SIG)
+    out += chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    out += chunk(b"acTL", _struct.pack(">II", len(anim), num_plays))
+    seq = 0
+
+    def fctl(fw: int, fh: int, num: int, den: int) -> bytes:
+        nonlocal seq
+        body = _struct.pack(">IIIIIHHBB", seq, fw, fh, 0, 0, num, den, 0, 0)
+        seq += 1
+        return chunk(b"fcTL", body)
+
+    if default_image:
+        out += chunk(b"IDAT", zlib.compress(filtered(frames[0])))
+        for i, fr in enumerate(anim):
+            out += fctl(w, h, *delays[i])
+            body = _struct.pack(">I", seq) + zlib.compress(filtered(fr))
+            seq += 1
+            out += chunk(b"fdAT", body)
+    else:
+        out += fctl(w, h, *delays[0])
+        out += chunk(b"IDAT", zlib.compress(filtered(frames[0])))
+        for i, fr in enumerate(anim[1:], start=1):
+            out += fctl(w, h, *delays[i])
+            body = _struct.pack(">I", seq) + zlib.compress(filtered(fr))
+            seq += 1
+            out += chunk(b"fdAT", body)
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng_frames(data: bytes | None) -> dict | None:
+    """Animated-PNG clip decode (round 8) — RESTRICTED, like
+    decode_gif_frames, to animations whose every frame covers the full
+    canvas (offsets 0, frame dims == canvas dims): full frames compose
+    independently, so no dispose/blend state machine is needed; any
+    partial frame returns None rather than composing wrongly. 8-bit
+    gray/RGB/RGBA; each frame is its own complete zlib stream (IDAT for
+    a first frame whose fcTL precedes IDAT, fdAT otherwise — a default
+    image without an fcTL stays OUT of the clip, per the APNG spec).
+    Returns the decode_y4m clip dict; delay denominator 0 means 1/100 s
+    per the spec."""
+    if not data or not data.startswith(_PNG_SIG):
+        return None
+    pos, n = 8, len(data)
+    w = h = ch = 0
+    declared = None
+    frames: list = []   # (delay_num, delay_den, [zlib parts])
+    saw_idat = False
+    while pos + 8 <= n:
+        (length,) = _struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        if length > n:
+            break
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR" and len(body) >= 13:
+            w, hh = _struct.unpack(">II", body[:8])
+            h = hh
+            depth, color = body[8], body[9]
+            if depth != 8 or color not in (0, 2, 6) or body[12] != 0:
+                return None  # sub-byte/16-bit/palette/interlace: not here
+            ch = {0: 1, 2: 3, 6: 4}[color]
+            if w <= 0 or h <= 0 or w * h > PNG_MAX_PIXELS:
+                return None
+        elif ctype == b"acTL" and len(body) >= 8:
+            if saw_idat or frames:
+                return None  # acTL must precede IDAT [APNG spec]
+            declared = _struct.unpack(">I", body[:4])[0]
+        elif ctype == b"fcTL" and len(body) >= 26:
+            if declared is None:
+                return None
+            fw, fh, fx, fy = _struct.unpack(">IIII", body[4:20])
+            num, den = _struct.unpack(">HH", body[20:24])
+            if fx or fy or fw != w or fh != h:
+                return None  # partial frame: documented subset bound
+            if len(frames) >= APNG_MAX_FRAMES:
+                return None
+            frames.append((num, den, []))
+        elif ctype == b"IDAT":
+            saw_idat = True
+            # IDAT is frame 0's data iff an fcTL preceded it; with no
+            # prior fcTL it is the non-animated default image (skipped)
+            if len(frames) == 1:
+                frames[0][2].append(body)
+        elif ctype == b"fdAT" and len(body) >= 4:
+            if not frames:
+                return None
+            frames[-1][2].append(body[4:])
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if declared is None or not frames or w * h * len(frames) > 1 << 24:
+        return None
+    if declared != len(frames):
+        return None
+    means: list = []
+    total = 0.0
+    for num, den, parts in frames:
+        if not parts:
+            return None
+        try:
+            raw = zlib.decompress(b"".join(parts))
+        except zlib.error:
+            return None
+        px = _png_unfilter(raw, w, h, ch)
+        if px is None:
+            return None
+        arr = _np.frombuffer(bytes(px), dtype=_np.uint8)
+        if ch == 4:  # mean over RGB only (the clip-decoder convention)
+            arr = arr.reshape(-1, 4)[:, :3]
+        means.append(round(float(arr.mean()), 6))
+        total += num / (den or 100)
+    nf = len(frames)
+    duration = total if total > 0 else nf / 100.0
+    return {
+        "n_frames": nf,
+        "width": w,
+        "height": h,
+        "fps": nf / duration,
+        "duration_s": duration,
+        "frame_means": means,
+        "sampled_frames": list(range(nf)),
+    }
 
 
 def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> bytearray | None:

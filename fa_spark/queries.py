@@ -4845,6 +4845,83 @@ FROM documents
 """
 
 
+def _apng_batch(doc_id: pd.Series) -> pd.Series:
+    """APNG fixture (round 8): 2 + doc_id%4 solid-gray 8x6 frames at
+    level (doc_id*7 + 13*frame) % 256, per-frame delay (1 + doc_id%4)
+    / 50 s; every third doc carries a non-animated default image whose
+    level must NOT appear in the clip means."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        n = 2 + did % 4
+        frames = [
+            [[((did * 7 + 13 * f) % 256,) * 3] * 8 for _ in range(6)]
+            for f in range(n)
+        ]
+        delays = [(1 + did % 4, 50)] * n
+        if did % 3 == 0:
+            frames = [[[(255, 0, 0)] * 8] * 6] + frames
+            out.append(pure.apng_encode(frames, delays=delays,
+                                        default_image=True))
+        else:
+            out.append(pure.apng_encode(frames, delays=delays))
+    return pd.Series(out)
+
+
+apng_udf = F.pandas_udf(_apng_batch, BinaryType())
+
+
+def q_apng_frames(spark, sf_dir):
+    """Animated-PNG clip decode (round 8 — pure.decode_apng_frames:
+    full-canvas-frame subset, fcTL delays, per-frame zlib streams,
+    default-image exclusion): value-check frame count, fps/duration
+    from the delay chain, and first/last frame mean luminance — the
+    GIF clip operator's modern-web sibling."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+
+    schema = (
+        "doc_id long, n_frames double, fps double, duration_s double, "
+        "mean_first double, mean_last double"
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                d = pure.decode_apng_frames(bytes(blob))
+                if d is None:
+                    continue  # loud row-count mismatch at the gate
+                rows.append({
+                    "doc_id": int(did),
+                    "n_frames": float(d["n_frames"]),
+                    "fps": round(d["fps"], 6),
+                    "duration_s": round(d["duration_s"], 6),
+                    "mean_first": round(d["frame_means"][0], 6),
+                    "mean_last": round(d["frame_means"][-1], 6),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "fps", "duration_s",
+                         "mean_first", "mean_last"],
+            )
+
+    media = docs.select("doc_id", apng_udf("doc_id").alias("content"))
+    return media.mapInPandas(fn, schema)
+
+
+SQL_APNG_FRAMES = """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 4 AS n, 1 + doc_id % 4 AS k FROM documents)
+SELECT doc_id,
+       CAST(n AS DOUBLE) AS n_frames,
+       ROUND(50.0 / k, 6) AS fps,
+       ROUND(n * k / 50.0, 6) AS duration_s,
+       CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_first,
+       CAST((doc_id * 7 + 13 * (n - 1)) % 256 AS DOUBLE) AS mean_last
+FROM d
+"""
+
+
 def _mpeg1_batch(doc_id: pd.Series) -> pd.Series:
     """MPEG-1 video fixture: 2 + doc_id%7 solid-gray 16x16 I pictures at
     luminance 21 + 10*(doc_id%22) + frame_index. Solid frames are
@@ -5902,15 +5979,16 @@ REGISTRY: dict[str, tuple] = {
     # queries whose kernels changed AFTER the r07 snapshot (surt_keys:
     # greedy userinfo strip; zstd_roundtrip: leading skippable frames;
     # warc_roundtrip: gzip-walk total budget; media_plumbing/audio_meta:
-    # l3-subset verdict gates + envelope walks), then 35 of the 39
-    # r06-official rows (the three new r08 queries svg_meta,
-    # ico_features and webp_lossless lead the window, displacing
-    # doc_lang, pricing_summary, shipping_priority and part_type_stats
-    # into the tail's r09-lead group — those four r06 rows MUST lead
-    # the r09 window). Every entry still runs
+    # l3-subset verdict gates + envelope walks), then 34 of the 39
+    # r06-official rows (the four new r08 queries apng_frames,
+    # svg_meta, ico_features and webp_lossless lead the window,
+    # displacing doc_token_counts, doc_lang, pricing_summary,
+    # shipping_priority and part_type_stats into the tail's r09-lead
+    # group — those five r06 rows MUST lead the r09 window). Every entry still runs
     # in the full per-round DuckDB oracle sweep (tests/test_oracle.py).
     #
     # -- window (first 50): r08 --
+    "apng_frames": (q_apng_frames, SQL_APNG_FRAMES),
     "svg_meta": (q_svg_meta, SQL_SVG_META),
     "ico_features": (q_ico_features, SQL_ICO_FEATURES),
     "webp_lossless": (q_webp_lossless, SQL_WEBP_LOSSLESS),
@@ -5960,11 +6038,11 @@ REGISTRY: dict[str, tuple] = {
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_prefix_dedup": (q_doc_prefix_dedup, SQL_DOC_PREFIX_DEDUP),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
-    "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
     # -- tail: not in the official window this round --
-    # r09 MUST lead with doc_lang, pricing_summary, shipping_priority
-    # and part_type_stats (r06-official, else 3-rounds-stale at r09),
-    # then the r07-official rows below.
+    # r09 MUST lead with doc_token_counts, doc_lang, pricing_summary,
+    # shipping_priority and part_type_stats (r06-official, else
+    # 3-rounds-stale at r09), then the r07-official rows below.
+    "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
     "doc_lang": (q_doc_lang, _lang_sql()),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING),

@@ -377,3 +377,53 @@ def test_avif_stays_stubbed_with_dims(spark):
     assert out["content_type"] == "avif"
     assert out["decode_status"] == "stubbed"  # honest AV1 envelope tier
     assert out["width"] == 200 and out["height"] == 100
+
+
+# --- APNG (round 8) ----------------------------------------------------------
+
+
+def test_apng_clip_decode():
+    frames = [[[(v, v, v)] * 8 for _ in range(6)] for v in (10, 23, 36)]
+    blob = pure.apng_encode(frames, delays=[(2, 50), (4, 50), (6, 50)])
+    d = pure.decode_apng_frames(blob)
+    assert d["n_frames"] == 3 and (d["width"], d["height"]) == (8, 6)
+    assert d["frame_means"] == [10.0, 23.0, 36.0]
+    assert abs(d["duration_s"] - 0.24) < 1e-9 and abs(d["fps"] - 12.5) < 1e-9
+    m = pure.extract_metadata(blob)
+    assert m["png:n_frames"] == "3" and m["png:anim_duration_s"] == "0.240"
+    # default image is excluded from the clip
+    blob2 = pure.apng_encode(
+        [[[(255, 0, 0)] * 8] * 6] + frames, delays=[(1, 100)] * 3,
+        default_image=True,
+    )
+    d2 = pure.decode_apng_frames(blob2)
+    assert d2["n_frames"] == 3 and d2["frame_means"] == [10.0, 23.0, 36.0]
+    # the raster stage still sees a decodable (first/default) image
+    assert pure.decode_png(blob)["width"] == 8
+    # plain png is not an animation
+    assert pure.decode_apng_frames(pure.png_encode([[(1, 2, 3)] * 4] * 4)) \
+        is None
+    # delay denominator 0 means 1/100 s per spec
+    b3 = pure.apng_encode([frames[0], frames[1]], delays=[(5, 0), (5, 0)])
+    d3 = pure.decode_apng_frames(b3)
+    assert abs(d3["duration_s"] - 0.10) < 1e-9
+
+
+def test_apng_subset_bounds_and_hostility():
+    frames = [[[(9, 9, 9)] * 8 for _ in range(6)] for _ in range(2)]
+    blob = bytearray(pure.apng_encode(frames))
+    # partial frame (nonzero offset) refuses rather than composing wrong:
+    # patch the first fcTL's x_offset
+    at = bytes(blob).index(b"fcTL") + 4 + 12
+    blob[at : at + 4] = (1).to_bytes(4, "big")
+    assert pure.decode_apng_frames(bytes(blob)) is None
+    good = pure.apng_encode(frames)
+    for cut in range(0, len(good), 9):
+        pure.decode_apng_frames(good[:cut])
+    import random
+    rng = random.Random(5)
+    for _ in range(600):
+        ba = bytearray(good)
+        for _ in range(rng.randint(1, 5)):
+            ba[rng.randrange(len(ba))] ^= 1 << rng.randrange(8)
+        pure.decode_apng_frames(bytes(ba))
