@@ -139,6 +139,15 @@ def sniff_bytes(data: bytes | None) -> dict:
         <= int.from_bytes(data[18:22], "little") <= len(data)
     ):
         content_type = "ico"
+    if content_type is None and len(data) >= 12:
+        if data[:4] in (b"wOFF", b"wOF2", b"OTTO"):
+            content_type = "font"
+        elif data[:4] == b"\x00\x01\x00\x00" and _sfnt_is_structural(data):
+            content_type = "font"  # bare-sfnt magic needs structure
+        elif data[:4] == b"\x00asm":
+            content_type = "wasm"
+        elif len(data) >= 512 and data[257:262] == b"ustar":
+            content_type = "tar"
     if (
         content_type is None and data[:3] == b"ID3" and len(data) >= 10
         # structurally valid ID3v2 header: known major version (2/3/4 —
@@ -1007,6 +1016,9 @@ def extract_metadata(data: bytes | None) -> dict[str, str]:
     out.update(_parse_mpeg_meta(data))
     out.update(_parse_webp_meta(data))
     out.update(_parse_ico_meta(data))
+    out.update(_parse_font_meta(data))
+    out.update(_parse_wasm_meta(data))
+    out.update(_parse_tar_meta(data))
     out.update(_parse_avi_meta(data))
     out.update(_parse_zip_meta(data))
     out.update(_parse_gzip_meta(data))
@@ -9217,6 +9229,395 @@ def avif_envelope_encode(
     meta = box(b"meta", bytes(4) + hdlr + iprp)
     ftyp = box(b"ftyp", brand + bytes(4) + brand + b"mif1")
     return ftyp + meta
+
+
+# ---------------------------------------------------------------------------
+# Web fonts (round 8) — crawls serve TTF/OTF/WOFF at volume and the
+# repo had no handling. The sfnt table directory parses for real
+# (head -> unitsPerEm, maxp -> glyph count, name -> family/subfamily
+# with platform-aware UTF-16BE/latin decoding); WOFF1 wraps the same
+# tables behind per-table zlib (decompressed under a budget); WOFF2's
+# table data is brotli — absent in this container — so it stays an
+# honest header tier (flavor, table count, declared sfnt size).
+# ---------------------------------------------------------------------------
+
+FONT_MAX_TABLES = 64
+FONT_TABLE_BUDGET = 1 << 20  # per-table decompressed cap
+
+
+def _sfnt_is_structural(data: bytes) -> bool:
+    """Demand directory structure before typing \\x00\\x01\\x00\\x00
+    (too binary-generic to trust as a bare magic): sane table count and
+    the spec's searchRange relation."""
+    if len(data) < 12:
+        return False
+    n = int.from_bytes(data[4:6], "big")
+    if not 1 <= n <= FONT_MAX_TABLES:
+        return False
+    sr = int.from_bytes(data[6:8], "big")
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    return sr == p * 16
+
+
+def _sfnt_tables(data: bytes) -> dict:
+    """{tag: payload} from an sfnt offset table (TTF/OTF)."""
+    n = int.from_bytes(data[4:6], "big")
+    out: dict = {}
+    for i in range(min(n, FONT_MAX_TABLES)):
+        e = data[12 + 16 * i : 28 + 16 * i]
+        if len(e) < 16:
+            break
+        off = int.from_bytes(e[8:12], "big")
+        ln = int.from_bytes(e[12:16], "big")
+        if ln <= FONT_TABLE_BUDGET and off + ln <= len(data):
+            out[e[0:4]] = data[off : off + ln]
+    return out
+
+
+def _woff_tables(data: bytes) -> dict:
+    """{tag: payload} from a WOFF1 directory (zlib per table)."""
+    n = int.from_bytes(data[12:14], "big")
+    out: dict = {}
+    for i in range(min(n, FONT_MAX_TABLES)):
+        e = data[44 + 20 * i : 64 + 20 * i]
+        if len(e) < 20:
+            break
+        off = int.from_bytes(e[4:8], "big")
+        comp = int.from_bytes(e[8:12], "big")
+        orig = int.from_bytes(e[12:16], "big")
+        if orig > FONT_TABLE_BUDGET or off + comp > len(data):
+            continue
+        body = data[off : off + comp]
+        if comp < orig:
+            try:
+                body = zlib.decompress(body, bufsize=min(orig, 1 << 16))
+            except zlib.error:
+                continue
+            if len(body) > FONT_TABLE_BUDGET:
+                continue
+        out[e[0:4]] = body
+    return out
+
+
+def _font_name(table: bytes, name_id: int) -> str | None:
+    """First matching record from an sfnt name table; platform 3
+    (Windows) strings are UTF-16BE, platform 1 (Mac) latin-1."""
+    if len(table) < 6:
+        return None
+    count = int.from_bytes(table[2:4], "big")
+    storage = int.from_bytes(table[4:6], "big")
+    for i in range(min(count, 128)):
+        r = table[6 + 12 * i : 18 + 12 * i]
+        if len(r) < 12:
+            break
+        if int.from_bytes(r[6:8], "big") != name_id:
+            continue
+        plat = int.from_bytes(r[0:2], "big")
+        ln = int.from_bytes(r[8:10], "big")
+        off = storage + int.from_bytes(r[10:12], "big")
+        raw = table[off : off + min(ln, 256)]
+        if not raw:
+            continue
+        try:
+            return (raw.decode("utf-16-be") if plat == 3
+                    else raw.decode("latin-1"))
+        except UnicodeDecodeError:
+            continue
+    return None
+
+
+def _parse_font_meta(data: bytes) -> dict[str, str]:
+    if len(data) < 12:
+        return {}
+    magic = data[:4]
+    tables: dict | None = None
+    if magic == b"wOF2":
+        flavor = data[4:8]
+        out = {
+            "font:container": "woff2",
+            "font:flavor": "otf" if flavor == b"OTTO" else "ttf",
+            "font:n_tables": str(int.from_bytes(data[12:14], "big")),
+            "font:sfnt_size": str(int.from_bytes(data[16:20], "big")),
+        }
+        return out  # table data is brotli: documented header tier
+    if magic == b"wOFF":
+        container = "woff"
+        flavor = data[4:8]
+        n_tables = int.from_bytes(data[12:14], "big")
+        tables = _woff_tables(data)
+    elif magic == b"OTTO" or (
+        magic == b"\x00\x01\x00\x00" and _sfnt_is_structural(data)
+    ):
+        container = "otf" if magic == b"OTTO" else "ttf"
+        flavor = magic
+        n_tables = int.from_bytes(data[4:6], "big")
+        tables = _sfnt_tables(data)
+    else:
+        return {}
+    out = {
+        "font:container": container,
+        "font:n_tables": str(n_tables),
+    }
+    if container == "woff":
+        out["font:flavor"] = "otf" if flavor == b"OTTO" else "ttf"
+    head = tables.get(b"head")
+    if head and len(head) >= 54:
+        if int.from_bytes(head[12:16], "big") == 0x5F0F3CF5:
+            out["font:units_per_em"] = str(
+                int.from_bytes(head[18:20], "big")
+            )
+    maxp = tables.get(b"maxp")
+    if maxp and len(maxp) >= 6:
+        out["font:n_glyphs"] = str(int.from_bytes(maxp[4:6], "big"))
+    name = tables.get(b"name")
+    if name:
+        fam = _font_name(name, 1)
+        sub = _font_name(name, 2)
+        if fam:
+            out["font:family"] = fam
+        if sub:
+            out["font:subfamily"] = sub
+    return out
+
+
+def font_encode(
+    family: str = "Fixture Sans", subfamily: str = "Regular",
+    n_glyphs: int = 42, units_per_em: int = 1000,
+    container: str = "ttf",
+) -> bytes:
+    """Structurally-real font fixture: head/maxp/name sfnt tables with
+    correct directory arithmetic, optionally WOFF1-wrapped (zlib per
+    table) or a WOFF2 header stub (its payload would be brotli)."""
+    head = (
+        b"\x00\x01\x00\x00" + bytes(8)
+        + (0x5F0F3CF5).to_bytes(4, "big") + bytes(2)
+        + units_per_em.to_bytes(2, "big") + bytes(34)
+    )
+    maxp = b"\x00\x01\x00\x00" + n_glyphs.to_bytes(2, "big") + bytes(26)
+
+    def name_record(nid: int, s: str, storage_off: int) -> tuple:
+        enc = s.encode("utf-16-be")
+        rec = (
+            (3).to_bytes(2, "big") + (1).to_bytes(2, "big")
+            + (0x409).to_bytes(2, "big") + nid.to_bytes(2, "big")
+            + len(enc).to_bytes(2, "big") + storage_off.to_bytes(2, "big")
+        )
+        return rec, enc
+
+    r1, s1 = name_record(1, family, 0)
+    r2, s2 = name_record(2, subfamily, len(s1))
+    name = (
+        bytes(2) + (2).to_bytes(2, "big")
+        + (6 + 24).to_bytes(2, "big") + r1 + r2 + s1 + s2
+    )
+    tabs = [(b"head", head), (b"maxp", maxp), (b"name", name)]
+    if container in ("ttf", "otf"):
+        magic = b"OTTO" if container == "otf" else b"\x00\x01\x00\x00"
+        off = 12 + 16 * len(tabs)
+        directory = bytearray()
+        body = bytearray()
+        for tag, payload in tabs:
+            directory += tag + bytes(4) + off.to_bytes(4, "big")
+            directory += len(payload).to_bytes(4, "big")
+            pad = (-len(payload)) % 4
+            body += payload + bytes(pad)
+            off += len(payload) + pad
+        return (
+            magic + (3).to_bytes(2, "big") + (32).to_bytes(2, "big")
+            + (1).to_bytes(2, "big") + (16).to_bytes(2, "big")
+            + bytes(directory) + bytes(body)
+        )
+    if container == "woff":
+        off = 44 + 20 * len(tabs)
+        directory = bytearray()
+        body = bytearray()
+        total_sfnt = 12 + 16 * len(tabs)
+        for tag, payload in tabs:
+            comp = zlib.compress(payload)
+            if len(comp) >= len(payload):
+                comp = payload
+            directory += tag + off.to_bytes(4, "big")
+            directory += len(comp).to_bytes(4, "big")
+            directory += len(payload).to_bytes(4, "big") + bytes(4)
+            pad = (-len(comp)) % 4
+            body += comp + bytes(pad)
+            off += len(comp) + pad
+            total_sfnt += len(payload) + ((-len(payload)) % 4)
+        total = 44 + len(directory) + len(body)
+        return (
+            b"wOFF" + b"\x00\x01\x00\x00" + total.to_bytes(4, "big")
+            + len(tabs).to_bytes(2, "big") + bytes(2)
+            + total_sfnt.to_bytes(4, "big")
+            + bytes(4)   # major/minor version
+            + bytes(20)  # metaOffset/metaLength/metaOrigLength/privOffset/privLength
+            + bytes(directory) + bytes(body)
+        )
+    if container == "woff2":
+        return (
+            b"wOF2" + b"\x00\x01\x00\x00" + (48).to_bytes(4, "big")
+            + len(tabs).to_bytes(2, "big") + bytes(2)
+            + (12 + 16 * len(tabs)).to_bytes(4, "big") + bytes(24)
+        )
+    raise ValueError(f"unknown font container {container!r}")
+
+
+# ---------------------------------------------------------------------------
+# WebAssembly modules and ustar archives (round 8) — two more formats a
+# crawl serves that had no handling: the wasm section walk (LEB128
+# sizes, leading entry counts for import/function/export sections, the
+# security-relevant start-section flag) and the tar member walk
+# (512-byte ustar headers, octal sizes, checksum-validated).
+# ---------------------------------------------------------------------------
+
+def _leb_u(data: bytes, p: int):
+    """Bounded unsigned LEB128; returns (value, next) or (None, p)."""
+    v = shift = 0
+    for i in range(5):
+        if p + i >= len(data):
+            return None, p
+        b = data[p + i]
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, p + i + 1
+        shift += 7
+    return None, p
+
+
+def _parse_wasm_meta(data: bytes) -> dict[str, str]:
+    if len(data) < 8 or data[:4] != b"\x00asm":
+        return {}
+    out = {"wasm:version": str(int.from_bytes(data[4:8], "little"))}
+    p, sections = 8, 0
+    while p < len(data) and sections < 64:
+        sid = data[p]
+        size, q = _leb_u(data, p + 1)
+        if size is None or q + size > len(data):
+            break
+        body = data[q : q + size]
+        sections += 1
+        if sid == 2:
+            cnt, _ = _leb_u(body, 0)
+            if cnt is not None:
+                out["wasm:n_imports"] = str(cnt)
+        elif sid == 3:
+            cnt, _ = _leb_u(body, 0)
+            if cnt is not None:
+                out["wasm:n_functions"] = str(cnt)
+        elif sid == 7:
+            cnt, _ = _leb_u(body, 0)
+            if cnt is not None:
+                out["wasm:n_exports"] = str(cnt)
+        elif sid == 8:
+            out["wasm:has_start"] = "1"
+        p = q + size
+    out["wasm:n_sections"] = str(sections)
+    return out
+
+
+def wasm_encode(
+    n_functions: int = 3, n_exports: int = 1, n_imports: int = 0,
+    has_start: bool = False,
+) -> bytes:
+    """Structurally-real wasm module fixture: type/import/function/
+    export (and optionally start) sections with valid LEB sizes and
+    plausible entries."""
+    def leb(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            out.append(b | (0x80 if v else 0))
+            if not v:
+                return bytes(out)
+
+    def section(sid: int, body: bytes) -> bytes:
+        return bytes([sid]) + leb(len(body)) + body
+
+    mod = bytearray(b"\x00asm" + (1).to_bytes(4, "little"))
+    mod += section(1, leb(1) + b"\x60" + leb(0) + leb(0))  # one () -> () type
+    if n_imports:
+        ent = leb(1) + b"m" + leb(1) + b"f" + b"\x00" + leb(0)
+        mod += section(2, leb(n_imports) + ent * n_imports)
+    mod += section(3, leb(n_functions) + leb(0) * n_functions)
+    ents = b"".join(
+        leb(1) + bytes([0x61 + i % 26]) + b"\x00" + leb(0)
+        for i in range(n_exports)
+    )
+    mod += section(7, leb(n_exports) + ents)
+    if has_start:
+        mod += section(8, leb(0))
+    return bytes(mod)
+
+
+TAR_MAX_MEMBERS = 256
+
+
+def _parse_tar_meta(data: bytes) -> dict[str, str]:
+    if len(data) < 512 or data[257:262] != b"ustar":
+        return {}
+    p = 0
+    n = total = 0
+    first = None
+    while p + 512 <= len(data) and n < TAR_MAX_MEMBERS:
+        hdr = data[p : p + 512]
+        if hdr == bytes(512):
+            break
+        if hdr[257:262] != b"ustar":
+            break
+        try:
+            size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        except ValueError:
+            break
+        # header checksum: sum of bytes with the chksum field as spaces
+        try:
+            declared = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        except ValueError:
+            break
+        actual = sum(hdr[:148]) + 8 * 32 + sum(hdr[156:])
+        if actual != declared:
+            break
+        name = hdr[:100].split(b"\x00")[0].decode("latin-1", "replace")
+        if first is None:
+            first = name
+        n += 1
+        total += size
+        p += 512 + ((size + 511) // 512) * 512
+    if not n:
+        return {}
+    out = {
+        "tar:n_members": str(n),
+        "tar:total_size": str(total),
+        "tar:first_name": first or "",
+    }
+    return out
+
+
+def tar_encode(members: list) -> bytes:
+    """ustar fixture: ``members`` is a list of (name, size) tuples;
+    member content is deterministic filler."""
+    out = bytearray()
+    for name, size in members:
+        hdr = bytearray(512)
+        nb = name.encode()[:100]
+        hdr[: len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = ("%011o" % size).encode() + b"\x00"
+        hdr[136:148] = b"00000000000\x00"
+        hdr[148:156] = b"        "
+        hdr[156] = 0x30  # regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = ("%06o" % chk).encode() + b"\x00 "
+        out += hdr
+        body = bytes((i * 7) & 0xFF for i in range(size))
+        out += body + bytes(((size + 511) // 512) * 512 - size)
+    out += bytes(1024)  # end-of-archive
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

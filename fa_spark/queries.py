@@ -4845,6 +4845,105 @@ FROM documents
 """
 
 
+def _asset_batch(doc_id: pd.Series) -> pd.Series:
+    """Round 8: non-media web assets a crawl serves at volume — fonts
+    (sfnt tables, WOFF1 zlib wrap), wasm modules (LEB section walk),
+    ustar archives (checksummed member walk) — rotating on doc_id with
+    every surfaced field closed-form."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        k = did % 3
+        if k == 0:
+            out.append(pure.font_encode(
+                f"Font {did}", "Regular", n_glyphs=1 + did % 500,
+                units_per_em=1000,
+                container=("ttf", "otf", "woff")[(did // 3) % 3],
+            ))
+        elif k == 1:
+            out.append(pure.wasm_encode(
+                n_functions=1 + did % 40, n_exports=1 + did % 10,
+                n_imports=did % 4, has_start=did % 2 == 1,
+            ))
+        else:
+            m = 1 + did % 6
+            out.append(pure.tar_encode(
+                [(f"f{i}.dat", did % 100 + i) for i in range(m)]
+            ))
+    return pd.Series(out)
+
+
+asset_udf = F.pandas_udf(_asset_batch, BinaryType())
+
+
+def q_asset_meta(spark, sf_dir):
+    """Web-asset metadata surface (reference M1/M5 — exiftool/binwalk
+    report font, wasm, and archive structure): fonts through the sfnt/
+    WOFF table parse, wasm through the section walk, tar through the
+    checksummed member walk, all value-hashed against closed forms."""
+    from collections.abc import Iterator
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    blobs = docs.select("doc_id", asset_udf("doc_id").alias("content"))
+    schema = "doc_id long, kind string, a_count int, b_count int, name string"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                m = pure.extract_metadata(bytes(blob))
+                if "font:container" in m:
+                    rows.append({
+                        "doc_id": int(did),
+                        "kind": "font-" + m["font:container"],
+                        "a_count": int(m["font:n_glyphs"]),
+                        "b_count": int(m["font:n_tables"]),
+                        "name": m["font:family"],
+                    })
+                elif "wasm:version" in m:
+                    rows.append({
+                        "doc_id": int(did),
+                        "kind": "wasm",
+                        "a_count": int(m["wasm:n_functions"]),
+                        "b_count": int(m["wasm:n_exports"]),
+                        "name": None,
+                    })
+                else:
+                    rows.append({
+                        "doc_id": int(did),
+                        "kind": "tar",
+                        "a_count": int(m["tar:n_members"]),
+                        "b_count": int(m["tar:total_size"]),
+                        "name": m["tar:first_name"],
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "a_count", "b_count", "name"],
+            )
+
+    return blobs.mapInPandas(fn, schema)
+
+
+SQL_ASSET_META = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS k, 1 + doc_id % 6 AS m FROM documents)
+SELECT doc_id,
+       CASE k
+         WHEN 0 THEN 'font-' || CASE (doc_id // 3) % 3 WHEN 0 THEN 'ttf'
+              WHEN 1 THEN 'otf' ELSE 'woff' END
+         WHEN 1 THEN 'wasm' ELSE 'tar' END AS kind,
+       CAST(CASE k WHEN 0 THEN 1 + doc_id % 500
+            WHEN 1 THEN 1 + doc_id % 40
+            ELSE m END AS INT) AS a_count,
+       CAST(CASE k WHEN 0 THEN 3
+            WHEN 1 THEN 1 + doc_id % 10
+            ELSE m * (doc_id % 100) + m * (m - 1) / 2 END AS INT) AS b_count,
+       CASE k WHEN 0 THEN 'Font ' || CAST(doc_id AS VARCHAR)
+            WHEN 1 THEN NULL ELSE 'f0.dat' END AS name
+FROM d
+"""
+
+
 def _apng_batch(doc_id: pd.Series) -> pd.Series:
     """APNG fixture (round 8): 2 + doc_id%4 solid-gray 8x6 frames at
     level (doc_id*7 + 13*frame) % 256, per-frame delay (1 + doc_id%4)
@@ -5979,15 +6078,17 @@ REGISTRY: dict[str, tuple] = {
     # queries whose kernels changed AFTER the r07 snapshot (surt_keys:
     # greedy userinfo strip; zstd_roundtrip: leading skippable frames;
     # warc_roundtrip: gzip-walk total budget; media_plumbing/audio_meta:
-    # l3-subset verdict gates + envelope walks), then 34 of the 39
-    # r06-official rows (the four new r08 queries apng_frames,
-    # svg_meta, ico_features and webp_lossless lead the window,
-    # displacing doc_token_counts, doc_lang, pricing_summary,
-    # shipping_priority and part_type_stats into the tail's r09-lead
-    # group — those five r06 rows MUST lead the r09 window). Every entry still runs
+    # l3-subset verdict gates + envelope walks), then 33 of the 39
+    # r06-official rows (the five new r08 queries asset_meta,
+    # apng_frames, svg_meta, ico_features and webp_lossless lead the
+    # window, displacing doc_quality, doc_token_counts, doc_lang,
+    # pricing_summary, shipping_priority and part_type_stats into the
+    # tail's r09-lead group — those six r06 rows MUST lead the r09
+    # window). Every entry still runs
     # in the full per-round DuckDB oracle sweep (tests/test_oracle.py).
     #
     # -- window (first 50): r08 --
+    "asset_meta": (q_asset_meta, SQL_ASSET_META),
     "apng_frames": (q_apng_frames, SQL_APNG_FRAMES),
     "svg_meta": (q_svg_meta, SQL_SVG_META),
     "ico_features": (q_ico_features, SQL_ICO_FEATURES),
@@ -6037,11 +6138,12 @@ REGISTRY: dict[str, tuple] = {
     "sig_scan_summary": (q_sig_scan_summary, SQL_SIG_SCAN),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_prefix_dedup": (q_doc_prefix_dedup, SQL_DOC_PREFIX_DEDUP),
-    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     # -- tail: not in the official window this round --
-    # r09 MUST lead with doc_token_counts, doc_lang, pricing_summary,
-    # shipping_priority and part_type_stats (r06-official, else
-    # 3-rounds-stale at r09), then the r07-official rows below.
+    # r09 MUST lead with doc_quality, doc_token_counts, doc_lang,
+    # pricing_summary, shipping_priority and part_type_stats
+    # (r06-official, else 3-rounds-stale at r09), then the
+    # r07-official rows below.
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
     "doc_lang": (q_doc_lang, _lang_sql()),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),

@@ -684,6 +684,50 @@ def test_svg_meta_surface():
         pure.extract_metadata(svg[:cut])
 
 
+def test_font_meta_surface():
+    for c in ("ttf", "otf", "woff"):
+        blob = pure.font_encode("Family X", "Bold", n_glyphs=99,
+                                units_per_em=2048, container=c)
+        assert pure.sniff_bytes(blob)["content_type"] == "font"
+        m = pure.extract_metadata(blob)
+        assert m["font:container"] == c and m["font:n_glyphs"] == "99"
+        assert m["font:units_per_em"] == "2048"
+        assert m["font:family"] == "Family X"
+        assert m["font:subfamily"] == "Bold"
+        for cut in range(0, len(blob), 11):
+            pure.extract_metadata(blob[:cut])
+    # WOFF2: honest header tier (table data is brotli, absent here)
+    w2 = pure.font_encode(container="woff2")
+    m2 = pure.extract_metadata(w2)
+    assert m2["font:container"] == "woff2" and m2["font:n_tables"] == "3"
+    assert "font:n_glyphs" not in m2
+    # bare-sfnt magic without directory structure must NOT type font
+    junk = b"\x00\x01\x00\x00" + b"\x00\x40" + b"\x00\x01" + bytes(40)
+    assert pure.sniff_bytes(junk)["content_type"] != "font"
+
+
+def test_wasm_and_tar_meta_surface():
+    w = pure.wasm_encode(n_functions=7, n_exports=3, n_imports=2,
+                         has_start=True)
+    assert pure.sniff_bytes(w)["content_type"] == "wasm"
+    m = pure.extract_metadata(w)
+    assert m["wasm:n_functions"] == "7" and m["wasm:n_exports"] == "3"
+    assert m["wasm:n_imports"] == "2" and m["wasm:has_start"] == "1"
+    assert m["wasm:n_sections"] == "5" and m["wasm:version"] == "1"
+    t = pure.tar_encode([("a/readme.txt", 100), ("b.bin", 1000), ("c", 0)])
+    assert pure.sniff_bytes(t)["content_type"] == "tar"
+    mt = pure.extract_metadata(t)
+    assert mt["tar:n_members"] == "3" and mt["tar:total_size"] == "1100"
+    assert mt["tar:first_name"] == "a/readme.txt"
+    # a corrupted header checksum stops the walk (no member keys)
+    bad = bytearray(t)
+    bad[150] ^= 0x01
+    assert "tar:n_members" not in pure.extract_metadata(bytes(bad))
+    for blob in (w, t):
+        for cut in range(0, len(blob), 37):
+            pure.extract_metadata(blob[:cut])
+
+
 def test_flac_tags_and_streaminfo_meta():
     base = bytearray(pure.flac_encode([9] * 1600, 16000))
     base[4] &= 0x7F  # STREAMINFO no longer the last metadata block
