@@ -140,13 +140,23 @@ def sniff_bytes(data: bytes | None) -> dict:
     ):
         content_type = "ico"
     if content_type is None and len(data) >= 12:
-        if data[:4] in (b"wOFF", b"wOF2", b"OTTO"):
+        # every ASCII-viable magic here demands structure beyond the
+        # prefix (same rule as ID3/bare-mp3/ico): "OTTO..." prose or
+        # text carrying "ustar" at offset 257 must stay text
+        if data[:4] == b"OTTO" and _sfnt_is_structural(data):
+            content_type = "font"
+        elif data[:4] in (b"wOFF", b"wOF2") and (
+            1 <= int.from_bytes(data[12:14], "big") <= FONT_MAX_TABLES
+        ):
             content_type = "font"
         elif data[:4] == b"\x00\x01\x00\x00" and _sfnt_is_structural(data):
             content_type = "font"  # bare-sfnt magic needs structure
         elif data[:4] == b"\x00asm":
             content_type = "wasm"
-        elif len(data) >= 512 and data[257:262] == b"ustar":
+        elif (
+            len(data) >= 512 and data[257:262] == b"ustar"
+            and _parse_tar_meta(data[:512])
+        ):
             content_type = "tar"
     if (
         content_type is None and data[:3] == b"ID3" and len(data) >= 10
@@ -9334,6 +9344,8 @@ def _parse_font_meta(data: bytes) -> dict[str, str]:
     magic = data[:4]
     tables: dict | None = None
     if magic == b"wOF2":
+        if not 1 <= int.from_bytes(data[12:14], "big") <= FONT_MAX_TABLES:
+            return {}
         flavor = data[4:8]
         out = {
             "font:container": "woff2",
@@ -9342,13 +9354,15 @@ def _parse_font_meta(data: bytes) -> dict[str, str]:
             "font:sfnt_size": str(int.from_bytes(data[16:20], "big")),
         }
         return out  # table data is brotli: documented header tier
-    if magic == b"wOFF":
+    if magic == b"wOFF" and (
+        1 <= int.from_bytes(data[12:14], "big") <= FONT_MAX_TABLES
+    ):
         container = "woff"
         flavor = data[4:8]
         n_tables = int.from_bytes(data[12:14], "big")
         tables = _woff_tables(data)
-    elif magic == b"OTTO" or (
-        magic == b"\x00\x01\x00\x00" and _sfnt_is_structural(data)
+    elif magic in (b"OTTO", b"\x00\x01\x00\x00") and _sfnt_is_structural(
+        data
     ):
         container = "otf" if magic == b"OTTO" else "ttf"
         flavor = magic

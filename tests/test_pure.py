@@ -1645,3 +1645,16 @@ def test_gzip_walk_total_budget(monkeypatch):
     full = pure._parse_gzip_meta(blob)
     assert full["gzip:members"] == "10"
     assert full["gzip:decoded_bytes"] == "10000"
+
+
+def test_asset_magics_reject_prose():
+    """ASCII-viable asset magics demand structure (the ID3/bare-mp3
+    rule): OTTO-leading prose and text carrying 'ustar' at offset 257
+    stay text, in both the sniffer and the metadata walk."""
+    prose = b"OTTO is a dog. " * 40
+    assert pure.sniff_bytes(prose)["content_type"] != "font"
+    assert not any(k.startswith("font:")
+                   for k in pure.extract_metadata(prose))
+    txt = b"x" * 257 + b"ustar" + b"y" * 300
+    assert pure.sniff_bytes(txt)["content_type"] != "tar"
+    assert "tar:n_members" not in pure.extract_metadata(txt)
