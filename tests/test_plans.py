@@ -62,3 +62,26 @@ def test_dataset_split_zero_exchange(spark):
 
     plan = _plan(REGISTRY["dataset_split"][0](spark, SF))
     assert "Exchange" not in plan
+
+
+def test_round8_queries_fused_one_udf_shape(spark):
+    """The five round-8 queries share the fused one-UDF plan shape: the
+    parquet scan reads ONLY doc_id (pruning through the fixture-UDF
+    stage), the synthesized blob never crosses an Exchange, and there
+    is at most one shuffle in the whole plan."""
+    from fa_spark.queries import (
+        q_apng_frames, q_asset_meta, q_ico_features, q_svg_meta,
+        q_webp_lossless,
+    )
+
+    for q in (q_webp_lossless, q_ico_features, q_svg_meta, q_apng_frames,
+              q_asset_meta):
+        plan = _plan(q(spark, SF))
+        scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert scans, plan
+        for s in scans:
+            assert "struct<doc_id:bigint>" in s, (q.__name__, s)
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "content" not in line, (q.__name__, line)
+        assert plan.count("Exchange") <= 2, (q.__name__, plan)
