@@ -1040,6 +1040,8 @@ def extract_metadata(data: bytes | None) -> dict[str, str]:
         out["riff:format"] = data[8:12].decode("latin-1").strip("\x00 ")
     if sn["content_type"] in ("html", "text", "xml"):
         out.update(_parse_svg_meta(data))
+        out.update(_parse_caption_meta(data))
+        out.update(_parse_m3u8_meta(data))
         html_str, cs = decode_bytes(data)
         out["charset"] = cs
         _blocks, parser = extract_blocks(html_str)
@@ -9478,6 +9480,118 @@ def font_encode(
 
 
 # ---------------------------------------------------------------------------
+# Captions and streaming playlists (round 8) — WebVTT/SRT cue walks and
+# the HLS (M3U8) variant/segment walk. All three are TEXT formats, so
+# like SVG they keep their text sniff types and only gain meta keys;
+# cue timestamps give exact durations, the playlist walk gives variant
+# count / peak bandwidth / summed segment duration.
+# ---------------------------------------------------------------------------
+
+_VTT_TS_RE = re.compile(
+    rb"(?:(\d+):)?(\d{2}):(\d{2})[.,](\d{3})"
+)
+_CUE_ARROW_RE = re.compile(
+    rb"(?:(\d+):)?(\d{2}):(\d{2})[.,](\d{3})\s*-->\s*"
+    rb"(?:(\d+):)?(\d{2}):(\d{2})[.,](\d{3})"
+)
+CAPTION_SCAN_BYTES = 1 << 18
+
+
+def _cue_ms(h, m, s, ms) -> int:
+    return (
+        (int(h or 0) * 3600 + int(m) * 60 + int(s)) * 1000 + int(ms)
+    )
+
+
+def _parse_caption_meta(data: bytes) -> dict[str, str]:
+    head = data[:16]
+    is_vtt = head.startswith(b"WEBVTT") or head.startswith(
+        b"\xef\xbb\xbfWEBVTT"
+    )
+    body = data[:CAPTION_SCAN_BYTES]
+    cues = _CUE_ARROW_RE.findall(body)
+    if not cues or (not is_vtt and not _SRT_HEAD_RE.match(body)):
+        return {}
+    last_end = max(_cue_ms(*c[4:]) for c in cues)
+    first_start = min(_cue_ms(*c[:4]) for c in cues)
+    return {
+        "caption:format": "vtt" if is_vtt else "srt",
+        "caption:n_cues": str(len(cues)),
+        "caption:start_s": f"{first_start / 1000:.3f}",
+        "caption:end_s": f"{last_end / 1000:.3f}",
+    }
+
+
+_SRT_HEAD_RE = re.compile(rb"^\s*\d+\s*\r?\n\s*\d{2}:\d{2}:\d{2}[,.]\d{3}")
+
+
+def _parse_m3u8_meta(data: bytes) -> dict[str, str]:
+    if not data.startswith(b"#EXTM3U"):
+        return {}
+    out: dict[str, str] = {}
+    n_variants = n_segments = 0
+    peak_bw = 0
+    total = 0.0
+    for line in data[:CAPTION_SCAN_BYTES].splitlines()[:4096]:
+        line = line.strip()
+        if line.startswith(b"#EXT-X-STREAM-INF:"):
+            n_variants += 1
+            m = re.search(rb"BANDWIDTH=(\d+)", line)
+            if m:
+                peak_bw = max(peak_bw, int(m.group(1)))
+        elif line.startswith(b"#EXTINF:"):
+            n_segments += 1
+            try:
+                total += float(line[8:].split(b",")[0])
+            except ValueError:
+                pass
+    out["m3u8:kind"] = "master" if n_variants else "media"
+    if n_variants:
+        out["m3u8:n_variants"] = str(n_variants)
+        out["m3u8:peak_bandwidth"] = str(peak_bw)
+    if n_segments:
+        out["m3u8:n_segments"] = str(n_segments)
+        out["m3u8:duration_s"] = f"{total:.3f}"
+    return out
+
+
+def vtt_encode(cues: list, fmt: str = "vtt") -> bytes:
+    """Caption fixture: ``cues`` is [(start_ms, end_ms, text)]."""
+    def ts(ms: int, sep: str) -> str:
+        h, rem = divmod(ms, 3600000)
+        m, rem = divmod(rem, 60000)
+        s, milli = divmod(rem, 1000)
+        return f"{h:02d}:{m:02d}:{s:02d}{sep}{milli:03d}"
+
+    sep = "." if fmt == "vtt" else ","
+    lines = ["WEBVTT", ""] if fmt == "vtt" else []
+    for i, (a, b, text) in enumerate(cues, start=1):
+        if fmt == "srt":
+            lines.append(str(i))
+        lines.append(f"{ts(a, sep)} --> {ts(b, sep)}")
+        lines.append(text)
+        lines.append("")
+    return "\n".join(lines).encode()
+
+
+def m3u8_encode(
+    variants: list | None = None, segments: list | None = None,
+) -> bytes:
+    """HLS fixture: ``variants`` is [(bandwidth, uri)] for a master
+    playlist, ``segments`` is [duration_s] for a media playlist."""
+    lines = ["#EXTM3U"]
+    for bw, uri in variants or []:
+        lines.append(f"#EXT-X-STREAM-INF:BANDWIDTH={bw},RESOLUTION=640x360")
+        lines.append(uri)
+    for dur in segments or []:
+        lines.append(f"#EXTINF:{dur:.3f},")
+        lines.append("seg.ts")
+    if segments:
+        lines.append("#EXT-X-ENDLIST")
+    return "\n".join(lines).encode()
+
+
+# ---------------------------------------------------------------------------
 # WebAssembly modules and ustar archives (round 8) — two more formats a
 # crawl serves that had no handling: the wasm section walk (LEB128
 # sizes, leading entry counts for import/function/export sections, the
@@ -12200,6 +12314,8 @@ def _metadata_from_parse(
     out.update(_parse_pdf_meta(data))
     if ct in ("html", "text", "xml"):
         out.update(_parse_svg_meta(data))
+        out.update(_parse_caption_meta(data))
+        out.update(_parse_m3u8_meta(data))
         out["charset"] = charset or ""
         for k, v in sorted(parser.meta.items()):
             out[f"meta:{k}"] = v

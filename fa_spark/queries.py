@@ -4944,6 +4944,105 @@ FROM d
 """
 
 
+def _caption_batch(doc_id: pd.Series) -> pd.Series:
+    """Round 8: captions (WebVTT/SRT cue walks) and HLS playlists
+    (master variant walk / media segment walk), rotating on doc_id,
+    every surfaced field closed-form."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        k = did % 4
+        if k == 0:
+            n = 1 + did % 5
+            out.append(pure.vtt_encode(
+                [(i * 2000, i * 2000 + 1500, f"cue {i}") for i in range(n)]
+            ))
+        elif k == 1:
+            n = 1 + did % 4
+            out.append(pure.vtt_encode(
+                [(i * 1000, i * 1000 + 800, f"line {i}") for i in range(n)],
+                fmt="srt",
+            ))
+        elif k == 2:
+            v = 1 + did % 4
+            step = 100000 * (1 + did % 3)
+            out.append(pure.m3u8_encode(
+                variants=[(step * (i + 1), f"v{i}.m3u8") for i in range(v)]
+            ))
+        else:
+            n = 1 + did % 6
+            out.append(pure.m3u8_encode(
+                segments=[4.0 + 0.5 * (did % 2)] * n
+            ))
+    return pd.Series(out)
+
+
+caption_udf = F.pandas_udf(_caption_batch, BinaryType())
+
+
+def q_caption_meta(spark, sf_dir):
+    """Caption/playlist metadata surface (reference M1 — exiftool
+    reports cue counts and durations for subtitle files; HLS manifests
+    are the web's video-delivery manifest). Closed-form from doc_id."""
+    from collections.abc import Iterator
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    blobs = docs.select("doc_id", caption_udf("doc_id").alias("content"))
+    schema = "doc_id long, kind string, n_items int, metric double"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                m = pure.extract_metadata(bytes(blob))
+                if "caption:format" in m:
+                    rows.append({
+                        "doc_id": int(did),
+                        "kind": m["caption:format"],
+                        "n_items": int(m["caption:n_cues"]),
+                        "metric": float(m["caption:end_s"]),
+                    })
+                elif m.get("m3u8:kind") == "master":
+                    rows.append({
+                        "doc_id": int(did),
+                        "kind": "m3u8-master",
+                        "n_items": int(m["m3u8:n_variants"]),
+                        "metric": float(m["m3u8:peak_bandwidth"]),
+                    })
+                else:
+                    rows.append({
+                        "doc_id": int(did),
+                        "kind": "m3u8-media",
+                        "n_items": int(m["m3u8:n_segments"]),
+                        "metric": float(m["m3u8:duration_s"]),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "kind", "n_items", "metric"],
+            )
+
+    return blobs.mapInPandas(fn, schema)
+
+
+SQL_CAPTION_META = """
+WITH d AS (SELECT doc_id, doc_id % 4 AS k FROM documents)
+SELECT doc_id,
+       CASE k WHEN 0 THEN 'vtt' WHEN 1 THEN 'srt'
+            WHEN 2 THEN 'm3u8-master' ELSE 'm3u8-media' END AS kind,
+       CAST(CASE k WHEN 0 THEN 1 + doc_id % 5
+            WHEN 1 THEN 1 + doc_id % 4
+            WHEN 2 THEN 1 + doc_id % 4
+            ELSE 1 + doc_id % 6 END AS INT) AS n_items,
+       CASE k
+         WHEN 0 THEN ROUND((doc_id % 5) * 2 + 1.5, 6)
+         WHEN 1 THEN ROUND((doc_id % 4) * 1 + 0.8, 6)
+         WHEN 2 THEN CAST(100000 * (1 + doc_id % 3)
+                          * (1 + doc_id % 4) AS DOUBLE)
+         ELSE ROUND((1 + doc_id % 6) * (4.0 + 0.5 * (doc_id % 2)), 6)
+       END AS metric
+FROM d
+"""
+
+
 def _apng_batch(doc_id: pd.Series) -> pd.Series:
     """APNG fixture (round 8): 2 + doc_id%4 solid-gray 8x6 frames at
     level (doc_id*7 + 13*frame) % 256, per-frame delay (1 + doc_id%4)
@@ -6078,16 +6177,17 @@ REGISTRY: dict[str, tuple] = {
     # queries whose kernels changed AFTER the r07 snapshot (surt_keys:
     # greedy userinfo strip; zstd_roundtrip: leading skippable frames;
     # warc_roundtrip: gzip-walk total budget; media_plumbing/audio_meta:
-    # l3-subset verdict gates + envelope walks), then 33 of the 39
-    # r06-official rows (the five new r08 queries asset_meta,
-    # apng_frames, svg_meta, ico_features and webp_lossless lead the
-    # window, displacing doc_quality, doc_token_counts, doc_lang,
-    # pricing_summary, shipping_priority and part_type_stats into the
-    # tail's r09-lead group — those six r06 rows MUST lead the r09
-    # window). Every entry still runs
+    # l3-subset verdict gates + envelope walks), then 32 of the 39
+    # r06-official rows (the six new r08 queries caption_meta,
+    # asset_meta, apng_frames, svg_meta, ico_features and
+    # webp_lossless lead the window, displacing doc_prefix_dedup,
+    # doc_quality, doc_token_counts, doc_lang, pricing_summary,
+    # shipping_priority and part_type_stats into the tail's r09-lead
+    # group — those seven r06 rows MUST lead the r09 window). Every entry still runs
     # in the full per-round DuckDB oracle sweep (tests/test_oracle.py).
     #
     # -- window (first 50): r08 --
+    "caption_meta": (q_caption_meta, SQL_CAPTION_META),
     "asset_meta": (q_asset_meta, SQL_ASSET_META),
     "apng_frames": (q_apng_frames, SQL_APNG_FRAMES),
     "svg_meta": (q_svg_meta, SQL_SVG_META),
@@ -6137,12 +6237,12 @@ REGISTRY: dict[str, tuple] = {
     "doc_search": (q_doc_search, SQL_DOC_SEARCH),
     "sig_scan_summary": (q_sig_scan_summary, SQL_SIG_SCAN),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
-    "doc_prefix_dedup": (q_doc_prefix_dedup, SQL_DOC_PREFIX_DEDUP),
     # -- tail: not in the official window this round --
-    # r09 MUST lead with doc_quality, doc_token_counts, doc_lang,
-    # pricing_summary, shipping_priority and part_type_stats
-    # (r06-official, else 3-rounds-stale at r09), then the
-    # r07-official rows below.
+    # r09 MUST lead with doc_prefix_dedup, doc_quality,
+    # doc_token_counts, doc_lang, pricing_summary, shipping_priority
+    # and part_type_stats (r06-official, else 3-rounds-stale at r09),
+    # then the r07-official rows below.
+    "doc_prefix_dedup": (q_doc_prefix_dedup, SQL_DOC_PREFIX_DEDUP),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
     "doc_lang": (q_doc_lang, _lang_sql()),

@@ -1647,6 +1647,36 @@ def test_gzip_walk_total_budget(monkeypatch):
     assert full["gzip:decoded_bytes"] == "10000"
 
 
+def test_caption_and_playlist_meta():
+    v = pure.vtt_encode([(0, 2500, "hello"), (3000, 61234, "world")])
+    m = pure.extract_metadata(v)
+    assert m["caption:format"] == "vtt" and m["caption:n_cues"] == "2"
+    assert m["caption:start_s"] == "0.000"
+    assert m["caption:end_s"] == "61.234"
+    s = pure.vtt_encode([(500, 1500, "a"), (2000, 3723456, "b")], fmt="srt")
+    ms = pure.extract_metadata(s)
+    assert ms["caption:format"] == "srt" and ms["caption:end_s"] == "3723.456"
+    master = pure.m3u8_encode(variants=[(800000, "lo.m3u8"),
+                                        (2500000, "hi.m3u8")])
+    mm = pure.extract_metadata(master)
+    assert mm["m3u8:kind"] == "master" and mm["m3u8:n_variants"] == "2"
+    assert mm["m3u8:peak_bandwidth"] == "2500000"
+    media = pure.m3u8_encode(segments=[4.0, 4.0, 2.5])
+    md = pure.extract_metadata(media)
+    assert md["m3u8:kind"] == "media" and md["m3u8:n_segments"] == "3"
+    assert md["m3u8:duration_s"] == "10.500"
+    # prose with arrows/numbers emits no caption keys
+    assert not any(k.startswith("caption")
+                   for k in pure.extract_metadata(b"see 1 --> 2 mapping"))
+    # fused parity and truncation totality
+    fused = {k: x for k, x in pure.analyze_document(v)["meta"].items()
+             if k.startswith("caption:")}
+    assert fused == {k: x for k, x in m.items() if k.startswith("caption:")}
+    for blob in (v, s, master, media):
+        for cut in range(0, len(blob), 13):
+            pure.extract_metadata(blob[:cut])
+
+
 def test_asset_magics_reject_prose():
     """ASCII-viable asset magics demand structure (the ID3/bare-mp3
     rule): OTTO-leading prose and text carrying 'ustar' at offset 257
