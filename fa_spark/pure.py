@@ -9303,11 +9303,14 @@ def _woff_tables(data: bytes) -> dict:
             continue
         body = data[off : off + comp]
         if comp < orig:
+            # capped inflation: a lying origLength must not buy a zlib
+            # bomb — stop at the budget, never inflate-then-check
             try:
-                body = zlib.decompress(body, bufsize=min(orig, 1 << 16))
+                dec = zlib.decompressobj()
+                body = dec.decompress(body, FONT_TABLE_BUDGET + 1)
             except zlib.error:
                 continue
-            if len(body) > FONT_TABLE_BUDGET:
+            if len(body) > FONT_TABLE_BUDGET or dec.unconsumed_tail:
                 continue
         out[e[0:4]] = body
     return out

@@ -1677,6 +1677,30 @@ def test_caption_and_playlist_meta():
             pure.extract_metadata(blob[:cut])
 
 
+def test_woff_zlib_bomb_capped():
+    """A WOFF table whose origLength lies small must not buy a zlib
+    bomb: inflation stops at the table budget, never inflate-then-
+    check."""
+    import time
+    import zlib
+
+    bomb = zlib.compress(bytes(8 * 1024 * 1024), 9)
+    hdr = (
+        b"wOFF" + b"\x00\x01\x00\x00" + (0).to_bytes(4, "big")
+        + (1).to_bytes(2, "big") + bytes(2) + (28).to_bytes(4, "big")
+        + bytes(24)
+    )
+    entry = (
+        b"head" + (64).to_bytes(4, "big") + len(bomb).to_bytes(4, "big")
+        + (54).to_bytes(4, "big") + bytes(4)
+    )
+    blob = hdr + entry + bytes(64 - len(hdr) - len(entry)) + bomb
+    t0 = time.perf_counter()
+    m = pure.extract_metadata(blob)
+    assert time.perf_counter() - t0 < 1.0
+    assert "font:units_per_em" not in m
+
+
 def test_asset_magics_reject_prose():
     """ASCII-viable asset magics demand structure (the ID3/bare-mp3
     rule): OTTO-leading prose and text carrying 'ustar' at offset 257
