@@ -367,8 +367,8 @@ def _media_blob(i: int):
     fraction of each container family decodes for real this round."""
     from fa_spark import pure
 
-    fam = i % 30
-    k = i // 30
+    fam = i % 31
+    k = i // 31
     if fam == 0:
         return "wav-pcm", pure.wav_encode([100 * (k % 3)] * 1600, 16000)
     if fam == 1:
@@ -460,9 +460,13 @@ def _media_blob(i: int):
         rows = [[(k % 251, x * 17 % 256, y * 17 % 256) for x in range(16)]
                 for y in range(16)]
         return "ico", pure.ico_encode([(("png", "bmp")[k % 2], rows)])
-    return "avif-env", pure.avif_envelope_encode(
-        64 + k, 48 + k, bpp=8 + 2 * (k % 2)
-    )
+    if fam == 29:
+        return "avif-env", pure.avif_envelope_encode(
+            64 + k, 48 + k, bpp=8 + 2 * (k % 2)
+        )
+    pal = [(j * 3 % 256, j * 5 % 256, j * 7 % 256) for j in range(256)]
+    rows = [[(x + y + k) % 200 for x in range(24)] for y in range(16)]
+    return "bmp-rle8", pure.bmp_rle8_encode(rows, pal)
 
 
 MEDIA_MIX_START = "<!-- media-mix:start -->"
@@ -482,7 +486,7 @@ def media_mix_census(cores: int = 8, per_family: int = 24) -> list[dict]:
 
     spark = _session(cores)
     try:
-        n = per_family * 30
+        n = per_family * 31
 
         def gen(batches):
             for pdf in batches:
@@ -540,7 +544,7 @@ def media_mix_census(cores: int = 8, per_family: int = 24) -> list[dict]:
 # into "what fraction of a real crawl's media rows decode for real".
 _WEB_WEIGHTS = {
     "jpeg": 40.0, "png": 18.0, "webp-env": 10.0, "webp-vp8l": 5.0,
-    "gif": 8.0, "ico": 2.0, "avif-env": 1.5,
+    "gif": 8.0, "ico": 2.0, "avif-env": 1.5, "bmp-rle8": 0.3,
     "mp4-avc-env": 5.0, "webm-vp9-env": 1.5, "avi-mjpeg": 0.1,
     "mpeg1-i": 0.05, "mpeg1-ip-fcode2": 0.05, "mpeg1-ipb": 0.05,
     "aac-adts": 3.0, "mp3-long": 3.0, "mp3-bigtable-ct1a": 1.0,

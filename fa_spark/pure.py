@@ -3789,6 +3789,96 @@ def bmp_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
     return bytes(header) + bytes(img)
 
 
+def _bmp_rle8(data: bytes, off: int, w: int, h: int):
+    """BI_RLE8 decode [BMP spec]: (count, value) encoded runs; escape
+    00 00 = end of line, 00 01 = end of bitmap, 00 02 = delta (dx, dy),
+    00 n>=3 = absolute mode (n literal bytes, word-aligned). Rows are
+    stored bottom-up; returns an (h, w) uint8 index array with row 0 at
+    the BOTTOM, or None on any out-of-row/out-of-data run."""
+    out = _np.zeros((h, w), dtype=_np.uint8)
+    x = y = 0
+    p, n = off, len(data)
+    while p + 2 <= n:
+        b0, b1 = data[p], data[p + 1]
+        p += 2
+        if b0:
+            if y >= h or x + b0 > w:
+                return None
+            out[y, x : x + b0] = b1
+            x += b0
+        elif b1 == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                return None
+        elif b1 == 1:  # end of bitmap
+            return out
+        elif b1 == 2:  # delta
+            if p + 2 > n:
+                return None
+            x += data[p]
+            y += data[p + 1]
+            p += 2
+            if x > w or y >= h:
+                return None
+        else:  # absolute mode
+            if y >= h or x + b1 > w or p + b1 > n:
+                return None
+            out[y, x : x + b1] = _np.frombuffer(
+                data, dtype=_np.uint8, count=b1, offset=p
+            )
+            x += b1
+            p += b1 + (b1 & 1)
+    return out  # tolerant of a missing end-of-bitmap escape
+
+
+def bmp_rle8_encode(idx_rows: list, palette: list) -> bytes:
+    """BI_RLE8 fixture: ``idx_rows`` of palette indices (top-down,
+    flipped into the spec's bottom-up storage), ``palette`` of (r,g,b).
+    Runs >= 3 use encoded mode, shorter stretches absolute mode (word
+    aligned), real EOL/EOB escapes."""
+    h, w = len(idx_rows), len(idx_rows[0])
+    stream = bytearray()
+    for row in reversed(idx_rows):
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 3:
+                stream += bytes((run, row[x]))
+                x += run
+            else:
+                j = x
+                while (
+                    j < w and j - x < 255
+                    and not (
+                        j + 2 < w and row[j] == row[j + 1] == row[j + 2]
+                    )
+                ):
+                    j += 1
+                seg = j - x
+                if seg >= 3:
+                    stream += bytes([0, seg]) + bytes(row[x:j])
+                    if seg & 1:
+                        stream += b"\x00"
+                else:
+                    for k in range(x, j):
+                        stream += bytes((1, row[k]))
+                x = j
+        stream += b"\x00\x00"  # end of line
+    stream += b"\x00\x01"  # end of bitmap
+    tbl = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+    off = 14 + 40 + len(tbl)
+    info = _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream), 0, 0,
+        len(palette), 0,
+    )
+    return (
+        b"BM" + (off + len(stream)).to_bytes(4, "little") + bytes(4)
+        + off.to_bytes(4, "little") + info + tbl + bytes(stream)
+    )
+
+
 def decode_bmp(data: bytes | None) -> dict | None:
     """Real BMP decode: uncompressed BI_RGB at 24/32-bit truecolor or
     8-bit palette (round 5). Returns the shared raster dict
@@ -3810,7 +3900,9 @@ def decode_bmp(data: bytes | None) -> dict | None:
     if (
         planes != 1
         or bpp not in (8, 24, 32)
-        or comp != 0
+        or comp not in (0, 1)
+        or (comp == 1 and (bpp != 8 or top_down))  # BI_RLE8: 8-bit,
+        # bottom-up only (top-down RLE is invalid per the BMP spec)
         or w <= 0
         or h == 0
         or w * h > PNG_MAX_PIXELS
@@ -3827,15 +3919,25 @@ def decode_bmp(data: bytes | None) -> dict | None:
         if n_colors > 256 or tbl_off + n_colors * 4 > len(data):
             return None
         tbl = data[tbl_off : tbl_off + n_colors * 4]
-        stride = (w + 3) & ~3
-        if off + stride * h > len(data):
-            return None
-        raw = _np.frombuffer(data, dtype=_np.uint8, count=stride * h, offset=off)
-        idx = raw.reshape(h, stride)[:, :w]
+        if comp == 1:
+            # round 8: BI_RLE8 — encoded runs, absolute mode (word
+            # aligned), EOL/EOB/delta escapes; out-of-row runs reject
+            idx = _bmp_rle8(data, off, w, h)
+            if idx is None:
+                return None
+            idx = idx[::-1]  # RLE rows are stored bottom-up
+        else:
+            stride = (w + 3) & ~3
+            if off + stride * h > len(data):
+                return None
+            raw = _np.frombuffer(
+                data, dtype=_np.uint8, count=stride * h, offset=off
+            )
+            idx = raw.reshape(h, stride)[:, :w]
+            if not top_down:
+                idx = idx[::-1]
         if int(idx.max(initial=0)) >= n_colors:
             return None
-        if not top_down:
-            idx = idx[::-1]
         pal = _np.frombuffer(tbl, dtype=_np.uint8).reshape(n_colors, 4)
         rgb = pal[idx][:, :, [2, 1, 0]]  # BGRA entries -> RGB
         return {

@@ -1677,6 +1677,55 @@ def test_caption_and_playlist_meta():
             pure.extract_metadata(blob[:cut])
 
 
+def test_bmp_rle8_roundtrip():
+    """BI_RLE8 (round 8): encoded runs, absolute mode, EOL/EOB escapes
+    roundtrip through decode_bmp; delta escapes leave skipped pixels at
+    index 0; malformed runs reject."""
+    import random
+
+    pal = [(i * 3 % 256, i * 5 % 256, i * 7 % 256) for i in range(256)]
+    rng = random.Random(11)
+    for _ in range(15):
+        w, h = rng.randint(1, 40), rng.randint(1, 25)
+        rows = []
+        for _y in range(h):
+            row = []
+            while len(row) < w:
+                if rng.random() < 0.5:
+                    row += [rng.randrange(256)] * min(
+                        rng.randint(1, 12), w - len(row))
+                else:
+                    row += [rng.randrange(256) for _ in range(
+                        min(rng.randint(1, 5), w - len(row)))]
+            rows.append(row)
+        blob = pure.bmp_rle8_encode(rows, pal)
+        img = pure.decode_bmp(blob)
+        assert img and (img["width"], img["height"]) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                o = (y * w + x) * 3
+                assert tuple(img["pixels"][o : o + 3]) == pal[rows[y][x]]
+    # delta escape: jump (2, 1) then a run; skipped pixels stay index 0
+    base = pure.bmp_rle8_encode([[0] * 6] * 3, pal)
+    off = int.from_bytes(base[10:14], "little")
+    stream = b"\x00\x02\x02\x01" + b"\x03\x07" + b"\x00\x00" + b"\x00\x01"
+    blob = base[:off] + stream
+    blob = blob[:2] + (len(blob)).to_bytes(4, "little") + blob[6:]
+    img = pure.decode_bmp(blob)
+    assert img is not None
+    # bottom-up: the delta lands at x=2, y=1-from-bottom = row h-2 = 1
+    o = (1 * 6 + 2) * 3
+    assert tuple(img["pixels"][o : o + 3]) == pal[7]
+    # run past the row end rejects
+    bad = base[:off] + b"\x09\x01\x00\x01"  # 9 pixels into a 6-wide row
+    bad = bad[:2] + (len(bad)).to_bytes(4, "little") + bad[6:]
+    assert pure.decode_bmp(bad) is None
+    # truncation totality
+    blob = pure.bmp_rle8_encode([[5] * 30] * 10, pal)
+    for cut in range(0, len(blob), 7):
+        pure.decode_bmp(blob[:cut])
+
+
 def test_woff_zlib_bomb_capped():
     """A WOFF table whose origLength lies small must not buy a zlib
     bomb: inflation stops at the table budget, never inflate-then-
