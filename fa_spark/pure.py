@@ -9613,9 +9613,14 @@ def _parse_caption_meta(data: bytes) -> dict[str, str]:
     is_vtt = head.startswith(b"WEBVTT") or head.startswith(
         b"\xef\xbb\xbfWEBVTT"
     )
+    # head gates FIRST: the cue findall over 256 KiB must never run for
+    # ordinary pages — this parser sits in the flagship extraction path
+    # (round-8 self-review: gate-after-scan cost ~0.4 s of suite time)
+    if not is_vtt and not _SRT_HEAD_RE.match(data[:64]):
+        return {}
     body = data[:CAPTION_SCAN_BYTES]
     cues = _CUE_ARROW_RE.findall(body)
-    if not cues or (not is_vtt and not _SRT_HEAD_RE.match(body)):
+    if not cues:
         return {}
     last_end = max(_cue_ms(*c[4:]) for c in cues)
     first_start = min(_cue_ms(*c[:4]) for c in cues)
