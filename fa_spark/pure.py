@@ -1911,15 +1911,20 @@ APNG_MAX_FRAMES = 64
 
 
 def apng_encode(
-    frames: list, delays: list | None = None, num_plays: int = 0,
-    default_image: bool = False,
+    frames: list | None = None, delays: list | None = None,
+    num_plays: int = 0, default_image: bool = False,
+    specs: list | None = None,
 ) -> bytes:
-    """Animated-PNG fixture (round 8): ``frames`` is a list of RGB
+    """Animated-PNG fixture (round 8): ``frames`` is a list of RGB(A)
     row-lists sharing one canvas size; ``delays`` is per-frame
     (num, den) tuples (default (4, 100)). With ``default_image`` the
     FIRST entry becomes a non-animated IDAT default image and the rest
     are the animation (all fdAT); otherwise frame 0 rides IDAT with a
-    preceding fcTL. Real CRCs, shared fcTL/fdAT sequence counter."""
+    preceding fcTL. ``specs`` replaces frames/delays with full APNG
+    compositing fixtures: (rows, x, y, (num, den), dispose, blend)
+    tuples — spec 0 must cover the canvas (it rides IDAT, per the
+    spec's requirement on the IDAT frame). Real CRCs, shared fcTL/fdAT
+    sequence counter."""
     def chunk(typ: bytes, body: bytes) -> bytes:
         return (
             _struct.pack(">I", len(body)) + typ + body
@@ -1931,6 +1936,38 @@ def apng_encode(
             b"\x00" + bytes(c for px in row for c in px) for row in rows
         )
 
+    seq = 0
+
+    def fctl(fw, fh, fx, fy, num, den, dispose=0, blend=0) -> bytes:
+        nonlocal seq
+        body = _struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, fx, fy, num, den, dispose, blend
+        )
+        seq += 1
+        return chunk(b"fcTL", body)
+
+    if specs is not None:
+        h, w = len(specs[0][0]), len(specs[0][0][0])
+        color_type = 6 if len(specs[0][0][0][0]) == 4 else 2
+        out = bytearray(_PNG_SIG)
+        out += chunk(
+            b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        )
+        out += chunk(b"acTL", _struct.pack(">II", len(specs), num_plays))
+        for i, (rows, fx, fy, (num, den), dispose, blend) in enumerate(specs):
+            fh, fw = len(rows), len(rows[0])
+            out += fctl(fw, fh, fx, fy, num, den, dispose, blend)
+            if i == 0:
+                if (fx, fy, fw, fh) != (0, 0, w, h):
+                    raise ValueError("the IDAT frame must be full-canvas")
+                out += chunk(b"IDAT", zlib.compress(filtered(rows)))
+            else:
+                body = _struct.pack(">I", seq) + zlib.compress(filtered(rows))
+                seq += 1
+                out += chunk(b"fdAT", body)
+        out += chunk(b"IEND", b"")
+        return bytes(out)
+
     anim = frames[1:] if default_image else frames
     if delays is None:
         delays = [(4, 100)] * len(anim)
@@ -1938,26 +1975,19 @@ def apng_encode(
     out = bytearray(_PNG_SIG)
     out += chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
     out += chunk(b"acTL", _struct.pack(">II", len(anim), num_plays))
-    seq = 0
-
-    def fctl(fw: int, fh: int, num: int, den: int) -> bytes:
-        nonlocal seq
-        body = _struct.pack(">IIIIIHHBB", seq, fw, fh, 0, 0, num, den, 0, 0)
-        seq += 1
-        return chunk(b"fcTL", body)
 
     if default_image:
         out += chunk(b"IDAT", zlib.compress(filtered(frames[0])))
         for i, fr in enumerate(anim):
-            out += fctl(w, h, *delays[i])
+            out += fctl(w, h, 0, 0, *delays[i])
             body = _struct.pack(">I", seq) + zlib.compress(filtered(fr))
             seq += 1
             out += chunk(b"fdAT", body)
     else:
-        out += fctl(w, h, *delays[0])
+        out += fctl(w, h, 0, 0, *delays[0])
         out += chunk(b"IDAT", zlib.compress(filtered(frames[0])))
         for i, fr in enumerate(anim[1:], start=1):
-            out += fctl(w, h, *delays[i])
+            out += fctl(w, h, 0, 0, *delays[i])
             body = _struct.pack(">I", seq) + zlib.compress(filtered(fr))
             seq += 1
             out += chunk(b"fdAT", body)
@@ -1966,23 +1996,26 @@ def apng_encode(
 
 
 def decode_apng_frames(data: bytes | None) -> dict | None:
-    """Animated-PNG clip decode (round 8) — RESTRICTED, like
-    decode_gif_frames, to animations whose every frame covers the full
-    canvas (offsets 0, frame dims == canvas dims): full frames compose
-    independently, so no dispose/blend state machine is needed; any
-    partial frame returns None rather than composing wrongly. 8-bit
-    gray/RGB/RGBA; each frame is its own complete zlib stream (IDAT for
-    a first frame whose fcTL precedes IDAT, fdAT otherwise — a default
-    image without an fcTL stays OUT of the clip, per the APNG spec).
-    Returns the decode_y4m clip dict; delay denominator 0 means 1/100 s
-    per the spec."""
+    """Animated-PNG clip decode (round 8; full compositing late in the
+    round) — the COMPLETE APNG model: partial frames at (x, y) regions,
+    dispose ops NONE/BACKGROUND/PREVIOUS (PREVIOUS on the first frame
+    downgrades to BACKGROUND per spec), blend ops SOURCE/OVER (straight-
+    alpha source-over), composited on an RGBA canvas initialized to
+    fully transparent black. 8-bit gray/RGB/RGBA; each frame is its own
+    complete zlib stream (IDAT for a first frame whose fcTL precedes
+    IDAT — that frame must cover the full canvas per spec — fdAT
+    otherwise; a default image without an fcTL stays OUT of the clip).
+    frame_means are the composited canvas's RGB means (transparent
+    pixels contribute their stored black). Returns the decode_y4m clip
+    dict; delay denominator 0 means 1/100 s."""
     if not data or not data.startswith(_PNG_SIG):
         return None
     pos, n = 8, len(data)
     w = h = ch = 0
     declared = None
-    frames: list = []   # (delay_num, delay_den, [zlib parts])
+    frames: list = []   # [fx, fy, fw, fh, num, den, dispose, blend, parts]
     saw_idat = False
+    region_budget = 0
     while pos + 8 <= n:
         (length,) = _struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -2003,48 +2036,91 @@ def decode_apng_frames(data: bytes | None) -> dict | None:
                 return None  # acTL must precede IDAT [APNG spec]
             declared = _struct.unpack(">I", body[:4])[0]
         elif ctype == b"fcTL" and len(body) >= 26:
-            if declared is None:
+            if declared is None or not w:
                 return None
             fw, fh, fx, fy = _struct.unpack(">IIII", body[4:20])
             num, den = _struct.unpack(">HH", body[20:24])
-            if fx or fy or fw != w or fh != h:
-                return None  # partial frame: documented subset bound
+            dispose, blend = body[24], body[25]
+            if (
+                fw <= 0 or fh <= 0 or fx + fw > w or fy + fh > h
+                or dispose > 2 or blend > 1
+            ):
+                return None
             if len(frames) >= APNG_MAX_FRAMES:
                 return None
-            frames.append((num, den, []))
+            region_budget += fw * fh
+            if region_budget > 1 << 24:
+                return None
+            frames.append([fx, fy, fw, fh, num, den, dispose, blend, []])
         elif ctype == b"IDAT":
             saw_idat = True
             # IDAT is frame 0's data iff an fcTL preceded it; with no
             # prior fcTL it is the non-animated default image (skipped)
             if len(frames) == 1:
-                frames[0][2].append(body)
+                f0 = frames[0]
+                if (f0[0], f0[1], f0[2], f0[3]) != (0, 0, w, h):
+                    return None  # the IDAT frame must be full-canvas
+                f0[8].append(body)
         elif ctype == b"fdAT" and len(body) >= 4:
             if not frames:
                 return None
-            frames[-1][2].append(body[4:])
+            frames[-1][8].append(body[4:])
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    if declared is None or not frames or w * h * len(frames) > 1 << 24:
+    if declared is None or not frames or declared != len(frames):
         return None
-    if declared != len(frames):
-        return None
+    canvas = _np.zeros((h, w, 4), dtype=_np.float64)  # transparent black
     means: list = []
     total = 0.0
-    for num, den, parts in frames:
+    for i, (fx, fy, fw, fh, num, den, dispose, blend, parts) in enumerate(
+        frames
+    ):
         if not parts:
             return None
         try:
             raw = zlib.decompress(b"".join(parts))
         except zlib.error:
             return None
-        px = _png_unfilter(raw, w, h, ch)
+        px = _png_unfilter(raw, fw, fh, ch)
         if px is None:
             return None
-        arr = _np.frombuffer(bytes(px), dtype=_np.uint8)
-        if ch == 4:  # mean over RGB only (the clip-decoder convention)
-            arr = arr.reshape(-1, 4)[:, :3]
-        means.append(round(float(arr.mean()), 6))
+        arr = _np.frombuffer(bytes(px), dtype=_np.uint8).astype(_np.float64)
+        if ch == 1:
+            v = arr.reshape(fh, fw, 1)
+            fg = _np.concatenate(
+                [v, v, v, _np.full((fh, fw, 1), 255.0)], axis=2
+            )
+        elif ch == 3:
+            fg = _np.concatenate(
+                [arr.reshape(fh, fw, 3), _np.full((fh, fw, 1), 255.0)],
+                axis=2,
+            )
+        else:
+            fg = arr.reshape(fh, fw, 4)
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if dispose == 2:
+            saved = region.copy()
+        if blend == 0:  # SOURCE: replace, alpha included
+            composited = fg
+        else:  # OVER: straight-alpha source-over [APNG spec formula]
+            fa = fg[:, :, 3:4] / 255.0
+            ba = region[:, :, 3:4] / 255.0
+            oa = fa + ba * (1.0 - fa)
+            rgb = _np.where(
+                oa > 0,
+                (fg[:, :, :3] * fa + region[:, :, :3] * ba * (1.0 - fa))
+                / _np.where(oa > 0, oa, 1.0),
+                0.0,
+            )
+            composited = _np.concatenate([rgb, oa * 255.0], axis=2)
+        canvas[fy : fy + fh, fx : fx + fw] = composited
+        means.append(round(float(canvas[:, :, :3].mean()), 6))
+        # dispose prepares the canvas for the NEXT frame
+        if dispose == 1 or (dispose == 2 and i == 0):
+            canvas[fy : fy + fh, fx : fx + fw] = 0.0
+        elif dispose == 2:
+            canvas[fy : fy + fh, fx : fx + fw] = saved
         total += num / (den or 100)
     nf = len(frames)
     duration = total if total > 0 else nf / 100.0

@@ -5071,10 +5071,11 @@ apng_udf = F.pandas_udf(_apng_batch, BinaryType())
 
 def q_apng_frames(spark, sf_dir):
     """Animated-PNG clip decode (round 8 — pure.decode_apng_frames:
-    full-canvas-frame subset, fcTL delays, per-frame zlib streams,
-    default-image exclusion): value-check frame count, fps/duration
-    from the delay chain, and first/last frame mean luminance — the
-    GIF clip operator's modern-web sibling."""
+    FULL compositing model incl. partial frames and dispose/blend ops,
+    fcTL delays, per-frame zlib streams, default-image exclusion): the
+    oracle fixtures here use full-canvas SOURCE frames so every mean is
+    closed-form; compositing semantics are pytest-pinned
+    (tests/test_vp8l.py::test_apng_full_compositing)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
 
     schema = (

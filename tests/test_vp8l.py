@@ -409,13 +409,48 @@ def test_apng_clip_decode():
     assert abs(d3["duration_s"] - 0.10) < 1e-9
 
 
+def test_apng_full_compositing():
+    """The complete APNG model (late round 8): partial frames, dispose
+    NONE/BACKGROUND/PREVIOUS, blend SOURCE/OVER on an RGBA canvas."""
+    full = [[(100, 100, 100)] * 4 for _ in range(4)]
+    patch = [[(200, 200, 200)] * 2 for _ in range(2)]
+    strip = [[(50, 50, 50)] * 4]
+    # dispose NONE: the patch persists into the mean
+    d = pure.decode_apng_frames(pure.apng_encode(specs=[
+        (full, 0, 0, (1, 100), 0, 0), (patch, 1, 1, (1, 100), 0, 0),
+    ]))
+    assert d["frame_means"] == [100.0, (100 * 12 + 200 * 4) / 16]
+    # dispose BACKGROUND: region clears to transparent black afterward
+    d = pure.decode_apng_frames(pure.apng_encode(specs=[
+        (full, 0, 0, (1, 100), 0, 0), (patch, 1, 1, (1, 100), 1, 0),
+        (strip, 0, 3, (1, 100), 0, 0),
+    ]))
+    assert abs(d["frame_means"][2] - (100 * 8 + 50 * 4) / 16) < 1e-9
+    # dispose PREVIOUS: region reverts afterward
+    d = pure.decode_apng_frames(pure.apng_encode(specs=[
+        (full, 0, 0, (1, 100), 0, 0), (patch, 1, 1, (1, 100), 2, 0),
+        (strip, 0, 3, (1, 100), 0, 0),
+    ]))
+    assert abs(d["frame_means"][2] - (100 * 12 + 50 * 4) / 16) < 1e-9
+    # blend OVER with per-pixel alpha: opaque column paints, transparent keeps
+    full_a = [[(100, 100, 100, 255)] * 4 for _ in range(4)]
+    half_a = [[(200, 200, 200, 255 if x == 0 else 0) for x in range(2)]
+              for _ in range(2)]
+    d = pure.decode_apng_frames(pure.apng_encode(specs=[
+        (full_a, 0, 0, (1, 100), 0, 0), (half_a, 1, 1, (1, 100), 0, 1),
+    ]))
+    assert abs(d["frame_means"][1] - (100 * 14 + 200 * 2) / 16) < 1e-9
+    # the IDAT frame must cover the canvas (spec) — encoder enforces it
+    with pytest.raises(ValueError):
+        pure.apng_encode(specs=[(patch, 1, 1, (1, 100), 0, 0)])
+
+
 def test_apng_subset_bounds_and_hostility():
     frames = [[[(9, 9, 9)] * 8 for _ in range(6)] for _ in range(2)]
     blob = bytearray(pure.apng_encode(frames))
-    # partial frame (nonzero offset) refuses rather than composing wrong:
-    # patch the first fcTL's x_offset
+    # a frame whose region exceeds the canvas rejects
     at = bytes(blob).index(b"fcTL") + 4 + 12
-    blob[at : at + 4] = (1).to_bytes(4, "big")
+    blob[at : at + 4] = (1).to_bytes(4, "big")  # fx=1 -> fx+fw > w
     assert pure.decode_apng_frames(bytes(blob)) is None
     good = pure.apng_encode(frames)
     for cut in range(0, len(good), 9):
