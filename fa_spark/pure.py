@@ -4055,17 +4055,23 @@ GIF_MAX_FRAMES = 1 << 12
 
 
 def decode_gif_frames(data: bytes | None) -> dict | None:
-    """Animated GIF decode (round 5) — RESTRICTED to animations whose
-    every frame covers the full logical screen (left = top = 0, frame
-    dims == screen dims): such frames compose independently, so no
-    disposal/partial-patch state machine is needed; any partial frame
-    returns None rather than composing WRONGLY (documented subset, the
-    same honesty rule as floor0/blocksize in Vorbis). Returns the
-    decode_y4m clip dict: frame count, fps/duration from the Graphic
-    Control Extension delays (1/100 s, default 10 fps), per-sampled-
-    frame mean luminance (sum of palette-mapped RGB over 3n — the
-    decode_avi_mjpeg convention; order-invariant, so interlaced frames
-    need no row reordering). Only the sampled frames run LZW."""
+    """Animated GIF decode (round 5; full compositing late round 8).
+    Two paths share the parse:
+    - FAST path (the round-5 shape, taken when every frame covers the
+      full logical screen with no GCE transparency): frames compose
+      independently, so only the SAMPLED frames run LZW and means are
+      order-invariant (no interlace reordering needed).
+    - COMPOSITE path (partial frames, transparency, or disposal): the
+      complete GIF89a model — frames paint their (left, top) region on
+      an RGB canvas, transparent-index pixels keep the canvas, disposal
+      2 clears the region to background-as-transparent-black (the
+      browser convention), disposal 3 restores the previous region;
+      interlaced frames are row-reordered before placement. Every frame
+      up to the last sampled one decodes (compositing is sequential);
+      total region area is budgeted.
+    Returns the decode_y4m clip dict: fps/duration from GCE delays
+    (1/100 s, default 10 fps), per-sampled-frame mean (sum of RGB over
+    3n, unpainted canvas contributing black)."""
     if not data or len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     sw = int.from_bytes(data[6:8], "little")
@@ -4081,9 +4087,13 @@ def decode_gif_frames(data: bytes | None) -> dict | None:
             return None
         gct = data[pos : pos + 3 * n]
         pos += 3 * n
-    frames = []  # (palette, min_code_size, lzw_bytes)
+    # (pal, mcs, lzw, left, top, w, h, interlaced, disposal, tidx)
+    frames: list = []
     delays: list[int] = []
     cur_delay = 0
+    cur_disposal = 0
+    cur_tidx = None
+    region_budget = 0
     while pos < len(data) and len(frames) < GIF_MAX_FRAMES:
         b = data[pos]
         if b == 0x3B:
@@ -4093,8 +4103,11 @@ def decode_gif_frames(data: bytes | None) -> dict | None:
                 return None
             label = data[pos + 1]
             pos += 2
-            if label == 0xF9 and pos + 4 <= len(data) and data[pos] >= 4:
+            if label == 0xF9 and pos + 5 <= len(data) and data[pos] >= 4:
+                packed = data[pos + 1]
                 cur_delay = int.from_bytes(data[pos + 2 : pos + 4], "little")
+                cur_disposal = (packed >> 2) & 0x07
+                cur_tidx = data[pos + 4] if packed & 1 else None
             while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
@@ -4107,8 +4120,11 @@ def decode_gif_frames(data: bytes | None) -> dict | None:
         h = int.from_bytes(data[pos + 7 : pos + 9], "little")
         iflags = data[pos + 9]
         pos += 10
-        if left != 0 or top != 0 or w != sw or h != sh:
-            return None  # partial frame: out of the documented subset
+        if w <= 0 or h <= 0 or left + w > sw or top + h > sh:
+            return None  # region outside the logical screen
+        region_budget += w * h
+        if region_budget > 1 << 24:
+            return None
         pal = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -4128,9 +4144,12 @@ def decode_gif_frames(data: bytes | None) -> dict | None:
             lzw += data[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1  # block terminator
-        frames.append((pal, mcs, bytes(lzw)))
+        frames.append((pal, mcs, bytes(lzw), left, top, w, h,
+                       bool(iflags & 0x40), cur_disposal, cur_tidx))
         delays.append(cur_delay)
         cur_delay = 0
+        cur_disposal = 0
+        cur_tidx = None
     if not frames:
         return None
     n_frames = len(frames)
@@ -4141,17 +4160,63 @@ def decode_gif_frames(data: bytes | None) -> dict | None:
         sampled = sorted({i * (n_frames - 1) // (k - 1) for i in range(k)})
     npx = sw * sh
     means = []
-    for i in sampled:
-        pal, mcs, lzw = frames[i]
-        indices = _lzw_decode_gif(lzw, mcs, npx)
-        if indices is None or len(indices) < npx:
-            return None
-        idx = _np.frombuffer(bytes(indices[:npx]), dtype=_np.uint8)
-        if int(idx.max(initial=0)) * 3 + 2 >= len(pal):
-            return None
-        pal_arr = _np.frombuffer(pal, dtype=_np.uint8).reshape(-1, 3)
-        sums = pal_arr.astype(_np.int64).sum(axis=1)
-        means.append(float(sums[idx].sum()) / (3 * npx))
+    simple = all(
+        f[3] == 0 and f[4] == 0 and f[5] == sw and f[6] == sh
+        and f[9] is None
+        for f in frames
+    )
+    if simple:
+        # round-5 fast path: independent frames, LZW on samples only
+        for i in sampled:
+            pal, mcs, lzw = frames[i][:3]
+            indices = _lzw_decode_gif(lzw, mcs, npx)
+            if indices is None or len(indices) < npx:
+                return None
+            idx = _np.frombuffer(bytes(indices[:npx]), dtype=_np.uint8)
+            if int(idx.max(initial=0)) * 3 + 2 >= len(pal):
+                return None
+            pal_arr = _np.frombuffer(pal, dtype=_np.uint8).reshape(-1, 3)
+            sums = pal_arr.astype(_np.int64).sum(axis=1)
+            means.append(float(sums[idx].sum()) / (3 * npx))
+    else:
+        canvas = _np.zeros((sh, sw, 3), dtype=_np.uint8)
+        want = set(sampled)
+        for i in range(sampled[-1] + 1):
+            pal, mcs, lzw, left, top, w, h, inter, disposal, tidx = frames[i]
+            indices = _lzw_decode_gif(lzw, mcs, w * h)
+            if indices is None or len(indices) < w * h:
+                return None
+            idx = _np.frombuffer(
+                bytes(indices[: w * h]), dtype=_np.uint8
+            ).reshape(h, w)
+            if int(idx.max(initial=0)) * 3 + 2 >= len(pal):
+                return None
+            if inter:  # interlace passes 0/8, 4/8, 2/4, 1/2
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                deinter = _np.empty_like(idx)
+                deinter[_np.array(order)] = idx
+                idx = deinter
+            pal_arr = _np.frombuffer(pal, dtype=_np.uint8).reshape(-1, 3)
+            rgb = pal_arr[idx]
+            region = canvas[top : top + h, left : left + w]
+            if disposal == 3:
+                saved = region.copy()
+            if tidx is not None:
+                mask = idx != tidx
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            if i in want:
+                means.append(
+                    float(canvas.astype(_np.int64).sum()) / (3 * npx)
+                )
+            if disposal == 2:  # restore to background -> transparent black
+                canvas[top : top + h, left : left + w] = 0
+            elif disposal == 3:
+                canvas[top : top + h, left : left + w] = saved
     total_cs = sum(delays)
     if total_cs > 0:
         duration = total_cs / 100.0
@@ -4208,6 +4273,54 @@ def gif_animate_encode(
         out += bytes([0, 0])  # transparent idx + terminator
         out += bytes([0x2C]) + (0).to_bytes(2, "little") * 2
         out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        indices = bytes(palette[px] for r in rows for px in r)
+        out += bytes([mcs])
+        lzw = _lzw_encode_gif(indices, mcs)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def gif_composite_encode(width: int, height: int, specs: list) -> bytes:
+    """GIF89a compositing fixture (round 8): ``specs`` is a list of
+    (rows, left, top, delay_cs, disposal, transparent_color) frames —
+    ``transparent_color`` is an (r, g, b) whose palette index becomes
+    the GCE transparent index for that frame (None for opaque). One
+    global palette over all frames' colors, real LZW."""
+    palette: dict = {}
+    for rows, *_rest in specs:
+        for r in rows:
+            for px in r:
+                if px not in palette:
+                    palette[px] = len(palette)
+    for _rows, _l, _t, _d, _disp, tcol in specs:
+        if tcol is not None and tcol not in palette:
+            palette[tcol] = len(palette)
+    if len(palette) > 256:
+        raise ValueError("more than 256 distinct colors")
+    depth = max(1, (len(palette) - 1).bit_length())
+    n_entries = 1 << depth
+    mcs = max(2, depth)
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    pal_bytes = bytearray()
+    for px, _ in sorted(palette.items(), key=lambda kv: kv[1]):
+        pal_bytes += bytes(px)
+    pal_bytes += bytes(3 * (n_entries - len(palette)))
+    out += pal_bytes
+    for rows, left, top, delay, disposal, tcol in specs:
+        fh, fw = len(rows), len(rows[0])
+        packed = (disposal & 7) << 2 | (1 if tcol is not None else 0)
+        out += bytes([0x21, 0xF9, 4, packed])
+        out += int(delay).to_bytes(2, "little")
+        out += bytes([palette[tcol] if tcol is not None else 0, 0])
+        out += bytes([0x2C])
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little") + b"\x00"
         indices = bytes(palette[px] for r in rows for px in r)
         out += bytes([mcs])
         lzw = _lzw_encode_gif(indices, mcs)

@@ -1271,9 +1271,74 @@ def test_media_stage_fuzz_round5_decoders(spark):
     )
 
 
+def test_gif_full_compositing():
+    """Round 8: the complete GIF89a model — partial frames, GCE
+    transparency, disposal 2 (background-as-transparent-black, the
+    browser convention) and 3 (restore previous), interlaced partial
+    frames row-reordered before placement."""
+    full = [[(100, 100, 100)] * 4 for _ in range(4)]
+    patch = [[(200, 200, 200)] * 2 for _ in range(2)]
+    strip = [[(50, 50, 50)] * 4]
+    T = (1, 2, 3)
+    d = pure.decode_gif_frames(pure.gif_composite_encode(4, 4, [
+        (full, 0, 0, 10, 0, None), (patch, 1, 1, 10, 0, None),
+    ]))
+    assert d["frame_means"] == [100.0, (100 * 12 + 200 * 4) / 16]
+    holed = [[(200, 200, 200), T], [T, (200, 200, 200)]]
+    d = pure.decode_gif_frames(pure.gif_composite_encode(4, 4, [
+        (full, 0, 0, 10, 0, None), (holed, 1, 1, 10, 0, T),
+    ]))
+    assert abs(d["frame_means"][1] - (100 * 14 + 200 * 2) / 16) < 1e-9
+    d = pure.decode_gif_frames(pure.gif_composite_encode(4, 4, [
+        (full, 0, 0, 10, 0, None), (patch, 1, 1, 10, 2, None),
+        (strip, 0, 3, 10, 0, None),
+    ]))
+    assert abs(d["frame_means"][2] - (100 * 8 + 50 * 4) / 16) < 1e-9
+    d = pure.decode_gif_frames(pure.gif_composite_encode(4, 4, [
+        (full, 0, 0, 10, 0, None), (patch, 1, 1, 10, 3, None),
+        (strip, 0, 3, 10, 0, None),
+    ]))
+    assert abs(d["frame_means"][2] - (100 * 12 + 50 * 4) / 16) < 1e-9
+    # interlaced partial frame: store rows in pass order [0, 2, 1, 3],
+    # toggle the descriptor's interlace bit; display order must restore
+    rows = [[(10 * (r + 1),) * 3] * 2 for r in range(4)]  # display rows
+    stored = [rows[0], rows[2], rows[1], rows[3]]
+    blob = bytearray(pure.gif_composite_encode(4, 4, [
+        (full, 0, 0, 10, 0, None), (stored, 1, 0, 10, 0, None),
+    ]))
+    i = blob.index(b"\x21\xf9", blob.index(b"\x21\xf9") + 1) + 8
+    assert blob[i] == 0x2C
+    blob[i + 9] |= 0x40  # interlace flag
+    d = pure.decode_gif_frames(bytes(blob))
+    # canvas col 1-2, rows 0-3 get 10/20/30/40 top-to-bottom
+    exp = (100 * 8 + (10 + 20 + 30 + 40) * 2) / 16
+    assert abs(d["frame_means"][1] - exp) < 1e-9, d["frame_means"]
+    # region outside the logical screen still rejects
+    bad = bytearray(pure.gif_composite_encode(4, 4, [
+        (full, 0, 0, 10, 0, None)]))
+    at = bad.index(b"\x2c")
+    bad[at + 1 : at + 3] = (3).to_bytes(2, "little")
+    assert pure.decode_gif_frames(bytes(bad)) is None
+    # fuzz totality over a composite stream
+    import random
+
+    blob = pure.gif_composite_encode(4, 4, [
+        (full, 0, 0, 10, 0, None), (holed, 1, 1, 10, 2, T)])
+    rng = random.Random(3)
+    for cut in range(0, len(blob), 5):
+        pure.decode_gif_frames(blob[:cut])
+    for _ in range(600):
+        bb = bytearray(blob)
+        for _ in range(rng.randint(1, 5)):
+            bb[rng.randrange(len(bb))] ^= 1 << rng.randrange(8)
+        pure.decode_gif_frames(bytes(bb))
+
+
 def test_gif_animation_roundtrip_and_subset_rule():
-    """Round 5: animated GIF clip decode — full-screen-frame subset,
-    GCE delay chain, sample-budgeted LZW; partial frames refuse."""
+    """Round 5: animated GIF clip decode — GCE delay chain,
+    sample-budgeted LZW on the fast path; round 8 upgraded partial
+    frames from refusal to full compositing (see
+    test_gif_full_compositing)."""
     frames = [[[(40 + i,) * 3] * 12 for _ in range(8)] for i in range(5)]
     gif = pure.gif_animate_encode(frames, delays_cs=[5] * 5)
     d = pure.decode_gif_frames(gif)
@@ -1291,7 +1356,9 @@ def test_gif_animation_roundtrip_and_subset_rule():
     assert d["n_frames"] == 20
     assert len(d["sampled_frames"]) == pure.VIDEO_SAMPLE_FRAMES
     assert d["frame_means"][0] == 0.0 and d["frame_means"][-1] == 19.0
-    # partial frame (descriptor not covering the screen) -> None
+    # shrinking a descriptor under its LZW payload is a DATA/region
+    # mismatch and still rejects (real partial frames — whose LZW
+    # matches the region — composite; see test_gif_full_compositing)
     partial = bytearray(gif)
     # the first image descriptor sits right after the first GCE (8 bytes)
     i = partial.index(b"\x21\xf9") + 8
