@@ -4789,12 +4789,14 @@ gif_anim_udf = F.pandas_udf(_gif_anim_batch, BinaryType())
 
 
 def q_gif_frames(spark, sf_dir):
-    """Animated-GIF clip decode (round 5 — pure.decode_gif_frames:
-    full-screen-frame subset, GCE delays, LZW only on sampled frames):
-    value-check frame count, fps/duration from the delay chain, and
-    first/last sampled-frame mean luminance. The raster stage keeps the
-    reference's single-frame GIF semantics; animation is this dedicated
-    clip operator."""
+    """Animated-GIF clip decode (round 5 — pure.decode_gif_frames;
+    round 8 widened it to the FULL GIF89a compositing model): the
+    oracle fixtures here are full-screen opaque frames, which ride the
+    fast path (GCE delays, LZW only on sampled frames) so every mean is
+    closed-form; compositing semantics are pytest-pinned
+    (tests/test_pure.py::test_gif_full_compositing). The raster stage
+    keeps the reference's single-frame GIF semantics; animation is this
+    dedicated clip operator."""
     docs = _spread(_t(spark, sf_dir, "documents"))
 
     schema = (
