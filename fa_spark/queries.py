@@ -4946,6 +4946,94 @@ FROM d
 """
 
 
+def _gif_composite_batch(doc_id: pd.Series) -> pd.Series:
+    """GIF89a compositing fixture (round 8): full 8x6 base at gray v0 =
+    10 + doc_id%180, a 4x3 patch at (2, 2) at v1 = (v0+40)%256 whose
+    disposal alternates between restore-previous (odd docs) and
+    restore-background (even docs), then an 8x1 bottom strip at
+    v2 = (v0+90)%256 — all three canvas means are closed-form."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        v0 = 10 + did % 180
+        v1 = (v0 + 40) % 256
+        v2 = (v0 + 90) % 256
+        base = [[(v0,) * 3] * 8 for _ in range(6)]
+        patch = [[(v1,) * 3] * 4 for _ in range(3)]
+        strip = [[(v2,) * 3] * 8]
+        disposal = 3 if did % 2 else 2
+        out.append(pure.gif_composite_encode(8, 6, [
+            (base, 0, 0, 5, 0, None),
+            (patch, 2, 2, 5, disposal, None),
+            (strip, 0, 5, 5, 0, None),
+        ]))
+    return pd.Series(out)
+
+
+gif_composite_udf = F.pandas_udf(_gif_composite_batch, BinaryType())
+
+
+def q_gif_composite(spark, sf_dir):
+    """GIF compositing under the value-hash gate (round 8 —
+    pure.decode_gif_frames' composite path): partial frames, disposal
+    restore-background (region becomes transparent black) vs
+    restore-previous (region reverts), canvas means closed-form from
+    doc_id."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+
+    schema = (
+        "doc_id long, n_frames double, duration_s double, "
+        "mean_first double, mean_mid double, mean_last double"
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                d = pure.decode_gif_frames(bytes(blob))
+                if d is None:
+                    continue  # loud row-count mismatch at the gate
+                rows.append({
+                    "doc_id": int(did),
+                    "n_frames": float(d["n_frames"]),
+                    "duration_s": round(d["duration_s"], 6),
+                    "mean_first": round(d["frame_means"][0], 6),
+                    "mean_mid": round(d["frame_means"][1], 6),
+                    "mean_last": round(d["frame_means"][2], 6),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "duration_s",
+                         "mean_first", "mean_mid", "mean_last"],
+            )
+
+    media = docs.select(
+        "doc_id", gif_composite_udf("doc_id").alias("content")
+    )
+    return media.mapInPandas(fn, schema)
+
+
+SQL_GIF_COMPOSITE = """
+WITH d AS (
+  SELECT doc_id, 10 + doc_id % 180 AS v0,
+         (10 + doc_id % 180 + 40) % 256 AS v1,
+         (10 + doc_id % 180 + 90) % 256 AS v2
+  FROM documents)
+SELECT doc_id,
+       CAST(3 AS DOUBLE) AS n_frames,
+       CAST(0.15 AS DOUBLE) AS duration_s,
+       CAST(v0 AS DOUBLE) AS mean_first,
+       ROUND((36.0 * v0 + 12.0 * v1) / 48.0, 6) AS mean_mid,
+       -- disposal: odd docs restore the previous region (back to v0),
+       -- even docs clear it to transparent black
+       CASE WHEN doc_id % 2 = 1
+            THEN ROUND((40.0 * v0 + 8.0 * v2) / 48.0, 6)
+            ELSE ROUND((28.0 * v0 + 8.0 * v2) / 48.0, 6)
+       END AS mean_last
+FROM d
+"""
+
+
 def _caption_batch(doc_id: pd.Series) -> pd.Series:
     """Round 8: captions (WebVTT/SRT cue walks) and HLS playlists
     (master variant walk / media segment walk), rotating on doc_id,
@@ -5048,17 +5136,27 @@ FROM d
 def _apng_batch(doc_id: pd.Series) -> pd.Series:
     """APNG fixture (round 8): 2 + doc_id%4 solid-gray 8x6 frames at
     level (doc_id*7 + 13*frame) % 256, per-frame delay (1 + doc_id%4)
-    / 50 s; every third doc carries a non-animated default image whose
-    level must NOT appear in the clip means."""
+    / 50 s. Rotation on doc_id%3: 0 carries a non-animated default
+    image whose level must NOT appear in the clip means; 1 is a
+    COMPOSITING fixture (full base, then 4x3 SOURCE patches at (2, 2) —
+    late-frame means are the blended closed form); 2 is the plain
+    full-canvas form."""
     out = []
     for did in doc_id:
         did = int(did)
         n = 2 + did % 4
-        frames = [
-            [[((did * 7 + 13 * f) % 256,) * 3] * 8 for _ in range(6)]
-            for f in range(n)
-        ]
-        delays = [(1 + did % 4, 50)] * n
+        delay = (1 + did % 4, 50)
+        levels = [(did * 7 + 13 * f) % 256 for f in range(n)]
+        if did % 3 == 1:
+            base = [[(levels[0],) * 3] * 8 for _ in range(6)]
+            specs = [(base, 0, 0, delay, 0, 0)]
+            for f in range(1, n):
+                patch = [[(levels[f],) * 3] * 4 for _ in range(3)]
+                specs.append((patch, 2, 2, delay, 0, 0))
+            out.append(pure.apng_encode(specs=specs))
+            continue
+        frames = [[[(lv,) * 3] * 8 for _ in range(6)] for lv in levels]
+        delays = [delay] * n
         if did % 3 == 0:
             frames = [[[(255, 0, 0)] * 8] * 6] + frames
             out.append(pure.apng_encode(frames, delays=delays,
@@ -5112,13 +5210,21 @@ def q_apng_frames(spark, sf_dir):
 
 SQL_APNG_FRAMES = """
 WITH d AS (
-  SELECT doc_id, 2 + doc_id % 4 AS n, 1 + doc_id % 4 AS k FROM documents)
+  SELECT doc_id, 2 + doc_id % 4 AS n, 1 + doc_id % 4 AS k,
+         (doc_id * 7) % 256 AS v0 FROM documents)
 SELECT doc_id,
        CAST(n AS DOUBLE) AS n_frames,
        ROUND(50.0 / k, 6) AS fps,
        ROUND(n * k / 50.0, 6) AS duration_s,
-       CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_first,
-       CAST((doc_id * 7 + 13 * (n - 1)) % 256 AS DOUBLE) AS mean_last
+       CAST(v0 AS DOUBLE) AS mean_first,
+       -- compositing rotation (doc_id%3=1): the last frame is a 4x3
+       -- patch on the full-canvas base -> (36*v0 + 12*v_last)/48
+       CASE WHEN doc_id % 3 = 1
+            THEN ROUND((36.0 * v0
+                        + 12.0 * ((doc_id * 7 + 13 * (n - 1)) % 256))
+                       / 48.0, 6)
+            ELSE CAST((doc_id * 7 + 13 * (n - 1)) % 256 AS DOUBLE)
+       END AS mean_last
 FROM d
 """
 
@@ -6180,16 +6286,18 @@ REGISTRY: dict[str, tuple] = {
     # queries whose kernels changed AFTER the r07 snapshot (surt_keys:
     # greedy userinfo strip; zstd_roundtrip: leading skippable frames;
     # warc_roundtrip: gzip-walk total budget; media_plumbing/audio_meta:
-    # l3-subset verdict gates + envelope walks), then 32 of the 39
-    # r06-official rows (the six new r08 queries caption_meta,
-    # asset_meta, apng_frames, svg_meta, ico_features and
-    # webp_lossless lead the window, displacing doc_prefix_dedup,
-    # doc_quality, doc_token_counts, doc_lang, pricing_summary,
-    # shipping_priority and part_type_stats into the tail's r09-lead
-    # group — those seven r06 rows MUST lead the r09 window). Every entry still runs
+    # l3-subset verdict gates + envelope walks), then 31 of the 39
+    # r06-official rows (the seven new r08 queries gif_composite,
+    # caption_meta, asset_meta, apng_frames, svg_meta, ico_features
+    # and webp_lossless lead the window, displacing doc_exact_dedup,
+    # doc_prefix_dedup, doc_quality, doc_token_counts, doc_lang,
+    # pricing_summary, shipping_priority and part_type_stats into the
+    # tail's r09-lead group — those eight r06 rows MUST lead the r09
+    # window). Every entry still runs
     # in the full per-round DuckDB oracle sweep (tests/test_oracle.py).
     #
     # -- window (first 50): r08 --
+    "gif_composite": (q_gif_composite, SQL_GIF_COMPOSITE),
     "caption_meta": (q_caption_meta, SQL_CAPTION_META),
     "asset_meta": (q_asset_meta, SQL_ASSET_META),
     "apng_frames": (q_apng_frames, SQL_APNG_FRAMES),
@@ -6239,12 +6347,12 @@ REGISTRY: dict[str, tuple] = {
     "global_terms": (q_global_terms, SQL_GLOBAL_TERMS),
     "doc_search": (q_doc_search, SQL_DOC_SEARCH),
     "sig_scan_summary": (q_sig_scan_summary, SQL_SIG_SCAN),
-    "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     # -- tail: not in the official window this round --
-    # r09 MUST lead with doc_prefix_dedup, doc_quality,
-    # doc_token_counts, doc_lang, pricing_summary, shipping_priority
-    # and part_type_stats (r06-official, else 3-rounds-stale at r09),
-    # then the r07-official rows below.
+    # r09 MUST lead with doc_exact_dedup, doc_prefix_dedup,
+    # doc_quality, doc_token_counts, doc_lang, pricing_summary,
+    # shipping_priority and part_type_stats (r06-official, else
+    # 3-rounds-stale at r09), then the r07-official rows below.
+    "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_prefix_dedup": (q_doc_prefix_dedup, SQL_DOC_PREFIX_DEDUP),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
