@@ -70,12 +70,12 @@ def test_round8_queries_fused_one_udf_shape(spark):
     stage), the synthesized blob never crosses an Exchange, and there
     is at most one shuffle in the whole plan."""
     from fa_spark.queries import (
-        q_apng_frames, q_asset_meta, q_ico_features, q_svg_meta,
-        q_webp_lossless,
+        q_apng_frames, q_asset_meta, q_caption_meta, q_gif_composite,
+        q_ico_features, q_svg_meta, q_webp_lossless,
     )
 
     for q in (q_webp_lossless, q_ico_features, q_svg_meta, q_apng_frames,
-              q_asset_meta):
+              q_asset_meta, q_caption_meta, q_gif_composite):
         plan = _plan(q(spark, SF))
         scans = [l for l in plan.splitlines() if "ReadSchema" in l]
         assert scans, plan
