@@ -615,6 +615,11 @@ def extract_main_text(data: bytes | None) -> ExtractResult:
         return ExtractResult("", "empty", "skipped", 0, "")
     if ct == "pdf":
         return extract_pdf_text(data)
+    if ct == "zip":
+        # round 8: OOXML (docx) and EPUB are first-class crawled
+        # document types (reference document mode, M6) — route to the
+        # archive-document extractor; other zips skip as before
+        return extract_zip_document_text(data)
     if ct not in ("html", "text", "xml"):
         return ExtractResult("", ct, "skipped", 0, "")
     html_str, _cs = decode_bytes(data)
@@ -8119,6 +8124,171 @@ def mp4_envelope_encode(
 
 
 ZIP_MAX_NAMES = 8
+ZIP_DOC_MEMBER_CAP = 1 << 22   # per-member decompressed read budget
+EPUB_MAX_CHAPTERS = 32
+
+_DOCX_T_RE = re.compile(r"<w:t(?:\s[^>]*)?>(.*?)</w:t>", re.DOTALL)
+_DOCX_BREAK_RE = re.compile(r"<w:(?:br|cr)\s*/?>")
+_DOCX_TAB_RE = re.compile(r"<w:tab\s*/?>")
+_DC_TITLE_RE = re.compile(
+    r"<dc:title[^>]*>(.*?)</dc:title>", re.DOTALL
+)
+
+
+def extract_docx_text(data: bytes) -> "ExtractResult":
+    """OOXML WordprocessingML extraction: word/document.xml split on
+    </w:p> paragraph ends, each paragraph the concatenation of its
+    <w:t> runs (w:tab -> tab, w:br/w:cr -> newline), XML entities
+    unescaped; title from docProps/core.xml's dc:title. The reference
+    treats docx as a first-class document type (document-mode
+    extraction, /root/reference/src/core/vision.py:306-560); this is
+    the zip-native equivalent of extract_pdf_text."""
+    import html as _html
+    import io as _io2
+    import zipfile as _zipfile
+
+    try:
+        with _zipfile.ZipFile(_io2.BytesIO(data)) as z:
+            names = set(z.namelist())
+            if "word/document.xml" not in names:
+                return ExtractResult("", "docx", "empty", 1, "")
+            with z.open("word/document.xml") as f:
+                xml = f.read(ZIP_DOC_MEMBER_CAP).decode("utf-8", "replace")
+            title = ""
+            if "docProps/core.xml" in names:
+                with z.open("docProps/core.xml") as f:
+                    core = f.read(1 << 16).decode("utf-8", "replace")
+                m = _DC_TITLE_RE.search(core)
+                if m:
+                    title = _norm_ws(_html.unescape(m.group(1)))
+    except Exception:
+        return ExtractResult("", "docx", "error", 1, "")
+    paras = []
+    for chunk in xml.split("</w:p>"):
+        chunk = _DOCX_TAB_RE.sub("\t", chunk)
+        chunk = _DOCX_BREAK_RE.sub("\n", chunk)
+        runs = _DOCX_T_RE.findall(chunk)
+        text = _html.unescape("".join(runs)).strip()
+        if text:
+            paras.append(text)
+    if not paras:
+        return ExtractResult("", "docx", "empty", 1, title)
+    body = "\n\n".join(paras)
+    return ExtractResult(
+        body, "docx", "success", 1, title, body[:DESCRIPTION_LEN]
+    )
+
+
+def extract_epub_text(data: bytes) -> "ExtractResult":
+    """EPUB extraction: every (X)HTML chapter member, in archive name
+    order and bounded, runs through the repo's own DOM block extractor
+    — the same main-content classification the flagship pipeline uses
+    on crawled pages."""
+    import io as _io2
+    import zipfile as _zipfile
+
+    try:
+        with _zipfile.ZipFile(_io2.BytesIO(data)) as z:
+            chapters = sorted(
+                n for n in z.namelist()
+                if n.lower().endswith((".xhtml", ".html", ".htm"))
+            )[:EPUB_MAX_CHAPTERS]
+            parts = []
+            title = ""
+            for name in chapters:
+                with z.open(name) as f:
+                    raw = f.read(ZIP_DOC_MEMBER_CAP)
+                html_str, _cs = decode_bytes(raw)
+                blocks, parser = extract_blocks(html_str)
+                if not title:
+                    title = _norm_ws("".join(parser.title_parts))
+                parts += [
+                    b["text"] for b in blocks
+                    if b["is_content"] and b["tag"] != "title"
+                ]
+    except Exception:
+        return ExtractResult("", "epub", "error", 1, "")
+    if not parts:
+        return ExtractResult("", "epub", "empty", 1, title)
+    body = "\n\n".join(parts)
+    return ExtractResult(
+        body, "epub", "success", 1, title, body[:DESCRIPTION_LEN]
+    )
+
+
+def docx_encode(paragraphs: list, title: str = "") -> bytes:
+    """Deterministic OOXML fixture: [Content_Types].xml, a real
+    WordprocessingML body (one w:r/w:t run per paragraph, entities
+    escaped), dc:title in docProps/core.xml."""
+    import io as _io2
+    import zipfile as _zipfile
+    from xml.sax.saxutils import escape as _esc
+
+    body = "".join(
+        f"<w:p><w:r><w:t>{_esc(p)}</w:t></w:r></w:p>" for p in paragraphs
+    )
+    doc = (
+        '<?xml version="1.0"?><w:document xmlns:w="http://schemas.'
+        'openxmlformats.org/wordprocessingml/2006/main"><w:body>'
+        f"{body}</w:body></w:document>"
+    )
+    core = (
+        '<?xml version="1.0"?><cp:coreProperties xmlns:cp="c" '
+        f'xmlns:dc="d"><dc:title>{_esc(title)}</dc:title>'
+        "</cp:coreProperties>"
+    )
+    buf = _io2.BytesIO()
+    with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", '<?xml version="1.0"?><Types/>')
+        z.writestr("word/document.xml", doc)
+        z.writestr("docProps/core.xml", core)
+    return buf.getvalue()
+
+
+def epub_encode(chapters: list, title: str = "") -> bytes:
+    """Deterministic EPUB fixture: stored mimetype first (per spec),
+    container.xml, one XHTML file per chapter (paragraph lists)."""
+    import io as _io2
+    import zipfile as _zipfile
+    from xml.sax.saxutils import escape as _esc
+
+    buf = _io2.BytesIO()
+    with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_DEFLATED) as z:
+        z.writestr(
+            _zipfile.ZipInfo("mimetype"), b"application/epub+zip",
+            compress_type=_zipfile.ZIP_STORED,
+        )
+        z.writestr(
+            "META-INF/container.xml",
+            '<?xml version="1.0"?><container/>',
+        )
+        for i, paras in enumerate(chapters):
+            body = "".join(f"<p>{_esc(p)}</p>" for p in paras)
+            z.writestr(
+                f"ch{i:03d}.xhtml",
+                f"<html><head><title>{_esc(title)}</title></head>"
+                f"<body>{body}</body></html>",
+            )
+    return buf.getvalue()
+
+
+def extract_zip_document_text(data: bytes) -> "ExtractResult":
+    """Dispatch a zip payload to its document extractor by the same
+    well-known member names _parse_zip_meta subtypes on; non-document
+    archives skip with an explicit status (the pre-round-8 behavior)."""
+    import io as _io2
+    import zipfile as _zipfile
+
+    try:
+        with _zipfile.ZipFile(_io2.BytesIO(data)) as z:
+            names = set(z.namelist())
+    except Exception:
+        return ExtractResult("", "zip", "skipped", 0, "")
+    if "word/document.xml" in names:
+        return extract_docx_text(data)
+    if "mimetype" in names or "META-INF/container.xml" in names:
+        return extract_epub_text(data)
+    return ExtractResult("", "zip", "skipped", 0, "")
 
 
 def _parse_zip_meta(data: bytes) -> dict[str, str]:

@@ -4946,6 +4946,103 @@ FROM d
 """
 
 
+def _office_doc_batch(doc_id: pd.Series) -> pd.Series:
+    """Round 8: crawled office/book documents — OOXML docx (real
+    WordprocessingML bodies) and EPUB (XHTML chapters through the
+    flagship DOM extractor), rotating on doc_id with fully closed-form
+    paragraph text."""
+    out = []
+    for did in doc_id:
+        did = int(did)
+        if did % 2 == 0:
+            n = 2 + did % 4
+            out.append(pure.docx_encode(
+                [
+                    f"Paragraph {i} of document {did} has exactly ten "
+                    "words total." for i in range(n)
+                ],
+                title=f"Doc {did}",
+            ))
+        else:
+            c = 1 + did % 3
+            out.append(pure.epub_encode(
+                [
+                    [
+                        f"Chapter {ch} paragraph {p} of document {did} "
+                        "holds ten words." for p in range(2)
+                    ]
+                    for ch in range(c)
+                ],
+                title=f"Book {did}",
+            ))
+    return pd.Series(out)
+
+
+office_doc_udf = F.pandas_udf(_office_doc_batch, BinaryType())
+
+
+def q_docx_extract(spark, sf_dir):
+    """Archive-document extraction (reference M6 document mode,
+    /root/reference/src/core/vision.py:306-560 — docx/epub are
+    first-class crawled document types): zip routing through
+    extract_main_text, WordprocessingML paragraph/run walk, EPUB
+    chapters through the flagship DOM block extractor; paragraph text,
+    counts and titles all value-hashed against closed forms."""
+    from collections.abc import Iterator
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    blobs = docs.select("doc_id", office_doc_udf("doc_id").alias("content"))
+    schema = (
+        "doc_id long, doc_type string, status string, title string, "
+        "n_paras int, n_words int, first_para string"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                ex = pure.extract_main_text(bytes(blob))
+                paras = ex.text.split("\n\n") if ex.text else []
+                rows.append({
+                    "doc_id": int(did),
+                    "doc_type": ex.doc_type,
+                    "status": ex.status,
+                    "title": ex.title,
+                    "n_paras": len(paras),
+                    "n_words": len(ex.text.split()),
+                    "first_para": paras[0] if paras else None,
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "doc_type", "status", "title",
+                         "n_paras", "n_words", "first_para"],
+            )
+
+    return blobs.mapInPandas(fn, schema)
+
+
+SQL_DOCX_EXTRACT = """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 4 AS n, 1 + doc_id % 3 AS c FROM documents)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'docx' ELSE 'epub' END AS doc_type,
+       'success' AS status,
+       CASE WHEN doc_id % 2 = 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+            ELSE 'Book ' || CAST(doc_id AS VARCHAR) END AS title,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN n ELSE 2 * c END AS INT)
+         AS n_paras,
+       CAST(10 * CASE WHEN doc_id % 2 = 0 THEN n ELSE 2 * c END AS INT)
+         AS n_words,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'Paragraph 0 of document ' || CAST(doc_id AS VARCHAR)
+                 || ' has exactly ten words total.'
+            ELSE 'Chapter 0 paragraph 0 of document '
+                 || CAST(doc_id AS VARCHAR) || ' holds ten words.'
+       END AS first_para
+FROM d
+"""
+
+
 def _gif_composite_batch(doc_id: pd.Series) -> pd.Series:
     """GIF89a compositing fixture (round 8): full 8x6 base at gray v0 =
     10 + doc_id%180, a 4x3 patch at (2, 2) at v1 = (v0+40)%256 whose
@@ -6286,17 +6383,18 @@ REGISTRY: dict[str, tuple] = {
     # queries whose kernels changed AFTER the r07 snapshot (surt_keys:
     # greedy userinfo strip; zstd_roundtrip: leading skippable frames;
     # warc_roundtrip: gzip-walk total budget; media_plumbing/audio_meta:
-    # l3-subset verdict gates + envelope walks), then 31 of the 39
-    # r06-official rows (the seven new r08 queries gif_composite,
-    # caption_meta, asset_meta, apng_frames, svg_meta, ico_features
-    # and webp_lossless lead the window, displacing doc_exact_dedup,
-    # doc_prefix_dedup, doc_quality, doc_token_counts, doc_lang,
-    # pricing_summary, shipping_priority and part_type_stats into the
-    # tail's r09-lead group — those eight r06 rows MUST lead the r09
-    # window). Every entry still runs
+    # l3-subset verdict gates + envelope walks), then 30 of the 39
+    # r06-official rows (the eight new r08 queries docx_extract,
+    # gif_composite, caption_meta, asset_meta, apng_frames, svg_meta,
+    # ico_features and webp_lossless lead the window, displacing
+    # sig_scan_summary, doc_exact_dedup, doc_prefix_dedup,
+    # doc_quality, doc_token_counts, doc_lang, pricing_summary,
+    # shipping_priority and part_type_stats into the tail's r09-lead
+    # group — those nine r06 rows MUST lead the r09 window). Every entry still runs
     # in the full per-round DuckDB oracle sweep (tests/test_oracle.py).
     #
     # -- window (first 50): r08 --
+    "docx_extract": (q_docx_extract, SQL_DOCX_EXTRACT),
     "gif_composite": (q_gif_composite, SQL_GIF_COMPOSITE),
     "caption_meta": (q_caption_meta, SQL_CAPTION_META),
     "asset_meta": (q_asset_meta, SQL_ASSET_META),
@@ -6346,12 +6444,13 @@ REGISTRY: dict[str, tuple] = {
     "doc_top_tags": (q_doc_top_tags, SQL_DOC_TOP_TAGS),
     "global_terms": (q_global_terms, SQL_GLOBAL_TERMS),
     "doc_search": (q_doc_search, SQL_DOC_SEARCH),
-    "sig_scan_summary": (q_sig_scan_summary, SQL_SIG_SCAN),
     # -- tail: not in the official window this round --
-    # r09 MUST lead with doc_exact_dedup, doc_prefix_dedup,
-    # doc_quality, doc_token_counts, doc_lang, pricing_summary,
-    # shipping_priority and part_type_stats (r06-official, else
-    # 3-rounds-stale at r09), then the r07-official rows below.
+    # r09 MUST lead with sig_scan_summary, doc_exact_dedup,
+    # doc_prefix_dedup, doc_quality, doc_token_counts, doc_lang,
+    # pricing_summary, shipping_priority and part_type_stats
+    # (r06-official, else 3-rounds-stale at r09), then the
+    # r07-official rows below.
+    "sig_scan_summary": (q_sig_scan_summary, SQL_SIG_SCAN),
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_prefix_dedup": (q_doc_prefix_dedup, SQL_DOC_PREFIX_DEDUP),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),

@@ -1817,6 +1817,45 @@ def test_woff_zlib_bomb_capped():
     assert "font:units_per_em" not in m
 
 
+def test_docx_epub_extraction():
+    """Round 8: OOXML/EPUB are first-class document types through the
+    flagship extract cascade (reference document mode M6)."""
+    paras = [f"Paragraph {i} of document 7 has exactly ten words total."
+             for i in range(3)]
+    blob = pure.docx_encode(paras, title="Doc 7")
+    ex = pure.extract_main_text(blob)
+    assert ex.status == "success" and ex.doc_type == "docx"
+    assert ex.text == "\n\n".join(paras) and ex.title == "Doc 7"
+    # entities, tabs and breaks
+    rich = pure.docx_encode(
+        ['A <b> & "q" paragraph with more than eight words here.'])
+    assert '<b> & "q"' in pure.extract_main_text(rich).text
+    chs = [[f"Chapter {c} paragraph {p} holds exactly nine words here."
+            for p in range(2)] for c in range(2)]
+    eb = pure.epub_encode(chs, title="Book 7")
+    exe = pure.extract_main_text(eb)
+    assert exe.status == "success" and exe.doc_type == "epub"
+    assert exe.title == "Book 7"
+    assert len(exe.text.split("\n\n")) == 4
+    # non-document archives keep the explicit skip
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("META-INF/MANIFEST.MF", "x")
+    exz = pure.extract_main_text(buf.getvalue())
+    assert exz.status == "skipped" and exz.doc_type == "zip"
+    # fused analyzer routes identically (same extract_main_text call)
+    a = pure.analyze_document(blob)
+    assert a["extract"].text == ex.text and a["extract"].doc_type == "docx"
+    # hostility: truncation never raises
+    for cut in range(0, len(blob), 17):
+        pure.extract_main_text(blob[:cut])
+    for cut in range(0, len(eb), 23):
+        pure.extract_main_text(eb[:cut])
+
+
 def test_asset_magics_reject_prose():
     """ASCII-viable asset magics demand structure (the ID3/bare-mp3
     rule): OTTO-leading prose and text carrying 'ustar' at offset 257
