@@ -9968,10 +9968,10 @@ def _cue_ms(h, m, s, ms) -> int:
 
 
 def _parse_caption_meta(data: bytes) -> dict[str, str]:
+    if data[:3] == b"\xef\xbb\xbf":  # BOM'd captions are common
+        data = data[3:]
     head = data[:16]
-    is_vtt = head.startswith(b"WEBVTT") or head.startswith(
-        b"\xef\xbb\xbfWEBVTT"
-    )
+    is_vtt = head.startswith(b"WEBVTT")
     # head gates FIRST: the cue findall over 256 KiB must never run for
     # ordinary pages — this parser sits in the flagship extraction path
     # (round-8 self-review: gate-after-scan cost ~0.4 s of suite time)
@@ -9995,6 +9995,8 @@ _SRT_HEAD_RE = re.compile(rb"^\s*\d+\s*\r?\n\s*\d{2}:\d{2}:\d{2}[,.]\d{3}")
 
 
 def _parse_m3u8_meta(data: bytes) -> dict[str, str]:
+    if data[:3] == b"\xef\xbb\xbf":
+        data = data[3:]
     if not data.startswith(b"#EXTM3U"):
         return {}
     out: dict[str, str] = {}

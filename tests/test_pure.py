@@ -1735,6 +1735,11 @@ def test_caption_and_playlist_meta():
     # prose with arrows/numbers emits no caption keys
     assert not any(k.startswith("caption")
                    for k in pure.extract_metadata(b"see 1 --> 2 mapping"))
+    # BOM'd captions/playlists (common in the wild) still parse
+    bom = b"\xef\xbb\xbf"
+    assert pure.extract_metadata(bom + v).get("caption:format") == "vtt"
+    assert pure.extract_metadata(bom + s).get("caption:format") == "srt"
+    assert pure.extract_metadata(bom + media).get("m3u8:kind") == "media"
     # fused parity and truncation totality
     fused = {k: x for k, x in pure.analyze_document(v)["meta"].items()
              if k.startswith("caption:")}
