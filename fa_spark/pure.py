@@ -12803,22 +12803,13 @@ def _metadata_from_parse(
     return out
 
 
-def analyze_document(
-    data: bytes | None, minhash_k: int = 64, skip_simhash: bool = False,
-    skip_minhash: bool = False,
-) -> dict:
-    """ONE pass per document: decode once, parse the DOM once, tokenize the
-    extracted text once; every analyzer consumes the shared intermediates.
-    Field-for-field identical to calling the individual functions (pinned by
-    tests/test_pure.py::test_fused_equals_individual).
-
-    ``skip_simhash``: the batch caller computes simhash for the WHOLE
-    Arrow batch in one reduceat pass (_simhash_toks_batch, round 4) — the
-    returned "simhash" is 0 and "toks" carries what it needs.
-    ``skip_minhash`` (round 7): same batching for minhash — "minhash" is
-    None and "mh_windows" carries the raw _shingle_windows array (None
-    for empty text) for _minhash_windows_batch."""
-    b = data if data is not None else b""
+def _extract_with_ctx(b: bytes):
+    """Shared decode+DOM+extract path of analyze_document (round 9 — the
+    extract-only queries run this alone instead of the full fused
+    analyzer): returns (sniff, ExtractResult, html_ctx) where html_ctx is
+    (ct, charset, parser) for html/text/xml inputs (what
+    _metadata_from_parse needs) and None otherwise. Verbatim extraction of
+    the former analyze_document branch — field-for-field identical."""
     sn = sniff_bytes(b)
     ct = sn["content_type"]
 
@@ -12849,13 +12840,34 @@ def analyze_document(
                 )
             else:
                 ex = ExtractResult("", doc_type, "empty", 3, title)
-        meta = _metadata_from_parse(b, ct, cs, parser, title)
-    elif ct == "pdf":
+        return sn, ex, (ct, cs, parser)
+    if ct == "pdf":
         # route directly (extract_main_text would re-sniff the magic bytes)
-        ex = extract_pdf_text(b)
-        meta = extract_metadata(b)
+        return sn, extract_pdf_text(b), None
+    return sn, extract_main_text(b), None
+
+
+def analyze_document(
+    data: bytes | None, minhash_k: int = 64, skip_simhash: bool = False,
+    skip_minhash: bool = False,
+) -> dict:
+    """ONE pass per document: decode once, parse the DOM once, tokenize the
+    extracted text once; every analyzer consumes the shared intermediates.
+    Field-for-field identical to calling the individual functions (pinned by
+    tests/test_pure.py::test_fused_equals_individual).
+
+    ``skip_simhash``: the batch caller computes simhash for the WHOLE
+    Arrow batch in one reduceat pass (_simhash_toks_batch, round 4) — the
+    returned "simhash" is 0 and "toks" carries what it needs.
+    ``skip_minhash`` (round 7): same batching for minhash — "minhash" is
+    None and "mh_windows" carries the raw _shingle_windows array (None
+    for empty text) for _minhash_windows_batch."""
+    b = data if data is not None else b""
+    sn, ex, html_ctx = _extract_with_ctx(b)
+    if html_ctx is not None:
+        ct, cs, parser = html_ctx
+        meta = _metadata_from_parse(b, ct, cs, parser, ex.title)
     else:
-        ex = extract_main_text(b)
         meta = extract_metadata(b)
 
     text = ex.text

@@ -124,6 +124,46 @@ def analyze_batch(html: pd.Series) -> pd.DataFrame:
 page_analysis = F.pandas_udf(analyze_batch, ANALYSIS_STRUCT)
 
 
+# Extract-only fused pass (round 9, guide §1.2 "don't compute things you
+# throw away"): the extract-shaped queries (extract_synth, pdf_extract)
+# consume ONLY extract.* (+ sniff.content_type) but previously ran the full
+# fused analyzer — signatures, tags, quality, language, token counts and the
+# whole analysis struct crossed Arrow just to be projected away (measured
+# 348 µs/doc full vs 64 µs/doc extract-only on the synth-page fixture).
+# Shares pure._extract_with_ctx with analyze_document, so the extract
+# semantics are one code path (pinned by tests/test_pure.py).
+EXTRACT_STRUCT = StructType(
+    [
+        S.ANALYSIS["extract"].dataType["text"],
+        S.ANALYSIS["extract"].dataType["doc_type"],
+        S.ANALYSIS["extract"].dataType["status"],
+        S.ANALYSIS["extract"].dataType["title"],
+        S.ANALYSIS["extract"].dataType["description"],
+        S.ANALYSIS["sniff"].dataType["content_type"],
+    ]
+)
+
+
+def extract_batch(html: pd.Series) -> pd.DataFrame:
+    cols: dict[str, list] = {
+        "text": [], "doc_type": [], "status": [], "title": [],
+        "description": [], "content_type": [],
+    }
+    for data in html:
+        b = bytes(data) if data is not None else b""
+        sn, ex, _ctx = pure._extract_with_ctx(b)
+        cols["text"].append(ex.text)
+        cols["doc_type"].append(ex.doc_type)
+        cols["status"].append(ex.status)
+        cols["title"].append(ex.title)
+        cols["description"].append(ex.description)
+        cols["content_type"].append(sn["content_type"])
+    return pd.DataFrame(cols)
+
+
+page_extract = F.pandas_udf(extract_batch, EXTRACT_STRUCT)
+
+
 def _minhash_batch(text: pd.Series) -> pd.Series:
     # one flat reduceat pass for the whole Arrow batch (round 7) —
     # bit-identical to per-doc minhash_signature: the per-seed min is

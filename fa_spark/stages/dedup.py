@@ -109,18 +109,34 @@ def minhash_band_pairs(
     the only Python stage remains the signature itself. Jaccard estimate =
     fraction of equal MinHash positions (zip_with, JVM-side).
 
-    The banded relation is persisted before the self-join: without it the
-    signature UDF would re-execute once per join branch (a, b, and the
-    bucket-size guard) — a 4× Python-cost bug at 100-TB scale. In production
-    the signatures land in their own table first; persist() is the in-job
-    equivalent. The cache registers with release_pair_caches() for explicit
-    reclamation after the caller's action.
+    The per-doc signature relation is persisted before the self-join:
+    without it the signature UDF would re-execute once per join branch
+    (a, b, and the bucket-size guard) — a 4× Python-cost bug at 100-TB
+    scale. In production the signatures land in their own table first;
+    persist() is the in-job equivalent. The cache registers with
+    release_pair_caches() for explicit reclamation after the caller's
+    action.
     """
     r = F.floor(F.size(minhash_col) / F.lit(bands)).cast("int")
-    banded_cached = (
-        df.select(id_col, minhash_col)
-        .where(F.size(minhash_col) > 0)
-        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+    # The signature relation is persisted ONCE per doc (round 9 — the
+    # round-8 shape persisted the exploded banded relation, signature
+    # included, and self-joined it: the band join shuffled the full
+    # 64-long array twice per doc per band, ~97% of the query's band-join
+    # bytes; guide §2.3/§8 — shuffle keys, attach payloads once at the
+    # end). The band join below carries only (band_key, id).
+    #
+    # The empty-signature filter is applied AFTER the persist boundary:
+    # a filter on a UDF-computed column makes the optimizer re-evaluate
+    # the UDF under the pushed-down filter (guide §4.4 — measured THREE
+    # ArrowEvalPython nodes for this plan, i.e. every doc paid the
+    # signature kernel three times); caching the unfiltered projection
+    # runs the UDF exactly once and filters cached rows.
+    sigs_cached = df.select(id_col, minhash_col).persist()
+    sigs = sigs_cached.where(F.size(minhash_col) > 0)
+    keys = (
+        sigs.withColumn(
+            "band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+        )
         .withColumn(
             "band_key",
             # xxhash64 hashes array<long> natively — no per-row string
@@ -129,30 +145,33 @@ def minhash_band_pairs(
                 "band", F.slice(F.col(minhash_col), F.col("band") * r + F.lit(1), r)
             ),
         )
-        .select(id_col, minhash_col, "band_key")
-    ).persist()
+        .select(id_col, "band_key")
+    )
     # skew guard: cap bucket width; wide buckets are host-spam clusters
-    bucket_sizes = banded_cached.groupBy("band_key").agg(F.count("*").alias("_bw"))
-    banded = banded_cached.join(
+    bucket_sizes = keys.groupBy("band_key").agg(F.count("*").alias("_bw"))
+    banded = keys.join(
         F.broadcast(bucket_sizes.where(F.col("_bw") > max_bucket)),
         "band_key",
         "left_anti",
     )
-    a = banded.select(
-        F.col("band_key"),
-        F.col(id_col).alias("id_a"),
-        F.col(minhash_col).alias("mh_a"),
+    a = banded.select("band_key", F.col(id_col).alias("id_a"))
+    b = banded.select("band_key", F.col(id_col).alias("id_b"))
+    ga = sigs.select(
+        F.col(id_col).alias("id_a"), F.col(minhash_col).alias("mh_a")
     )
-    b = banded.select(
-        F.col("band_key"),
-        F.col(id_col).alias("id_b"),
-        F.col(minhash_col).alias("mh_b"),
+    gb = sigs.select(
+        F.col(id_col).alias("id_b"), F.col(minhash_col).alias("mh_b")
     )
     pairs = (
         a.join(b, "band_key")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "mh_a", "mh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # candidate pairs are a tiny fraction of the corpus — attaching
+        # the signatures here joins the small pair relation against the
+        # cached per-doc signatures (AQE broadcasts the pair side)
+        .join(ga, "id_a")
+        .join(gb, "id_b")
         .withColumn(
             "jaccard_est",
             F.aggregate(
@@ -165,7 +184,7 @@ def minhash_band_pairs(
         .where(F.col("jaccard_est") >= min_jaccard)
         .select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
     )
-    _PAIR_CACHES.append(banded_cached)
+    _PAIR_CACHES.append(sigs_cached)
     return pairs
 
 
@@ -183,9 +202,13 @@ def simhash_near_dups(
     chunks = max_hamming + 1
     width = 64 // chunks
     # persist: the simhash UDF would otherwise recompute per join branch;
-    # registered with release_pair_caches() for explicit reclamation
-    sig_cached = df.select(id_col, simhash_col).where(F.col(simhash_col) != 0).persist()
-    keyed = sig_cached.withColumn(
+    # registered with release_pair_caches() for explicit reclamation.
+    # The zero-signature filter sits AFTER the persist boundary — a filter
+    # on a UDF-computed column re-evaluates the UDF under the pushed-down
+    # filter (guide §4.4; same fix as minhash_band_pairs above).
+    sig_cached = df.select(id_col, simhash_col).persist()
+    sig = sig_cached.where(F.col(simhash_col) != 0)
+    keyed = sig.withColumn(
         "chunk", F.explode(F.sequence(F.lit(0), F.lit(chunks - 1)))
     ).withColumn(
         "chunk_key",

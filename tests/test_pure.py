@@ -339,6 +339,21 @@ def test_fused_equals_individual():
             assert d["simhash"] == 0 and d["minhash"] == []
 
 
+def test_extract_only_equals_fused():
+    """The round-9 extract-only pass (pure._extract_with_ctx, the kernel
+    behind stages.analyze.page_extract) must agree field-for-field with the
+    full fused analyzer on every fixture page — extract result AND sniff."""
+    from fa_spark.gen_fixtures import gen_pages
+
+    rows = gen_pages(300).to_pylist()
+    for r in rows:
+        b = r["html"]
+        d = pure.analyze_document(b)
+        sn, ex, _ctx = pure._extract_with_ctx(b)
+        assert sn == d["sniff"]
+        assert ex == d["extract"]
+
+
 def test_fixture_generator_deterministic():
     """seed=42 twice -> byte-identical tables (FIXTURES.md requirement)."""
     from fa_spark.gen_fixtures import gen_pages
