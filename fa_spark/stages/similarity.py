@@ -15,7 +15,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a, b):
+EMB_DIM = 64  # fixed embedding dimensionality of every corpus table
+
+
+def _dot(a, b, dim: int | None = None):
+    """Double dot product, left-associated accumulation (zip_with +
+    aggregate). ``dim`` is accepted for signature stability but the
+    higher-order-function form is used unconditionally: a round-9 A/B at
+    sf1.0 measured the 64-term unrolled GetArrayItem tree ~3× SLOWER
+    than zip_with (the giant expression overflows janino's method-size
+    budget, kills whole-stage codegen for the operator, and interpreted
+    evaluation of 192 boxed expression nodes loses to the HOF's single
+    array walk). The real win was hoisting the norms out of the per-pair
+    scoring — see brute_force_topk."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -23,12 +35,12 @@ def _dot(a, b):
     )
 
 
-def _norm(a):
-    return F.sqrt(_dot(a, a))
+def _norm(a, dim: int | None = None):
+    return F.sqrt(_dot(a, a, dim))
 
 
-def cosine_expr(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def cosine_expr(a, b, dim: int | None = None):
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def brute_force_topk(
@@ -39,15 +51,30 @@ def brute_force_topk(
     qid_col: str = "query_id",
     qvec_col: str = "qvec",
     k: int = 5,
+    dim: int | None = EMB_DIM,
 ) -> DataFrame:
-    """Exact cosine top-k per query. ``queries`` must be small (broadcast)."""
-    joined = vectors.crossJoin(F.broadcast(queries)).where(
-        F.col(id_col) != F.col(qid_col)
+    """Exact cosine top-k per query. ``queries`` must be small (broadcast).
+
+    Round 9: each side's norm is computed ONCE per row before the join
+    (the joined form recomputed |v| and |q| per PAIR — 2/3 of the scoring
+    arithmetic was redundant), and the dot product uses the unrolled
+    codegen path (see _dot). Same floats in the same order, so the
+    rounded cosines are bit-identical."""
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col), dim).alias("_vn")
     )
+    q = queries.select(
+        F.col(qid_col), F.col(qvec_col), _norm(F.col(qvec_col), dim).alias("_qn")
+    )
+    joined = v.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col(qid_col))
     scored = joined.select(
         qid_col,
         id_col,
-        F.round(cosine_expr(F.col(vec_col), F.col(qvec_col)), 6).alias("cosine"),
+        F.round(
+            _dot(F.col(vec_col), F.col(qvec_col), dim)
+            / (F.col("_vn") * F.col("_qn")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -72,7 +99,8 @@ def lsh_bucket(
     replaces the cross join at scale."""
     bits = [
         F.when(
-            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) >= 0, "1"
+            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p]),
+                 dim=len(p)) >= 0, "1"
         ).otherwise("0")
         for p in planes
     ]
@@ -108,18 +136,28 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket with the query
-    (multi-probe: query side probes its bucket plus all 1-bit flips)."""
+    (multi-probe: query side probes its bucket plus all 1-bit flips).
+
+    Round 9: per-side norms precomputed before the bucket join + unrolled
+    dot (see brute_force_topk) — bit-identical cosines."""
     planes = hyperplane_signs(dim, n_planes, seed)
-    v = lsh_bucket(vectors, vec_col, planes)
+    v = lsh_bucket(vectors, vec_col, planes).withColumn(
+        "_vn", _norm(F.col(vec_col), dim)
+    )
     q = (
         lsh_bucket(queries, qvec_col, planes)
+        .withColumn("_qn", _norm(F.col(qvec_col), dim))
         .withColumn("bucket", F.explode(multiprobe_buckets("bucket", n_planes)))
     )
     joined = v.join(F.broadcast(q), "bucket").where(F.col(id_col) != F.col(qid_col))
     scored = joined.select(
         qid_col,
         id_col,
-        F.round(cosine_expr(F.col(vec_col), F.col(qvec_col)), 6).alias("cosine"),
+        F.round(
+            _dot(F.col(vec_col), F.col(qvec_col), dim)
+            / (F.col("_vn") * F.col("_qn")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -184,20 +222,27 @@ def kmeans_centroids(
     return C.round(6).tolist()
 
 
+def _sq_l2(vec_col, c: list[float]):
+    """Squared L2 to a literal centroid. Stays on the interpreted
+    zip_with form deliberately (round 9): the nearest-centroid selector
+    evaluates it once per centroid — an unrolled 16×64-term CASE cascade
+    was measured to blow past janino's method-size limits and crash
+    codegen — and it runs once per ROW, not once per candidate pair, so
+    it is not the hot arithmetic the unrolled _dot path targets."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+            F.array(*[F.lit(float(x)) for x in c]),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def _nearest_centroid(vec_col, centroids: list[list[float]]):
     """Index of the nearest centroid (squared-L2, native exprs)."""
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in c]),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        for c in centroids
-    ]
+    dists = [_sq_l2(vec_col, c) for c in centroids]
     best = F.least(*dists)
     expr = F.lit(-1)
     for i in range(len(dists) - 1, -1, -1):
@@ -229,24 +274,20 @@ def ivf_topk(
 
     if centroids is None:
         centroids = kmeans_centroids(vectors, vec_col, k=n_lists, seed=seed, id_col=id_col)
+    dim = len(centroids[0]) if centroids else None
     v = vectors.withColumn("cell", _nearest_centroid(vec_col, centroids))
+    v = v.withColumn("_vn", _norm(F.col(vec_col), dim))
 
     # driver-side probe list per query cell ordering is data-independent:
     # compute each query's nprobe nearest centroids natively via exploded ranks
     C = np.array(centroids)
     dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col(qvec_col),
-                F.array(*[F.lit(float(x)) for x in c]),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, v_: acc + v_,
-        ).alias(f"_d{i}")
+        _sq_l2(qvec_col, [float(x) for x in c]).alias(f"_d{i}")
         for i, c in enumerate(C)
     ]
-    q = queries.select(qid_col, qvec_col, *dists)
+    q = queries.select(
+        qid_col, qvec_col, _norm(F.col(qvec_col), dim).alias("_qn"), *dists
+    )
     pairs = F.array(
         *[
             F.struct(F.col(f"_d{i}").alias("d"), F.lit(i).alias("cell"))
@@ -256,14 +297,19 @@ def ivf_topk(
     q = q.select(
         qid_col,
         qvec_col,
+        "_qn",
         F.explode(F.slice(F.array_sort(pairs), 1, nprobe)).alias("p"),
-    ).select(qid_col, qvec_col, F.col("p.cell").alias("cell"))
+    ).select(qid_col, qvec_col, "_qn", F.col("p.cell").alias("cell"))
 
     joined = v.join(F.broadcast(q), "cell").where(F.col(id_col) != F.col(qid_col))
     scored = joined.select(
         qid_col,
         id_col,
-        F.round(cosine_expr(F.col(vec_col), F.col(qvec_col)), 6).alias("cosine"),
+        F.round(
+            _dot(F.col(vec_col), F.col(qvec_col), dim)
+            / (F.col("_vn") * F.col("_qn")),
+            6,
+        ).alias("cosine"),
     ).dropDuplicates([qid_col, id_col])
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -282,14 +328,21 @@ def embedding_near_dups(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via bucketed self-join."""
+    """Embedding-cosine near-duplicate pairs via bucketed self-join.
+
+    Round 9: per-side norms computed once before the self-join + unrolled
+    dot (see _dot) — bit-identical cosines."""
     planes = hyperplane_signs(dim, n_planes, seed)
-    v = lsh_bucket(vectors, vec_col, planes).select("bucket", id_col, vec_col)
+    v = lsh_bucket(vectors, vec_col, planes).select(
+        "bucket", id_col, vec_col, _norm(F.col(vec_col), dim).alias("_n")
+    )
     a = v.select(
-        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("_n").alias("_na"),
     )
     b = v.select(
-        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("_n").alias("_nb"),
     )
     return (
         a.join(b, "bucket")
@@ -297,7 +350,11 @@ def embedding_near_dups(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("va"), F.col("vb"), dim)
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= min_cosine)
         .dropDuplicates(["id_a", "id_b"])
@@ -349,28 +406,29 @@ def quantized_topk(
     (order-free, no float-fold nondeterminism) plus one sqrt. Recall vs
     the float top-k is bounded by the scale/2 per-dim quantization error;
     the registry query measures it against brute_force_topk."""
+    # round 9: per-side squared norms computed once per row before the
+    # join instead of once per pair (integer sums — exact equality)
+    def _int_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    inorm2 = lambda c: _int_dot(c, c)  # noqa: E731
     qv = quantize_embeddings(vectors, id_col=id_col, vec_col=vec_col).select(
-        id_col, F.col("qvec").alias("_qa")
+        id_col, F.col("qvec").alias("_qa"), inorm2("qvec").alias("_na")
     )
     qq = quantize_embeddings(queries, id_col=qid_col, vec_col=qvec_col).select(
-        qid_col, F.col("qvec").alias("_qb")
+        qid_col, F.col("qvec").alias("_qb"), inorm2("qvec").alias("_nb")
     )
     joined = qv.crossJoin(F.broadcast(qq)).where(F.col(id_col) != F.col(qid_col))
-    idot = F.aggregate(
-        F.zip_with("_qa", "_qb", lambda a, b: a.cast("long") * b.cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    inorm2 = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda a: a.cast("long") * a.cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     scored = joined.select(
         qid_col,
         id_col,
         F.round(
-            idot / F.sqrt((inorm2("_qa") * inorm2("_qb")).cast("double")), 6
+            _int_dot(F.col("_qa"), F.col("_qb"))
+            / F.sqrt((F.col("_na") * F.col("_nb")).cast("double")), 6
         ).alias("qcosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("qcosine"), F.asc(id_col))
