@@ -2510,16 +2510,33 @@ def image_stats(img: dict) -> dict:
         lum2d = a[:, 0].reshape(h, w)
     hist = _np.bincount(lum2d.ravel() >> 5, minlength=8)
     # 8x8 integer average pooling with integer cell boundaries
-    cells = []
-    for cy in range(AHASH_GRID):
-        y0, y1 = cy * h // AHASH_GRID, (cy + 1) * h // AHASH_GRID
-        for cx in range(AHASH_GRID):
-            x0, x1 = cx * w // AHASH_GRID, (cx + 1) * w // AHASH_GRID
-            if y1 <= y0 or x1 <= x0:  # image smaller than the grid: sample
-                cells.append(int(lum2d[min(y0, h - 1), min(x0, w - 1)]))
-                continue
-            s = int(lum2d[y0:y1, x0:x1].sum(dtype=_np.int64))
-            cells.append(s // ((y1 - y0) * (x1 - x0)))
+    if h >= AHASH_GRID and w >= AHASH_GRID:
+        # vectorized pooling (round 9): the per-cell slice loop cost 64
+        # small numpy calls per image — on 16×16 fixtures it was as
+        # expensive as the whole JPEG decode; two add.reduceat passes
+        # compute all 64 cell sums. Same integer sums, same floor
+        # division, so ahash is bit-identical (pinned by test_raster).
+        ys = [cy * h // AHASH_GRID for cy in range(AHASH_GRID)]
+        xs = [cx * w // AHASH_GRID for cx in range(AHASH_GRID)]
+        rowsum = _np.add.reduceat(
+            lum2d.astype(_np.int64), _np.array(ys), axis=0
+        )
+        cellsum = _np.add.reduceat(rowsum, _np.array(xs), axis=1)
+        areas = _np.outer(
+            _np.diff(_np.array(ys + [h])), _np.diff(_np.array(xs + [w]))
+        )
+        cells = [int(v) for v in (cellsum // areas).ravel()]
+    else:
+        cells = []
+        for cy in range(AHASH_GRID):
+            y0, y1 = cy * h // AHASH_GRID, (cy + 1) * h // AHASH_GRID
+            for cx in range(AHASH_GRID):
+                x0, x1 = cx * w // AHASH_GRID, (cx + 1) * w // AHASH_GRID
+                if y1 <= y0 or x1 <= x0:  # smaller than the grid: sample
+                    cells.append(int(lum2d[min(y0, h - 1), min(x0, w - 1)]))
+                    continue
+                s = int(lum2d[y0:y1, x0:x1].sum(dtype=_np.int64))
+                cells.append(s // ((y1 - y0) * (x1 - x0)))
     mean8 = sum(cells) // len(cells)
     ahash = 0
     for i, c in enumerate(cells):
@@ -2642,12 +2659,25 @@ def _huff_canonical(bits: list[int], vals: list[int]) -> dict[tuple[int, int], i
     return table
 
 
+_HUFF_TABLES_CACHE: dict = {}
+_HUFF_TABLES_CACHE_MAX = 256
+
+
 def _huff_tables(bits: list[int], vals: list[int]):
     """(canonical map, 256-entry fast table). The fast table resolves every
     code of <= 8 bits from one byte-peek (covers 100% of our generated
     tables and the hot short codes of typical encoder tables); longer codes
     fall back to the bit-serial walk. This is the decode hot loop — the
-    bit-by-bit dict probe alone made a noisy 0.26MP image cost ~0.4 s."""
+    bit-by-bit dict probe alone made a noisy 0.26MP image cost ~0.4 s.
+
+    Memoized on the DHT payload (round 9): building the LUT was ~45% of a
+    small-image decode, and real corpora overwhelmingly reuse a handful of
+    tables (the T.81 Annex K pair above all); the cache is bounded so
+    hostile streams with unique tables degrade to uncached building."""
+    key = (bytes(bits), bytes(vals))
+    hit = _HUFF_TABLES_CACHE.get(key)
+    if hit is not None:
+        return hit
     table = _huff_canonical(bits, vals)
     fast: list = [None] * 256
     for (ln, code), sym in table.items():
@@ -2655,12 +2685,26 @@ def _huff_tables(bits: list[int], vals: list[int]):
             base = code << (8 - ln)
             for suffix in range(1 << (8 - ln)):
                 fast[base | suffix] = (sym, ln)
+    if len(_HUFF_TABLES_CACHE) < _HUFF_TABLES_CACHE_MAX:
+        _HUFF_TABLES_CACHE[key] = (table, fast)
     return table, fast
 
 
+_HUFF_ENCODER_CACHE: dict = {}
+
+
 def _huff_encoder(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length) (inverse of _huff_canonical)."""
-    return {sym: (code, ln) for (ln, code), sym in _huff_canonical(bits, vals).items()}
+    """symbol -> (code, length) (inverse of _huff_canonical). Memoized like
+    _huff_tables (round 9) — encoders are called with the module-constant
+    Annex-K-style tables, so rebuilding per image was pure overhead."""
+    key = (bytes(bits), bytes(vals))
+    hit = _HUFF_ENCODER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    enc = {sym: (code, ln) for (ln, code), sym in _huff_canonical(bits, vals).items()}
+    if len(_HUFF_ENCODER_CACHE) < _HUFF_TABLES_CACHE_MAX:
+        _HUFF_ENCODER_CACHE[key] = enc
+    return enc
 
 
 # default quant tables: flat 16 everywhere except DC step 8 — DC steps of 8
