@@ -14,12 +14,13 @@ partition-to-task mapping stable for lineage (the local stand-in for Iceberg
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fa_spark.stages.analyze import with_analysis
+from fa_spark.stages.analyze import content_pages, with_analysis
 from fa_spark.stages.dedup import exact_dedup
 
 DEFAULT_BUCKETS = 64
@@ -57,6 +58,18 @@ def default_session(
         # anti-join's probe side is the whole corpus, so this is the
         # difference between shuffling everything and shuffling survivors
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # joins (round 9, guide §3.1/§9): allow shuffled-hash join when a
+        # side's per-partition build fits — skips the sort of the big side
+        # (nation_revenue 1.9 -> 1.65 s at sf1.0). Size-based and
+        # per-partition, so it is scale-adaptive, not a local[32] tune:
+        # 64 MB build per partition is modest for multi-GB executors and
+        # AQE falls back to sort-merge when partitions exceed it.
+        # Production values are env-overridable.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("FA_SPARK_SHJ_LOCAL_MAP", "64m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", "8g")
@@ -81,7 +94,14 @@ def analyze_pages(pages_df: DataFrame, cfg: JobConfig = JobConfig()) -> DataFram
     analyzed = with_analysis(pages_df).withColumn(
         "bucket", bucket_col("url", cfg.buckets)
     )
-    deduped = exact_dedup(analyzed, key="sha", order="url")
+    # narrow stats source (round 9): the canonical-election aggregate needs
+    # only (sha, url), both derivable from the page bytes without the
+    # analysis UDF — handing exact_dedup this projection keeps the
+    # broadcast-build subtree free of the Python stage's lineage
+    narrow = content_pages(pages_df).select(
+        F.sha2("html", 256).alias("sha"), "url"
+    )
+    deduped = exact_dedup(analyzed, key="sha", order="url", stats_src=narrow)
     return deduped.withColumn("run_id", F.lit(cfg.run_id))
 
 

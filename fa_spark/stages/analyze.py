@@ -226,20 +226,17 @@ fingerprint_udf = F.pandas_udf(_fingerprint_batch, ArrayType(LongType()))
 fingerprint_full_udf = F.pandas_udf(_fingerprint_full_batch, ArrayType(LongType()))
 
 
-def with_analysis(pages_df):
-    """pages(url, warc_ts, html, ...) -> flat analysis DataFrame.
-
-    ``sha`` and ``html_bytes`` stay JVM-side (native sha2/length — no reason
-    to pay the Arrow transfer for them); everything needing the decoded DOM
-    rides the fused UDF. ``html`` is projected away immediately after the UDF
-    stage (SURVEY.md §7.3 hard part 4 — never carry the blob further).
+def content_pages(pages_df):
+    """Resolve each page's analyzable content bytes into ``html``.
 
     Rows with NULL html but non-empty ``text`` (WET conversion records —
     already-extracted text, sources.read_warc) analyze the encoded text
     instead: same fused pass, and sha/html_bytes follow the same bytes, so
     WET documents flow through the pipeline rather than vanishing as
     empty (round-4 review: the text column was otherwise never consumed).
-    """
+    Shared by with_analysis and the narrow dedup-stats projection
+    (pipeline.analyze_pages, round 9) so both derive sha from identical
+    bytes."""
     if "text" in pages_df.columns:
         # isNotNull FIRST: the common (html-bearing) case short-circuits
         # without touching the text column — the isNull-first form
@@ -249,6 +246,18 @@ def with_analysis(pages_df):
             F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
         )
         pages_df = pages_df.withColumn("html", content)
+    return pages_df
+
+
+def with_analysis(pages_df):
+    """pages(url, warc_ts, html, ...) -> flat analysis DataFrame.
+
+    ``sha`` and ``html_bytes`` stay JVM-side (native sha2/length — no reason
+    to pay the Arrow transfer for them); everything needing the decoded DOM
+    rides the fused UDF. ``html`` is projected away immediately after the UDF
+    stage (SURVEY.md §7.3 hard part 4 — never carry the blob further).
+    """
+    pages_df = content_pages(pages_df)
     return (
         pages_df.withColumn("a", page_analysis("html"))
         .select(

@@ -178,7 +178,13 @@ def media_features_fn(mode: str = "describe"):
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # columnar accumulation (round 9): building a dict per row and
+            # letting pandas re-pivot 10 columns out of row dicts cost
+            # ~10% of the stage; appending straight to per-column lists
+            # yields the identical frame
+            cols: dict[str, list] = {
+                f.name: [] for f in MEDIA_FEATURES.fields
+            }
             for mid, data in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(data) if data is not None else b""
                 sn = pure.sniff_bytes(b)
@@ -335,21 +341,17 @@ def media_features_fn(mode: str = "describe"):
                 elif decodable:
                     status = "stubbed"
                     feature = _fake_decode(b, target)
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "content_type": ct,
-                        "n_bytes": len(b),
-                        "sha": hashlib.sha256(b).hexdigest(),
-                        "width": int(width) if width else None,
-                        "height": int(height) if height else None,
-                        "target_res": target,
-                        "decode_status": status,
-                        "feature": feature,
-                        "ahash": ahash,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURES.fields])
+                cols["media_id"].append(mid)
+                cols["content_type"].append(ct)
+                cols["n_bytes"].append(len(b))
+                cols["sha"].append(hashlib.sha256(b).hexdigest())
+                cols["width"].append(int(width) if width else None)
+                cols["height"].append(int(height) if height else None)
+                cols["target_res"].append(target)
+                cols["decode_status"].append(status)
+                cols["feature"].append(feature)
+                cols["ahash"].append(ahash)
+            yield pd.DataFrame(cols, columns=[f.name for f in MEDIA_FEATURES.fields])
 
     return fn
 
