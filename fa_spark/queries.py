@@ -55,8 +55,14 @@ def _feat_d(i: int):
 def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """The sf tables are single parquet files (1-3 splits) — a Python-UDF
     stage downstream would run on 1-3 tasks. Spread to all cores. Only used
-    by UDF-bearing queries; pure-Catalyst queries keep the native scan."""
-    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    by UDF-bearing queries; pure-Catalyst queries keep the native scan.
+
+    Round 9: one wave (×1 defaultParallelism, was ×2) — the per-task
+    Python-runner round trip dominates these short uniform tasks (64 vs 32
+    tasks measured +25% on the extract queries); the factor stays relative
+    to the session's parallelism, so it scales with the cluster rather
+    than encoding this box's core count."""
+    par = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(par, key)
 
 
@@ -1727,10 +1733,13 @@ def q_fingerprint_near_dups(spark, sf_dir):
         # the dense fingerprint's cap never silently truncates
         .where(F.size(tokens_expr("text")) < FP_FULL_MAX_TOKENS)
         .withColumn("fp", fingerprint_full_udf("text"))
-        .where(F.size("fp") > 0)
         .persist()  # UDF would re-execute per self-join branch
     )
-    ex = fp_cached.select("doc_id", F.explode("fp").alias("h"))
+    # empty-fp filter AFTER the persist boundary (round 9, guide §4.4):
+    # a filter on the UDF column inside the cached plan re-evaluates the
+    # UDF under the pushed-down copy (same fix as minhash_band_pairs)
+    fp = fp_cached.where(F.size("fp") > 0)
+    ex = fp.select("doc_id", F.explode("fp").alias("h"))
     pairs = (
         ex.alias("a")
         .join(ex.alias("b"), "h")
