@@ -12717,7 +12717,15 @@ def _minhash_shingles(sh, num_hashes: int = 64) -> list[int]:
 
 # flat-window chunk bound for the batched minhash: keeps the
 # (num_hashes, windows) temporary ~32 MB regardless of Arrow batch size
-_MINHASH_BATCH_CAP = 1 << 16
+# Windows per mix chunk. Round 9: 1<<10 (was 1<<16) — the (num_hashes,
+# chunk) uint64 matrix and the ~8 splitmix64 temporaries then stay ~0.5 MB
+# each, i.e. L2-cache-resident, instead of 32 MB apiece streaming through
+# main memory; with 32 worker processes sharing one memory bus the big
+# chunks made the signature UDF bandwidth-bound (measured 1.7 s -> 0.9 s
+# single-thread on the sf1.0 corpus, and the effect compounds under
+# all-core concurrency). Chunking never splits a doc, so results are
+# bit-identical for any cap.
+_MINHASH_BATCH_CAP = 1 << 10
 
 
 def _minhash_windows_batch(
@@ -12731,7 +12739,7 @@ def _minhash_windows_batch(
     the min over its segment of the flat array. Entries of None (docs
     with no text) pass through as None; empty arrays get the [0]*k
     signature the per-doc form returns. Chunked so the (num_hashes,
-    windows) temporary stays ~32 MB regardless of batch size."""
+    windows) temporaries stay L2-cache-resident (_MINHASH_BATCH_CAP)."""
     out: list = [None] * len(windows_list)
     parts: list = []
     starts: list[int] = []
