@@ -877,6 +877,7 @@ def _parse_png_meta(data: bytes) -> dict[str, str]:
         return out
     pos = 8
     n = len(data)
+    anim_dur = 0.0
     while pos + 8 <= n:
         (length,) = _struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -897,10 +898,11 @@ def _parse_png_meta(data: bytes) -> dict[str, str]:
             out["png:n_plays"] = str(_struct.unpack(">I", body[4:8])[0])
         elif ctype == b"fcTL" and len(body) >= 26:
             num, den = _struct.unpack(">HH", body[20:24])
-            prev = float(out.get("png:anim_duration_s", "0"))
-            out["png:anim_duration_s"] = (
-                f"{prev + num / (den or 100):.3f}"
-            )
+            # accumulate numerically (round 9, ADVICE r8): re-parsing the
+            # 3-decimal formatted string each fcTL compounded per-frame
+            # rounding error for non-millisecond-exact delays (e.g. den=3)
+            anim_dur += num / (den or 100)
+            out["png:anim_duration_s"] = f"{anim_dur:.3f}"
         elif ctype == b"IEND":
             break
         pos += 12 + length  # len + type + crc
@@ -8189,6 +8191,7 @@ def mp4_envelope_encode(
 
 ZIP_MAX_NAMES = 8
 ZIP_DOC_MEMBER_CAP = 1 << 22   # per-member decompressed read budget
+EPUB_WALK_MAX_BYTES = 1 << 24  # TOTAL decode budget across all chapters
 EPUB_MAX_CHAPTERS = 32
 
 _DOCX_T_RE = re.compile(r"<w:t(?:\s[^>]*)?>(.*?)</w:t>", re.DOTALL)
@@ -8259,9 +8262,17 @@ def extract_epub_text(data: bytes) -> "ExtractResult":
             )[:EPUB_MAX_CHAPTERS]
             parts = []
             title = ""
+            # TOTAL inflation budget shared across chapters (round 9,
+            # ADVICE r8 — mirror of the gzip-walk total budget): the
+            # per-member cap alone allowed 32 × 4 MB from a ~100 KB
+            # hostile archive in the hot extract path
+            remaining = EPUB_WALK_MAX_BYTES
             for name in chapters:
+                if remaining <= 0:
+                    break
                 with z.open(name) as f:
-                    raw = f.read(ZIP_DOC_MEMBER_CAP)
+                    raw = f.read(min(ZIP_DOC_MEMBER_CAP, remaining))
+                remaining -= len(raw)
                 html_str, _cs = decode_bytes(raw)
                 blocks, parser = extract_blocks(html_str)
                 if not title:
@@ -8346,11 +8357,23 @@ def extract_zip_document_text(data: bytes) -> "ExtractResult":
     try:
         with _zipfile.ZipFile(_io2.BytesIO(data)) as z:
             names = set(z.namelist())
+            # EPUB routing demands EPUB evidence (round 9, ADVICE r8):
+            # a zip merely containing a member named 'mimetype' is not an
+            # EPUB — require the spec mimetype content or container.xml
+            is_epub = "META-INF/container.xml" in names
+            if not is_epub and "mimetype" in names:
+                try:
+                    is_epub = (
+                        z.read("mimetype")[:64].strip()
+                        == b"application/epub+zip"
+                    )
+                except Exception:
+                    is_epub = False
     except Exception:
         return ExtractResult("", "zip", "skipped", 0, "")
     if "word/document.xml" in names:
         return extract_docx_text(data)
-    if "mimetype" in names or "META-INF/container.xml" in names:
+    if is_epub:
         return extract_epub_text(data)
     return ExtractResult("", "zip", "skipped", 0, "")
 
@@ -9235,7 +9258,10 @@ def decode_webp_lossless(data: bytes | None) -> dict | None:
         return None
     payload = None
     p, n = 12, len(data)
-    for _ in range(64):  # bounded chunk walk
+    # same 256-chunk bound as _parse_webp_meta (round 9, ADVICE r8): a
+    # VP8L still behind >64 ANMF chunks previously got has_vp8l='1' from
+    # the meta walk but a spurious decode_error here
+    for _ in range(256):  # bounded chunk walk
         if p + 8 > n:
             break
         cid = data[p : p + 4]
@@ -9836,6 +9862,11 @@ def _woff_tables(data: bytes) -> dict:
             except zlib.error:
                 continue
             if len(body) > FONT_TABLE_BUDGET or dec.unconsumed_tail:
+                continue
+            # round 9 (ADVICE r8): a truncated/short stream was silently
+            # accepted and parsed with partial bytes — require the zlib
+            # stream to have completed AND match the declared origLength
+            if not dec.eof or len(body) != orig:
                 continue
         out[e[0:4]] = body
     return out

@@ -1876,6 +1876,97 @@ def test_docx_epub_extraction():
         pure.extract_main_text(eb[:cut])
 
 
+def test_epub_routing_and_budget():
+    """Round 9 (ADVICE r8): EPUB routing demands EPUB evidence, and
+    chapter inflation is bounded by a TOTAL budget, not only per-member."""
+    import io
+    import zipfile
+
+    # a zip with a bogus 'mimetype' member is NOT routed to the EPUB
+    # extractor any more
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "text/plain")
+        z.writestr("a.html", "<p>not an epub chapter</p>")
+    ex = pure.extract_main_text(buf.getvalue())
+    assert ex.status == "skipped" and ex.doc_type == "zip"
+    # container.xml alone still routes (spec allows mimetype-less readers)
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as z:
+        z.writestr("META-INF/container.xml", "<container/>")
+        z.writestr(
+            "c1.xhtml",
+            "<html><body><p>Nine words of chapter text sit right here."
+            "</p></body></html>",
+        )
+    assert pure.extract_main_text(buf2.getvalue()).doc_type == "epub"
+    # hostile: many highly-compressible chapters stop at the TOTAL budget
+    big = "<html><body><p>" + "a b c d e f g h. " * 4000 + "</p></body></html>"
+    buf3 = io.BytesIO()
+    with zipfile.ZipFile(buf3, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("mimetype", "application/epub+zip")
+        for i in range(40):
+            z.writestr(f"ch{i:02d}.xhtml", big)
+    out = pure.extract_epub_text(buf3.getvalue())
+    assert len(out.text) <= pure.EPUB_WALK_MAX_BYTES + (1 << 16)
+
+
+def test_woff_rejects_incomplete_zlib_table():
+    """Round 9 (ADVICE r8): a compressed WOFF table whose zlib stream is
+    truncated (or disagrees with origLength) is rejected, not parsed with
+    partial bytes."""
+    import zlib as _z
+
+    payload = b"\x00\x01\x02\x03" * 64
+    comp = _z.compress(payload)
+    trunc = comp[: len(comp) - 4]
+
+    def woff(table_comp: bytes, orig_len: int) -> bytes:
+        off = 44 + 20
+        head = (
+            b"wOFF" + b"\x00\x01\x00\x00"
+            + (off + len(table_comp)).to_bytes(4, "big")
+            + (1).to_bytes(2, "big") + b"\x00\x00"
+            + b"\x00" * (44 - 16)
+        )
+        entry = (
+            b"head" + off.to_bytes(4, "big")
+            + len(table_comp).to_bytes(4, "big")
+            + orig_len.to_bytes(4, "big") + b"\x00" * 4
+        )
+        return head + entry + table_comp
+
+    assert b"head" in pure._woff_tables(woff(comp, len(payload)))
+    assert b"head" not in pure._woff_tables(woff(trunc, len(payload)))
+    assert b"head" not in pure._woff_tables(woff(comp, len(payload) + 8))
+
+
+def test_png_anim_duration_numeric_accumulation():
+    """Round 9 (ADVICE r8): fcTL delays accumulate in a numeric local —
+    den=3 frames must not compound per-frame string-rounding error."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + _z.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    n_frames = 9
+    png = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", _s.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    ) + chunk(b"acTL", _s.pack(">II", n_frames, 0))
+    for i in range(n_frames):
+        fctl = _s.pack(">IIIIIHHBB", i, 1, 1, 0, 0, 1, 3, 0, 0)
+        png += chunk(b"fcTL", fctl)
+    png += chunk(b"IEND", b"")
+    meta = pure._parse_png_meta(png)
+    # 9 * (1/3) = 3.000 exactly; the old string-reparse form accumulated
+    # 0.333 + 0.333 + ... = 2.997
+    assert meta["png:anim_duration_s"] == "3.000"
+
+
 def test_asset_magics_reject_prose():
     """ASCII-viable asset magics demand structure (the ID3/bare-mp3
     rule): OTTO-leading prose and text carrying 'ustar' at offset 257
