@@ -12780,7 +12780,7 @@ _MINHASH_BATCH_CAP = 1 << 10
 
 
 def _minhash_windows_batch(
-    windows_list: list, num_hashes: int = 64
+    windows_list: list, num_hashes: int = 64, signed: bool = False
 ) -> list:
     """Batched _minhash_shingles over many docs' raw _shingle_windows
     arrays (round 7 — the per-doc (seeds, windows) broadcast setup was
@@ -12805,6 +12805,12 @@ def _minhash_windows_batch(
         x = _np.concatenate(parts)
         m = _mix64(x[None, :] ^ _MINHASH_SEEDS[:num_hashes, None])
         mins = _np.minimum.reduceat(m, _np.array(starts), axis=1)
+        # ``signed``: fold into Spark's signed long range via a vectorized
+        # two's-complement cast (round 9 — the callers' per-element
+        # _to_i64 loop over 64 hashes/doc was ~20% of the signature UDF's
+        # worker CPU; astype(int64) is the identical wrap)
+        if signed:
+            mins = mins.astype(_np.int64)
         for j, i in enumerate(idx):
             out[i] = mins[:, j].tolist()
         parts, starts, idx, pos = [], [], [], 0

@@ -114,8 +114,10 @@ def analyze_batch(html: pd.Series) -> pd.DataFrame:
     # drops the per-doc (seeds, windows) broadcast setup); empty-text
     # docs keep the per-doc form's [] signature
     out["minhash"] = [
-        [] if sig is None else [_to_i64(h) for h in sig]
-        for sig in pure._minhash_windows_batch(mh_windows, MINHASH_K)
+        [] if sig is None else sig
+        for sig in pure._minhash_windows_batch(
+            mh_windows, MINHASH_K, signed=True
+        )
     ]
     out["simhash"] = [_to_i64(s) for s in pure._simhash_toks_batch(sim_toks)]
     return pd.DataFrame(out)
@@ -174,8 +176,8 @@ def _minhash_batch(text: pd.Series) -> pd.Series:
     ]
     return pd.Series(
         [
-            [] if sig is None else [_to_i64(h) for h in sig]
-            for sig in pure._minhash_windows_batch(windows)
+            [] if sig is None else sig
+            for sig in pure._minhash_windows_batch(windows, signed=True)
         ]
     )
 
